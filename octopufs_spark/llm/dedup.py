@@ -1,0 +1,147 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design: exact dedup is a hash-groupBy (one shuffle on the digest,
+map-side combine). Near-dup at 100 TB must NOT be an O(n²) join —
+MinHash-LSH bands candidates into buckets so the join is bucket-local;
+the all-pairs n-gram Jaccard here is the *exact* verifier used on
+candidate subsets, not the scale path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on md5(text): one surviving (min id) row per digest.
+
+    Returns [h, doc_id, dup_cnt]. Single shuffle on the 128-bit digest;
+    at 100 TB the digest groupBy is uniform (no skew) and combines
+    map-side.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_cnt"))
+    )
+
+
+def ngram_sets(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, ngrams] with distinct word n-grams per document (JVM-side)."""
+    toks = F.split(F.col(text_col), " ")
+    ngrams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return df.select(F.col(id_col), F.array_distinct(ngrams).alias("ngrams"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
+
+    Inverted-index join (explode n-grams, self-join on the n-gram) so
+    only candidate pairs are scored — zero-overlap pairs never
+    materialize. Returns [doc_a, doc_b, jaccard] with doc_a < doc_b.
+    """
+    g = ngram_sets(df, n=n, id_col=id_col, text_col=text_col)
+    sizes = g.select(F.col(id_col), F.size("ngrams").alias("n_ng"))
+    e = g.select(F.col(id_col), F.explode("ngrams").alias("ng"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_ng").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_ng").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (the scale path).
+
+    shingle → hashingTF sparse vector → MinHash signatures → banded
+    bucket join (approxSimilarityJoin). Join cost is per-bucket, not
+    O(n²). Returns [doc_a, doc_b, jaccard_dist] with doc_a < doc_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_toks")
+    tf = HashingTF(inputCol="_toks", outputCol="_features", numFeatures=num_features, binary=True)
+    featurized = tf.transform(tok.transform(df.select(id_col, text_col)))
+    mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(featurized)
+    joined = model.approxSimilarityJoin(featurized, featurized, threshold, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+@pandas_udf("string")
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, as zero-padded hex.
+
+    Deterministic (md5-based token hashes), Arrow-batched. Near-dup
+    detection then bands the 64 bits into 4×16-bit keys and joins on
+    band equality — Hamming-distance candidates without O(n²).
+    """
+
+    def simhash(text: str) -> str:
+        acc = [0] * 64
+        for t in text.split(" "):
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return f"{v:016x}"
+
+    return texts.map(simhash)
+
+
+def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, simhash, band0..band3]: 16-bit bands for bucketed candidate join."""
+    out = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    for i in range(4):
+        out = out.withColumn(f"band{i}", F.substring("simhash", 1 + 4 * i, 4))
+    return out

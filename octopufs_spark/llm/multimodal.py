@@ -1,0 +1,88 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus typed metadata. The Spark-side
+plumbing — schema, Arrow batch shape, mapInPandas signature,
+partition-size control — is real and tested; the actual codec decode is
+STUBBED (no image/audio libs in this container) behind
+``decode_media_batch``: by default a clearly-marked
+NotImplementedError, or a deterministic fake when ``fake=True`` so the
+pipeline shape is verifiable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Output schema of the decode step: metadata a real decoder would emit.
+DECODE_SCHEMA = (
+    "doc_id long, byte_len long, media_type string, width long, height long, checksum string"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for image decode: fake width/height from size.
+
+    STUB — replace with PIL/ffmpeg decode where available.
+    """
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def decode_media_batch(fake: bool = True):
+    """Build a mapInPandas function decoding a binary media column.
+
+    Input rows: [doc_id: long, payload: binary, media_type: string].
+    Arrow-batched: each pandas batch is decoded vectorized; at scale the
+    input should be repartitioned so batches of large blobs fit executor
+    memory (see repartition in decode_media).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not in this container"
+                )
+            payloads = pdf["payload"]
+            dims = payloads.map(lambda b: _fake_decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": dims.map(lambda d: d[0]).astype("int64"),
+                    "height": dims.map(lambda d: d[1]).astype("int64"),
+                    "checksum": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return fn
+
+
+def decode_media(
+    media: DataFrame, fake: bool = True, target_partitions: int | None = None
+) -> DataFrame:
+    """Decode/feature-extract a media DataFrame [doc_id, payload, media_type].
+
+    Repartitions first so blob batches are bounded per task — at 100 TB
+    the blobs dominate memory, so partition count tracks input bytes,
+    not row count.
+    """
+    if target_partitions:
+        media = media.repartition(target_partitions)
+    return media.mapInPandas(decode_media_batch(fake=fake), schema=DECODE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter for tests: treat utf-8 text bytes as an opaque payload."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns.
+
+Exact brute-force cosine top-k (the correctness baseline) and a
+random-hyperplane LSH-bucketed approximate variant (the 100 TB path:
+candidates come from bucket-equality joins, so cost scales with bucket
+population, not n²). Dot products run JVM-side via higher-order array
+functions — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk_exact(
+    vecs: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact all-pairs cosine top-k per query vector.
+
+    O(n²) scoring — correct baseline for small candidate sets (and the
+    verifier for ANN recall). Returns [vec_a, vec_b, cos_sim, rn].
+    cos_sim is rounded to 6 decimals to absorb cross-engine
+    accumulation drift in the oracle comparison.
+    """
+    from pyspark.sql.window import Window
+
+    v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    vecs: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id per vector (random hyperplanes).
+
+    The plane matrix is generated driver-side from a fixed seed and
+    folded into the plan as literals — shipped once with the task
+    closure, no shuffle. Bucket = n_planes-bit signature string.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    bits = [
+        F.when(dot(F.col("emb"), F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return v.withColumn("bucket", F.concat(*bits))
+
+
+def cosine_topk_ann(
+    vecs: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only within LSH buckets.
+
+    At scale: shuffle on bucket (uniform-ish), per-bucket pairwise
+    scoring. Recall is tuned by n_planes (fewer planes → bigger buckets
+    → higher recall, more compute). Returns [vec_a, vec_b, cos_sim, rn].
+    """
+    from pyspark.sql.window import Window
+
+    b = hyperplane_lsh_buckets(vecs, dim, n_planes, seed, id_col, vec_col)
+    lhs, rhs = b.alias("a"), b.alias("b")
+    pairs = lhs.join(
+        rhs,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )

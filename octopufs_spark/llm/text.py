@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic uses JVM-side built-ins (split / filter / transform
+/ md5) so it stays inside whole-stage codegen; the only Python is the
+clean_text Pandas UDF which exists to exercise the vectorized UDF
+surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Tiny embedded stopword list for the language-ID heuristic. At real
+# scale this would be a broadcast per-language table; the heuristic
+# structure (token-set membership ratio) is the same.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization (keeps empty tokens, like SQL split)."""
+    return F.split(F.col(text_col), " ")
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    """Fraction of tokens that are English stopwords — language-ID signal."""
+    toks = tokens_col(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free heuristic language ID: stopword-ratio thresholding.
+
+    Adds ``en_ratio`` (double) and ``lang_pred`` ('en' | 'other').
+    """
+    ratio = stopword_ratio(text_col)
+    return df.withColumn("en_ratio", ratio).withColumn(
+        "lang_pred", F.when(F.col("en_ratio") > 0.05, "en").otherwise("other")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_unique_tokens, type-token ratio (all exact)."""
+    toks = tokens_col(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)).cast("long"))
+        .withColumn(
+            "ttr", F.col("n_unique_tokens").cast("double") / F.col("n_tokens")
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", chars_col: str = "n_chars") -> DataFrame:
+    """Deterministic quality score from length + token-count signals.
+
+    score = 0.5·min(n_chars/400, 1) + 0.5·min(n_tokens/80, 1) — a
+    placeholder for classifier-based quality; exact double arithmetic so
+    it is oracle-checkable.
+    """
+    n_tokens = F.size(tokens_col(text_col)).cast("long")
+    len_score = F.least(F.col(chars_col).cast("double") / 400.0, F.lit(1.0))
+    tok_score = F.least(n_tokens.cast("double") / 80.0, F.lit(1.0))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("len_score", len_score)
+        .withColumn("quality", 0.5 * len_score + 0.5 * tok_score)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of sorted distinct tokens.
+
+    Robust to token reordering; the basis for near-dup canonicalization.
+    Adds ``fp`` (hex string).
+    """
+    toks = tokens_col(text_col)
+    return df.withColumn(
+        "fp", F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    )
+
+
+@pandas_udf("string")
+def clean_text_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched text normalization: lowercase + strip non-[a-z0-9 ].
+
+    Kept as a Pandas UDF deliberately (the UDF-surface contract);
+    equivalent SQL: regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g').
+    """
+    return s.str.lower().str.replace(r"[^a-z0-9 ]", "", regex=True)

@@ -1,0 +1,18 @@
+"""Declared query inventory (SURVEY.md §2C).
+
+Importing this package registers every query into
+``octopufs_spark.registry.REGISTRY``.
+"""
+
+from octopufs_spark.queries import (  # noqa: F401
+    aggs,
+    filters,
+    joins,
+    llm_ext,
+    scalars,
+    scans,
+    setops,
+    sorts,
+    streaming_batch,
+    windows,
+)

@@ -1,0 +1,262 @@
+"""LLM-data-pipeline queries (SURVEY.md §2C ext rows).
+
+Thin registry wrappers over octopufs_spark.llm operators, each with a
+DuckDB oracle where the semantics are SQL-expressible. Weak (rows-only)
+entries: MinHash-LSH, SimHash and ANN — algorithm-specific outputs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopufs_spark.llm import dedup, multimodal, similarity, text
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+
+@register(
+    "q_ext_dedup_exact",
+    oracle="""
+SELECT md5(text) AS h, MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5(text): surviving min doc_id per digest."""
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ext_text_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+)
+def q_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts and average char/token lengths."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(n_tokens).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_ext_sim_knn",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 50
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.emb, b.emb) /
+               (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim, rn FROM (
+  SELECT p.*, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS rn FROM p
+) WHERE rn <= 5
+""",
+)
+def q_ext_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for vec_id<50 (brute-force baseline)."""
+    vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    return similarity.cosine_topk_exact(vecs, k=5)
+
+
+@register("q_ext_ann_lsh", oracle=None)  # weak: approximate, plane-seed-specific
+def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-5 — the 100 TB ANN path."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ann(vecs, dim=64, k=5, n_planes=8, seed=42)
+
+
+@register("q_ext_dedup_minhash", oracle=None)  # weak: LSH banding, seed-specific
+def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (Jaccard dist < 0.8)."""
+    return dedup.minhash_near_dup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("q_ext_simhash", oracle=None)  # weak: Pandas-UDF hash, Spark-side only
+def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash + 16-bit bands per document (dedup candidate keys)."""
+    return dedup.simhash_bands(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ext_ngram_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END) AS ngrams
+  FROM d
+), e AS (
+  SELECT doc_id, unnest(ngrams) AS ng FROM g
+), s AS (
+  SELECT doc_id, len(ngrams) AS n_ng FROM g
+), i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter) AS jaccard
+FROM i JOIN s sa ON i.doc_a = sa.doc_id JOIN s sb ON i.doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter) >= 0.2
+""",
+)
+def q_ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (inverted-index join) for doc_id<100."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+@register(
+    "q_ext_lang_id",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS en_ratio,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) > 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+""",
+)
+def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic."""
+    d = text.lang_id(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang", "en_ratio", "lang_pred")
+
+
+@register(
+    "q_ext_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0) AS len_score,
+       0.5 * LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0)
+         + 0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80, 1.0) AS quality
+FROM documents
+""",
+)
+def q_ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length/token quality score per document."""
+    d = text.quality_score(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tokens", "len_score", "quality")
+
+
+@register(
+    "q_ext_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS ttr
+FROM documents
+""",
+)
+def q_ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + type-token ratio per document."""
+    d = text.token_stats(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tokens", "n_unique_tokens", "ttr")
+
+
+@register(
+    "q_ext_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents
+""",
+)
+def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (md5 of sorted token set)."""
+    d = text.fingerprint(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fp")
+
+
+@register(
+    "q_ext_grouped_pandas",
+    oracle="""
+SELECT doc_id, lang,
+       ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+             / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4) AS z_chars
+FROM documents
+""",
+)
+def q_ext_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of n_chars via applyInPandas (grouped-map UDF)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("float64")
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z.round(4)}
+        )
+
+    return d.groupBy("lang").applyInPandas(zscore, schema="doc_id long, lang string, z_chars double")
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS clean
+FROM documents
+""",
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF: vectorized text normalization."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.clean_text_udf(F.col("text")).alias("clean"))
+
+
+@register(
+    "q_udtf_explode",
+    oracle="""
+SELECT token, COUNT(*) AS cnt FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token
+""",
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating tokenize: explode(split) → corpus token counts."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q_ext_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+       md5(text) AS checksum
+FROM documents
+""",
+)
+def q_ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → metadata via mapInPandas (deterministic fake
+    decode; real codec stubbed — see llm/multimodal.py)."""
+    media = multimodal.documents_as_media(load(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media, fake=True)

@@ -1,0 +1,116 @@
+"""Streaming-shaped queries, batch-checkable on events (SURVEY.md §2C).
+
+Tumbling / sliding windows and keyed dedup expressed over the batch
+events table; the same transformations run under Structured Streaming
+in octopufs_spark/streaming.py (with watermarks), where the DuckDB
+oracle can't reach — batch twins here give the correctness signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window count+sum per event_type."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket, event_type, value
+  FROM events
+), w AS (
+  SELECT bucket AS window_start, event_type, value FROM b
+  UNION ALL
+  SELECT bucket - INTERVAL 30 MINUTE, event_type, value FROM b
+)
+SELECT window_start, event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event in 2 windows)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: keep the earliest event per event_id.
+
+    Batch twin of streaming dropDuplicates-with-watermark; expressed as
+    row_number=1 so keep-which-row is deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register("q_stream_session", oracle=None)  # weak: session assignment is engine-defined
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — batch session_window.
+
+    No stable cross-engine oracle for session assignment; verified
+    rows-only here and exercised under streaming in streaming.py.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "cnt",
+            "sum_value",
+        )
+    )

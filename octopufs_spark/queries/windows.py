@@ -1,0 +1,87 @@
+"""Window-function queries (SURVEY.md §2C).
+
+Ranking, running aggregates with explicit frames, and lag. Order-by
+keys always include a unique tiebreaker (orderkey / event_id) so
+results are deterministic across engines. Running sums go through the
+decimal-exact path — a ROWS frame fixes the accumulation order, but
+decimal keeps it order-independent anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from octopufs_spark.queries.common import DEC
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (deterministic tiebreak)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer total with an explicit ROWS frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+SELECT event_id, user_id, ts,
+       epoch_ms(CAST(ts AS TIMESTAMP)) - LAG(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+FROM events
+""",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap in milliseconds via LAG."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP (identity cast
+    # under the session's pinned UTC timezone).
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    )
