@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the declared query inventory and prints ONE
+JSON line ``{"metric", "value", "unit", "queries", "sf"}``.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes fully JVM-side via the
+noop sink (no Python row serialization), so the timing reflects the
+engine plan, not driver collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from octopufs_spark.registry import all_queries  # noqa: E402
+from octopufs_spark.session import get_spark  # noqa: E402
+
+
+def execute(df) -> None:
+    """Run the full plan JVM-side; no rows cross to Python."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("octopufs_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # Warm up the JVM/codegen path once so q1 doesn't pay session startup.
+    execute(queries["q_scan_parquet"](spark, sf_dir))
+
+    verbose = os.environ.get("BENCH_VERBOSE")
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            execute(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record failures as -1, keep benching
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+        if verbose:
+            print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_seconds_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,21 +87,27 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     num_hash_tables: int = 5,
     num_features: int = 1 << 18,
+    shingle_n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (the scale path).
 
-    shingle → hashingTF sparse vector → MinHash signatures → banded
-    bucket join (approxSimilarityJoin). Join cost is per-bucket, not
-    O(n²). Returns [doc_a, doc_b, jaccard_dist] with doc_a < doc_b.
+    shingle (word 5-grams — unigrams collide massively on small
+    vocabularies, densifying every LSH bucket) → hashingTF sparse
+    vector → MinHash signatures → banded bucket join
+    (approxSimilarityJoin). Join cost is per-bucket, not O(n²).
+    Returns [doc_a, doc_b, jaccard_dist] with doc_a < doc_b.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     tok = Tokenizer(inputCol=text_col, outputCol="_toks")
-    tf = HashingTF(inputCol="_toks", outputCol="_features", numFeatures=num_features, binary=True)
-    featurized = tf.transform(tok.transform(df.select(id_col, text_col)))
+    ng = NGram(n=shingle_n, inputCol="_toks", outputCol="_shingles")
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    featurized = tf.transform(ng.transform(tok.transform(df.select(id_col, text_col))))
     mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
     model = mh.fit(featurized)
     joined = model.approxSimilarityJoin(featurized, featurized, threshold, distCol="jaccard_dist")

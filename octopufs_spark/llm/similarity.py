@@ -10,8 +10,10 @@ functions — no Python in the scoring loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -62,17 +64,22 @@ def hyperplane_lsh_buckets(
     """Sign-of-projection LSH bucket id per vector (random hyperplanes).
 
     The plane matrix is generated driver-side from a fixed seed and
-    folded into the plan as literals — shipped once with the task
-    closure, no shuffle. Bucket = n_planes-bit signature string.
+    captured in the UDF closure — shipped once per task, no shuffle.
+    Projection runs as one Arrow-batched numpy matmul per batch
+    (building it from per-element Catalyst literals instead compiles a
+    pathological codegen method). Bucket = n_planes-bit signature.
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf("string")
+    def bucket_udf(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy())  # (batch, dim)
+        signs = (m @ planes.T) >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
+
     v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
-    bits = [
-        F.when(dot(F.col("emb"), F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1").otherwise("0")
-        for plane in planes
-    ]
-    return v.withColumn("bucket", F.concat(*bits))
+    return v.withColumn("bucket", bucket_udf(F.col("emb")))
 
 
 def cosine_topk_ann(
