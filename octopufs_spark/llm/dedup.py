@@ -121,13 +121,16 @@ def minhash_near_dup_pairs(
     )
 
 
-@pandas_udf("string")
-def simhash64_udf(texts: pd.Series) -> pd.Series:
+def _simhash64_udf():
     """64-bit SimHash over whitespace tokens, as zero-padded hex.
 
     Deterministic (md5-based token hashes), Arrow-batched. Near-dup
     detection then bands the 64 bits into 4×16-bit keys and joins on
     band equality — Hamming-distance candidates without O(n²).
+
+    Built lazily: decorating with ``@pandas_udf`` at module scope needs
+    an active SparkSession at import time, which breaks importing the
+    query inventory before a session exists.
     """
 
     def simhash(text: str) -> str:
@@ -142,12 +145,16 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
                 v |= 1 << i
         return f"{v:016x}"
 
-    return texts.map(simhash)
+    @pandas_udf("string")
+    def udf(texts: pd.Series) -> pd.Series:
+        return texts.map(simhash)
+
+    return udf
 
 
 def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[id, simhash, band0..band3]: 16-bit bands for bucketed candidate join."""
-    out = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    out = df.select(F.col(id_col), _simhash64_udf()(F.col(text_col)).alias("simhash"))
     for i in range(4):
         out = out.withColumn(f"band{i}", F.substring("simhash", 1 + 4 * i, 4))
     return out

@@ -83,11 +83,17 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@pandas_udf("string")
-def clean_text_udf(s: pd.Series) -> pd.Series:
+def clean_text_udf():
     """Arrow-batched text normalization: lowercase + strip non-[a-z0-9 ].
 
     Kept as a Pandas UDF deliberately (the UDF-surface contract);
     equivalent SQL: regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g').
+    Built lazily — module-scope ``@pandas_udf`` needs an active session
+    at import time.
     """
-    return s.str.lower().str.replace(r"[^a-z0-9 ]", "", regex=True)
+
+    @pandas_udf("string")
+    def udf(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace(r"[^a-z0-9 ]", "", regex=True)
+
+    return udf

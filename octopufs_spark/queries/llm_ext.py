@@ -222,7 +222,7 @@ FROM documents
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar Pandas UDF: vectorized text normalization."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", text.clean_text_udf(F.col("text")).alias("clean"))
+    return d.select("doc_id", text.clean_text_udf()(F.col("text")).alias("clean"))
 
 
 @register(

@@ -1,0 +1,100 @@
+"""Structured Streaming surface: windows, watermarks, dedup, sessions.
+
+The batch twins of these transformations live in
+queries/streaming_batch.py (oracle-checked); this module provides the
+actual streaming builders — readStream → transform → writeStream —
+exercised by the pytest streaming suite with file sources feeding
+micro-batches. At scale the same plans run against Kafka/file streams;
+watermarks bound state so late data is handled without unbounded
+memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark, source_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based event stream: each parquet file becomes a micro-batch."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling window count+sum per event_type with watermark.
+
+    Watermark bounds the state store: windows older than max(event
+    time) - watermark are finalized and evicted.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour window sliding 30 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Keyed dedup within the watermark horizon: duplicate event_ids
+    arriving inside the state window are dropped."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user: a session closes after `gap` idle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "cnt",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "append"):
+    """Start the stream into an in-memory table and return the query
+    handle; callers awaitTermination/processAllAvailable then read
+    ``spark.table(query_name)``."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .start()
+    )
