@@ -14,5 +14,6 @@ from octopufs_spark.queries import (  # noqa: F401
     setops,
     sorts,
     streaming_batch,
+    tpch,
     windows,
 )
