@@ -121,16 +121,45 @@ def minhash_near_dup_pairs(
     )
 
 
-def _simhash64_udf():
-    """64-bit SimHash over whitespace tokens, as zero-padded hex.
+def simhash64_col(text_col: str = "text") -> F.Column:
+    """64-bit SimHash over whitespace tokens, as zero-padded hex — fully
+    JVM-side (xxhash64 token hashes + higher-order array folds), no
+    Python in the hot path.
 
-    Deterministic (md5-based token hashes), Arrow-batched. Near-dup
-    detection then bands the 64 bits into 4×16-bit keys and joins on
-    band equality — Hamming-distance candidates without O(n²).
+    Per document: hash each token, vote each of the 64 bits (+1/-1),
+    set bit i when its vote is positive. Summing ``1 << i`` over set
+    bits equals the bitwise OR (each bit contributes once; Java long
+    wrap-around makes bit 63 come out right). Near-dup detection then
+    bands the 64 bits into 4×16-bit keys and joins on band equality —
+    Hamming-distance candidates without O(n²).
+    """
+    return F.expr(
+        f"""
+        lower(lpad(hex(
+          aggregate(
+            zip_with(
+              aggregate(
+                transform(split({text_col}, ' '), t -> xxhash64(t)),
+                array_repeat(0, 64),
+                (acc, h) -> zip_with(acc, sequence(0, 63),
+                            (c, i) -> c + if((shiftright(h, i) & 1) = 1, 1, -1))
+              ),
+              sequence(0, 63),
+              (c, i) -> if(c > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))
+            ),
+            cast(0 as bigint),
+            (s, x) -> s + x
+          )
+        ), 16, '0'))
+        """
+    )
 
-    Built lazily: decorating with ``@pandas_udf`` at module scope needs
-    an active SparkSession at import time, which breaks importing the
-    query inventory before a session exists.
+
+def simhash_pandas_udf():
+    """Reference Pandas-UDF SimHash (md5 token hashes) — kept as the
+    Arrow-batched UDF-surface example; ``simhash64_col`` is the fast
+    path. Built lazily: module-scope ``@pandas_udf`` needs an active
+    SparkSession at import time.
     """
 
     def simhash(text: str) -> str:
@@ -154,7 +183,7 @@ def _simhash64_udf():
 
 def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """[id, simhash, band0..band3]: 16-bit bands for bucketed candidate join."""
-    out = df.select(F.col(id_col), _simhash64_udf()(F.col(text_col)).alias("simhash"))
+    out = df.select(F.col(id_col), simhash64_col(text_col).alias("simhash"))
     for i in range(4):
         out = out.withColumn(f"band{i}", F.substring("simhash", 1 + 4 * i, 4))
     return out

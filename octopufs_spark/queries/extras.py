@@ -1,0 +1,232 @@
+"""Additional operator coverage: CSV source, window variants, regexp,
+pivot, median, full-outer join, grouping sets.
+
+Rounds out SURVEY.md §2B/§2C: the reference ingests CSV with
+header+inferSchema (reference: src/test/scala/Test.scala:81-86); the
+rest are engine-floor operators a complete analytics surface needs.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from octopufs_spark.queries.common import DEC, SQL_DSUM, dsum
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS cnt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion round-trip (reference: CSV read with header +
+    inferSchema, src/test/scala/Test.scala:81-86): dump customer to
+    CSV, re-read with header+inferSchema, aggregate. The aggregate goes
+    through the decimal-exact path, so the result matches the oracle
+    computed straight from parquet — proving the CSV codec is lossless
+    for this data."""
+    out = tempfile.mkdtemp(prefix="octopufs_csv_")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"), dsum("c_acctbal", "sum_bal")
+    )
+
+
+@register(
+    "q_window_dense_ntile",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       DENSE_RANK() OVER (ORDER BY s_nationkey) AS nation_rank,
+       NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_quartile
+FROM supplier
+""",
+)
+def q_window_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK + NTILE quartiles (deterministic tiebreak)."""
+    supp = load(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.dense_rank().over(Window.orderBy("s_nationkey")).cast("long").alias("nation_rank"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")))
+        .cast("long")
+        .alias("bal_quartile"),
+    )
+
+
+@register(
+    "q_window_first_last",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over an unbounded frame per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_scalar_regexp",
+    oracle="""
+SELECT p_partkey, p_name,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+       CASE WHEN regexp_matches(p_name, '^(red|blue|green)') THEN 1 ELSE 0 END AS is_color
+FROM part
+""",
+)
+def q_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + regexp predicate."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("noun"),
+        F.when(F.col("p_name").rlike(r"^(red|blue|green)"), 1).otherwise(0).alias("is_color"),
+    )
+
+
+@register(
+    "q_agg_pivot",
+    oracle=f"""
+SELECT l_returnflag,
+       {SQL_DSUM.format(col="CASE WHEN l_linestatus = 'O' THEN l_quantity END", alias="qty_O")},
+       {SQL_DSUM.format(col="CASE WHEN l_linestatus = 'F' THEN l_quantity END", alias="qty_F")}
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on l_linestatus (oracle: equivalent conditional aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "q_agg_median",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median via middle-row selection.
+
+    Engine median built-ins disagree (Spark percentile interpolates,
+    DuckDB MEDIAN is discrete on DECIMAL), so the median is computed
+    from first principles identically on both sides: pick the one or
+    two middle rows per group, average them decimal-exactly. The
+    compaction heuristic uses the same median idea on file sizes
+    (reference: Coalesce.scala:19-31).
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    mid = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    ).where(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*")).alias(
+            "median_price"
+        )
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+SELECT n_nationkey, n_name, cust_cnt, supp_cnt
+FROM (SELECT c_nationkey AS ck, COUNT(*) AS cust_cnt FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS supp_cnt FROM supplier GROUP BY s_nationkey) s
+  ON c.ck = s.sk
+JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)
+""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer/supplier counts."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("supp_cnt"))
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(supp, cust.ck == supp.sk, "full_outer")
+        .join(F.broadcast(nation), nation.n_nationkey == F.coalesce(cust.ck, supp.sk))
+        .select("n_nationkey", "n_name", "cust_cnt", "supp_cnt")
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       {SQL_DSUM.format(col="o_totalprice", alias="sum_price")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {SQL_DSUM.format(col="o_totalprice", alias="sum_price")}
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
