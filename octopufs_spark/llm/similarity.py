@@ -53,6 +53,33 @@ def cosine_topk_exact(
     )
 
 
+def cosine_near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
+    a < b and cos_sim ≥ threshold.
+
+    Exact all-pairs variant — the correctness baseline. The 100 TB
+    scale path replaces the cross join with the LSH bucket join
+    (``cosine_topk_ann``'s candidate generation) so only same-bucket
+    pairs are scored.
+    """
+    v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def hyperplane_lsh_buckets(
     vecs: DataFrame,
     dim: int,

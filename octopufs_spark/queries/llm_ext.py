@@ -71,6 +71,28 @@ def q_ext_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_exact(vecs, k=5)
 
 
+@register(
+    "q_ext_neardup_cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) /
+             (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) /
+            (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))), 6) >= 0.35
+""",
+)
+def q_ext_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
+    synthetic embeddings have no true near-dups, so the threshold sits
+    in the upper tail of the actual similarity distribution)."""
+    vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return similarity.cosine_near_dup_pairs(vecs, threshold=0.35)
+
+
 @register("q_ext_ann_lsh", oracle=None)  # weak: approximate, plane-seed-specific
 def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-5 — the 100 TB ANN path."""

@@ -1,0 +1,83 @@
+"""Property tests for the weak-oracle LLM operators (MinHash, SimHash,
+ANN): plant known duplicates/near-duplicates and assert the candidate
+generation finds them. These cover what the DuckDB hash-compare can't —
+algorithm-specific outputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from octopufs_spark.llm import dedup, similarity
+from octopufs_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents").limit(100).cache()
+
+
+def test_simhash_identical_texts_collide(spark, docs):
+    """Same text → same simhash; bands derive from the hash."""
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    out = dedup.simhash_bands(docs.limit(5).union(dup))
+    rows = out.collect()
+    by_text_groups = {}
+    for r in rows:
+        by_text_groups.setdefault(r.doc_id % 100000, set()).add(r.simhash)
+    assert all(len(s) == 1 for s in by_text_groups.values())
+    for r in rows:
+        assert len(r.simhash) == 16
+        assert r.simhash == r.band0 + r.band1 + r.band2 + r.band3
+
+
+def test_simhash_near_texts_close(spark):
+    """One-token edit flips few simhash bits (Hamming locality)."""
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy", 1)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    h1, h2 = [int(r.simhash, 16) for r in dedup.simhash_bands(df).orderBy("doc_id").collect()]
+    hamming = bin(h1 ^ h2).count("1")
+    assert hamming <= 16  # near-dup texts stay within banding reach
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    """A doc with one word changed is an LSH candidate of its original."""
+    base = docs.where(F.size(F.split("text", " ")) > 20).limit(3)
+    edited = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extrawordatend"))
+    )
+    pairs = dedup.minhash_near_dup_pairs(
+        base.union(edited).select("doc_id", "text"), threshold=0.5
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 100000) in found
+
+
+def test_ann_lsh_finds_identical_vectors(spark):
+    """Duplicated vectors land in the same bucket and rank first."""
+    vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 20)
+    dup = vecs.withColumn("vec_id", F.col("vec_id") + 100000)
+    out = similarity.cosine_topk_ann(vecs.union(dup), dim=64, k=1, n_planes=4, seed=42)
+    top1 = {r.vec_a: (r.vec_b, r.cos_sim) for r in out.collect()}
+    for vid in range(20):
+        assert top1[vid][0] == vid + 100000
+        assert top1[vid][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_cosine_near_dup_exact_pairs(spark):
+    vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 10)
+    dup = vecs.where(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
+    pairs = similarity.cosine_near_dup_pairs(vecs.union(dup), threshold=0.99).collect()
+    assert [(r.vec_a, r.vec_b) for r in pairs] == [(3, 100003)]
+
+
+def test_exact_dedup_counts(spark, docs):
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    groups = dedup.exact_dedup_groups(docs.union(dup))
+    assert groups.where(F.col("dup_cnt") == 2).count() == 10
+    # survivor is the min id — the original
+    survivors = groups.where(F.col("dup_cnt") == 2).select("doc_id").collect()
+    assert all(r.doc_id < 100000 for r in survivors)
