@@ -1,0 +1,78 @@
+"""Scale utilities: skew-salted joins and bucketed co-located joins.
+
+These are the knobs a 100 TB deployment turns when AQE's automatic
+handling isn't enough:
+
+- **Salting** splits a hot key across ``n`` synthetic sub-keys so one
+  executor doesn't receive the whole key's rows. The small side is
+  replicated n× (an explode, not a shuffle), the big side gets a
+  random salt, and the join key becomes (key, salt). Equivalent rows,
+  n-way parallel hot keys.
+- **Bucketing** pre-shuffles both tables once at write time
+  (``bucketBy`` on the join key). Later joins between tables bucketed
+  the same way read co-located buckets and skip the exchange entirely
+  — the shuffle is amortized across every downstream join.
+
+AQE (enabled by the session defaults) already splits skewed partitions
+for sort-merge joins; explicit salting remains for aggregations and
+for engines/joins AQE can't rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed big side to a small side with key salting.
+
+    The big side gets a uniform random salt in [0, n_salts); the small
+    side is exploded n_salts× so every (key, salt) combination exists.
+    The join then distributes each hot key over n_salts reducers.
+    Result is row-identical to ``big.join(small, big_key == small_key)``.
+    """
+    salted_big = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_big.join(
+        salted_small,
+        (salted_big[big_key] == salted_small[small_key])
+        & (salted_big["_salt"] == salted_small["_salt"]),
+        how,
+    )
+    return out.drop("_salt")
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Two-phase skew-safe count per key: partial count on (key, salt),
+    then final sum on key. The first shuffle spreads a hot key over
+    n_salts partitions; the second handles only n_salts rows per key.
+    """
+    return (
+        df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").alias("cnt"))
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_key: str, n_buckets: int = 8, path: str | None = None
+) -> None:
+    """Persist as a bucketed (+sorted) table: one shuffle now, zero
+    shuffles in every future equi-join/aggregation on the bucket key
+    between same-bucketed tables."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key).sortBy(bucket_key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
