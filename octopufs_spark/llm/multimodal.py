@@ -79,6 +79,65 @@ def decode_media(
     return media.mapInPandas(decode_media_batch(fake=fake), schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, payload binary, media_type string, width long, height long"
+
+
+def resize_media(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize image payloads to (width, height) — Arrow-batched mapInPandas.
+
+    STUB codec: with ``fake=True`` the payload passes through and only
+    the metadata reflects the target size (a real backend would decode,
+    resample, re-encode). The Spark plumbing — batch iteration, binary
+    columns both directions, schema — is the real contract.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires PIL — not in this container")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_no long, payload binary"
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 4096, fake: bool = True) -> DataFrame:
+    """Sample frames from video payloads: one input row → N frame rows.
+
+    Cardinality-expanding mapInPandas (the UDTF shape for binary data).
+    STUB codec: with ``fake=True`` each ``every_n_bytes`` slice of the
+    payload stands in for a decoded frame; a real backend would demux
+    with ffmpeg and emit encoded frames. Output partitioning follows
+    the input, so downstream per-frame feature extraction parallelizes
+    without a shuffle.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame demux requires ffmpeg — not in this container")
+            ids, frame_nos, payloads = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(0, max(len(raw), 1), every_n_bytes):
+                    ids.append(doc_id)
+                    frame_nos.append(i // every_n_bytes)
+                    payloads.append(raw[i : i + every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": frame_nos, "payload": payloads})
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests: treat utf-8 text bytes as an opaque payload."""
     return docs.select(
