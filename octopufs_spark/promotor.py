@@ -222,6 +222,38 @@ def move_selected_subfolders(
     return move_folders(spark, subs, src_uri, trg_uri)
 
 
+def insert_into_table(spark: SparkSession, src_table: str, trg_table: str) -> None:
+    """Pure-SQL analog of copy_files_between_tables: append rows
+    relationally instead of byte-copying files. Use when file identity
+    doesn't matter — Catalyst plans the scan+write, AQE sizes the
+    output tasks."""
+    catalog.validate_compatibility(spark, src_table, trg_table)
+    spark.table(src_table).writeTo(trg_table).append()
+    catalog.refresh_metadata(spark, trg_table)
+
+
+def insert_overwrite_table(spark: SparkSession, src_table: str, trg_table: str) -> None:
+    """Pure-SQL analog of copy_overwrite_table: INSERT OVERWRITE."""
+    catalog.validate_compatibility(spark, src_table, trg_table)
+    spark.sql(f"INSERT OVERWRITE TABLE {trg_table} SELECT * FROM {src_table}")
+    catalog.refresh_metadata(spark, trg_table)
+
+
+def insert_overwrite_partitions(
+    spark: SparkSession, src_table: str, trg_table: str, predicate: str
+) -> None:
+    """Pure-SQL analog of copy_overwrite_partitions: dynamic-partition
+    INSERT OVERWRITE replaces exactly the partitions the predicate
+    selects (session default partitionOverwriteMode=dynamic — the
+    reference's own tests configure precisely this,
+    reference: src/test/scala/TestUtils.scala:64-65)."""
+    catalog.validate_compatibility(spark, src_table, trg_table)
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {trg_table} SELECT * FROM {src_table} WHERE {predicate}"
+    )
+    catalog.refresh_metadata(spark, trg_table)
+
+
 def _rel(uri: str) -> str:
     from octopufs_spark.fs.core import get_filesystem
 

@@ -35,12 +35,20 @@ def q_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
 
 
-@register("q_sink_partitioned", oracle=None)  # weak: sink round-trip, pytest-verified
+@register(
+    "q_sink_partitioned",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year, COUNT(*) AS cnt
+FROM orders GROUP BY 1
+""",
+)
 def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders partitioned by year(o_orderdate), re-read, count per year.
 
     Partitioned write + partition-pruned re-read (reference pattern:
-    src/test/scala/TestUtils.scala:30-31 partitionBy saveAsTable).
+    src/test/scala/TestUtils.scala:30-31 partitionBy saveAsTable). The
+    round-trip is lossless, so the re-read counts hash-match an oracle
+    computed straight from the source table.
     """
     out = tempfile.mkdtemp(prefix="octopufs_sink_")
     orders = load(spark, sf_dir, "orders").withColumn(

@@ -110,3 +110,25 @@ def test_validator_rejects_mismatch(spark, sales_tables, tmp_path):
     with pytest.raises(ValueError):
         promotor.copy_files_between_tables(spark, src, "other_shape")
     spark.sql("DROP TABLE IF EXISTS other_shape")
+
+
+def test_sql_analog_overwrite_matches_file_level(spark, sales_tables):
+    """INSERT OVERWRITE reaches the same state as the file-level copy."""
+    src, trg = sales_tables
+    promotor.insert_overwrite_table(spark, src, trg)
+    assert spark.table(trg).count() == spark.table(src).count()
+    s = spark.table(src).agg(F.sum("o_totalprice")).first()[0]
+    t = spark.table(trg).agg(F.sum("o_totalprice")).first()[0]
+    assert abs(s - t) < 1e-6
+
+
+def test_sql_analog_partition_exchange(spark, sales_tables):
+    """Dynamic-partition INSERT OVERWRITE replaces only matching
+    partitions (the relational twin of copy_overwrite_partitions)."""
+    src, trg = sales_tables
+    promotor.insert_overwrite_table(spark, src, trg)
+    n95 = spark.table(trg).where("o_year = 1995").count()
+    n96 = spark.table(trg).where("o_year = 1996").count()
+    promotor.insert_overwrite_partitions(spark, src, trg, "o_year = 1996")
+    assert spark.table(trg).where("o_year = 1996").count() == n96  # replaced, not doubled
+    assert spark.table(trg).where("o_year = 1995").count() == n95  # untouched
