@@ -14,7 +14,10 @@ Layout:
   catalog.py     — metastore/table helpers (locations, partitions, refresh)
   promotor.py    — table/partition promotion built on fs + catalog
   compact.py     — small-file compaction (median-size heuristic)
-  streaming.py   — Structured Streaming surface (windows, watermark, dedup)
+  streaming.py   — Structured Streaming surface (windows, watermark,
+                   dedup, applyInPandasWithState stateful ops)
+  acl.py         — POSIX-ACL modify/clear/sync with parent inheritance
+  scale.py       — skew salting + bucketed co-located joins
   llm/           — dedup / similarity / text-analysis / multimodal operators
 """
 

@@ -44,6 +44,30 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_json",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       {SQL_DSUM.format(col="o_totalprice", alias="sum_price")},
+       MIN(EXTRACT(year FROM o_orderdate)) AS min_year
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion round-trip: dump orders to JSON, re-read
+    with the source schema, aggregate — proves the JSON codec (incl.
+    timestamp round-trip under the pinned UTC session) is lossless."""
+    out = tempfile.mkdtemp(prefix="octopufs_json_")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").json(out)
+    back = spark.read.schema(orders.schema).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        dsum("o_totalprice", "sum_price"),
+        F.min(F.year("o_orderdate")).cast("long").alias("min_year"),
+    )
+
+
+@register(
     "q_window_dense_ntile",
     oracle="""
 SELECT s_suppkey, s_nationkey, s_acctbal,
