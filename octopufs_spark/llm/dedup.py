@@ -125,6 +125,68 @@ def minhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: [doc_id, cluster_id]
+    where cluster_id = min doc_id reachable through the pair graph.
+
+    Dedup pipelines need this step after candidate generation — A~B and
+    B~C must collapse to ONE surviving document, which pairwise output
+    alone can't express. Iterative min-label propagation: each round
+    every vertex takes the minimum label among itself and its
+    neighbors; converges in O(diameter) rounds (near-dup components are
+    tiny, so a handful). Each iteration ends in ``localCheckpoint`` to
+    truncate the growing join lineage (the reference uses the same
+    device for iterative-ish pipelines,
+    reference: src/test/scala/TestPartitionCopy.scala:18) and runs as a
+    pair of shuffles on the edge list — no driver-side union-find, so
+    it scales with executors.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def simhash64_col(text_col: str = "text") -> F.Column:
     """64-bit SimHash over whitespace tokens, as zero-padded hex — fully
     JVM-side (xxhash64 token hashes + higher-order array folds), no

@@ -106,6 +106,40 @@ def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@register(
+    "q_ext_dedup_cluster",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, md5(substr(text, 1, 15)) AS h FROM documents WHERE doc_id < 500) a
+  JOIN (SELECT doc_id, md5(substr(text, 1, 15)) AS h FROM documents WHERE doc_id < 500) b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT id AS doc_id, MIN(reach) AS cluster_id FROM (
+  SELECT id, reach FROM walk UNION SELECT src, src FROM edges
+) GROUP BY id
+""",
+)
+def q_ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: prefix-collision candidate pairs →
+    connected components (min-reachable-id labels). Oracle: recursive
+    CTE transitive closure — both sides compute the same component ids.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    keyed = d.select("doc_id", F.md5(F.substring("text", 1, 15)).alias("h"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return dedup.connected_components(pairs)
+
+
 @register("q_ext_simhash", oracle=None)  # weak: Pandas-UDF hash, Spark-side only
 def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash + 16-bit bands per document (dedup candidate keys)."""

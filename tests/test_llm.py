@@ -81,3 +81,22 @@ def test_exact_dedup_counts(spark, docs):
     # survivor is the min id — the original
     survivors = groups.where(F.col("dup_cnt") == 2).select("doc_id").collect()
     assert all(r.doc_id < 100000 for r in survivors)
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, D~E → {A,B,C} and {D,E} with min-id labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    """Chain of 8 vertices converges within max_iter (diameter rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 9
