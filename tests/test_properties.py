@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) — the reference's unseeded random
+testing (reference: src/test/scala/TestUtils.scala:88-120) upgraded to
+generated, shrinkable cases."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from octopufs_spark import acl
+from octopufs_spark.compact import figure_out_number_of_partitions
+from octopufs_spark.fs.core import to_nice_size_string
+from octopufs_spark.fs.delta import get_delta, synchronize
+
+UNITS = ("B", "KB", "MB", "GB", "TB")
+
+
+@given(st.integers(min_value=0, max_value=1 << 50))
+def test_nice_size_string_bounds(n):
+    s = to_nice_size_string(float(n))
+    value, unit = s.split(" ")
+    assert unit in UNITS
+    assert unit == "TB" or float(value) < 1024.0
+
+
+@given(
+    st.sampled_from(acl.SCOPES),
+    st.text(alphabet="rwx-", min_size=3, max_size=3),
+    st.sampled_from([acl.ACCESS, acl.DEFAULT]),
+)
+def test_fs_permission_as_access(scope, perm, level):
+    p = acl.FsPermission(scope, perm, level, "g")
+    a = p.as_access()
+    assert a.level == acl.ACCESS
+    assert (a.scope, a.permission, a.grantee) == (p.scope, p.permission, p.grantee)
+
+
+# relative paths like "a/b.txt" with sizes
+_tree_strategy = st.dictionaries(
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=3).map(
+        lambda parts: "/".join(parts) + ".bin"
+    ),
+    st.integers(min_value=1, max_value=512),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _build(root: Path, tree: dict[str, int]) -> None:
+    for rel, size in tree.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x" * size)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(src_tree=_tree_strategy, trg_tree=_tree_strategy)
+def test_synchronize_reaches_fixpoint(spark, src_tree, trg_tree):
+    """For ANY pair of trees: after synchronize, delta is empty both ways."""
+    base = Path(tempfile.mkdtemp(prefix="prop_sync_"))
+    try:
+        src, trg = base / "src", base / "trg"
+        src.mkdir()
+        trg.mkdir()
+        _build(src, src_tree)
+        _build(trg, trg_tree)
+        synchronize(spark, str(src), str(trg))
+        missing, extra = get_delta(spark, str(src), str(trg))
+        assert missing == [] and extra == []
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=200 * 1024 * 1024), min_size=1, max_size=12),
+    target_mb=st.integers(min_value=1, max_value=512),
+)
+@settings(max_examples=20, deadline=None)
+def test_compaction_partition_count_properties(tmp_path_factory, sizes, target_mb):
+    """Partition count is ≥1 when compaction triggers, and compaction
+    never triggers when the median file already meets the target."""
+    import statistics
+
+    root = Path(tempfile.mkdtemp(prefix="prop_compact_"))
+    try:
+        for i, n in enumerate(sizes):
+            # sparse files are instant to create and list_tree sees the size
+            with open(root / f"f{i}.bin", "wb") as f:
+                f.seek(n - 1)
+                f.write(b"\0")
+        n_parts = figure_out_number_of_partitions(str(root), target_mb)
+        median = statistics.median(sorted(sizes))
+        if median >= target_mb * 1024 * 1024:
+            assert n_parts == -1
+        else:
+            assert n_parts >= 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
