@@ -235,6 +235,52 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scalar_struct",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def q_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → typed struct → field access + aggregation: JSON
+    parsed ONCE per row into a Catalyst struct (vs per-field
+    get_json_object re-parsing), then aggregated as a native column."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = load(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", StructType([StructField("k", LongType())]))
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+    )
+
+
+@register(
+    "q_scalar_map",
+    oracle="""
+SELECT event_id, 'k' AS first_key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map
+FROM events WHERE event_id < 1000
+""",
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → map<string,long> → map_keys / element access."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("first_key"),
+        m.getItem("k").alias("k_from_map"),
+    )
+
+
+@register(
     "q_agg_grouping_sets",
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
