@@ -235,6 +235,44 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND p.ts <= e.ts
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent prior
+    (or simultaneous) purchase. Spark has no native ASOF JOIN — this is
+    the union-and-carry-forward composition (one shuffle, see
+    octopufs_spark/timeseries.py); the oracle is DuckDB's native ASOF
+    LEFT JOIN. Timestamps are unique per user in the fixture, so the
+    match is deterministic."""
+    from octopufs_spark.timeseries import asof_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts", "value"], suffix="_p",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("value_p").alias("purchase_value"),
+    )
+
+
+@register(
     "q_scalar_struct",
     oracle="""
 SELECT event_type,
