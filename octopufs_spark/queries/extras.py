@@ -205,6 +205,31 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_percentile_disc",
+    oracle="""
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.25) AS DOUBLE) AS p25,
+       CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.50) AS DOUBLE) AS p50,
+       CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.95) AS DOUBLE) AS p95
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (SQL-standard WITHIN GROUP syntax): exact,
+    value-from-the-data — identical semantics to DuckDB quantile_disc."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_pd")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS {DEC})) AS DOUBLE) AS p25,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(l_quantity AS {DEC})) AS DOUBLE) AS p50,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(l_quantity AS {DEC})) AS DOUBLE) AS p95
+        FROM _li_pd GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
     "q_join_full_outer",
     oracle="""
 SELECT n_nationkey, n_name, cust_cnt, supp_cnt
@@ -270,6 +295,39 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_p").alias("purchase_ts"),
         F.col("value_p").alias("purchase_value"),
     )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+SELECT c.event_id AS click_id, s.event_id AS signup_id, c.ts AS click_ts
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, ts AS s_start, ts + INTERVAL 1 HOUR AS s_end
+      FROM events WHERE event_type = 'signup') s
+  ON c.ts >= s.s_start AND c.ts < s.s_end
+""",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): clicks falling inside the hour
+    after any signup. Executed as a time-bucketed EQUI join + residual
+    filter (octopufs_spark/timeseries.py interval_join) — cost scales
+    with bucket co-occupancy, not the cross product. Oracle: DuckDB's
+    native range join (IEJoin)."""
+    from octopufs_spark.timeseries import interval_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("s_end"),
+    )
+    out = interval_join(
+        clicks, signups, point_ts="click_ts", start_col="s_start", end_col="s_end"
+    )
+    return out.select("click_id", "signup_id", "click_ts")
 
 
 @register(

@@ -80,3 +80,50 @@ def range_bucket(ts: Column, interval: str = "1 hour") -> Column:
     """Time-bucket helper for pre-bucketing skewed as-of keys:
     window(ts, interval).start as a secondary partition key."""
     return F.window(ts, interval)["start"]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: each point row matched to every interval row with
+    ``start <= point_ts < end`` — WITHOUT an equi key.
+
+    A naive formulation is a cross join with a range filter (O(n·m),
+    or a broadcast nested loop). The scale path buckets time: points
+    get their containing bucket; each interval is exploded to every
+    bucket it overlaps (short intervals → few copies); the join becomes
+    an EQUI join on bucket plus a residual range filter. Cost scales
+    with bucket co-occupancy, not the cross product — the same banding
+    idea the LSH dedup path uses, applied to time. Pick bucket_seconds
+    near the typical interval length: longer buckets → fewer interval
+    copies but denser buckets.
+
+    Each matching (point, interval) pair appears exactly once (a point
+    lives in exactly one bucket).
+    """
+    us = 1_000_000 * bucket_seconds
+    p = points.withColumn("_b", (F.unix_micros(F.col(point_ts).cast("timestamp")) / us).cast("long"))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col).cast("timestamp")) / us).cast("long"),
+                # end is exclusive: last overlapped bucket holds end - 1µs
+                ((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / us).cast("long"),
+            )
+        ),
+    )
+    out = p.join(
+        i,
+        (p["_b"] == i["_b"])
+        & (p[point_ts] >= i[start_col])
+        & (p[point_ts] < i[end_col]),
+        how,
+    )
+    return out.drop("_b")

@@ -25,3 +25,36 @@ def test_asof_join_semantics(spark):
     }
     # left row count preserved (left-join semantics)
     assert out.count() == 5
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed interval join ≡ naive cross join + range filter,
+    including intervals spanning multiple buckets."""
+    from octopufs_spark.timeseries import interval_join
+    import pyspark.sql.functions as F
+
+    points = spark.createDataFrame(
+        [(i, f"2024-01-01 0{h}:{m:02d}:00") for i, (h, m) in
+         enumerate([(0, 5), (0, 59), (1, 0), (2, 30), (3, 45), (5, 0)])],
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 00:30:00", "2024-01-01 02:45:00"),   # spans 3 buckets
+         (200, "2024-01-01 03:00:00", "2024-01-01 04:00:00"),
+         (300, "2024-01-01 05:00:00", "2024-01-01 05:00:01")],  # 1-second interval
+        "iid long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn("e", F.col("e").cast("timestamp"))
+
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(points, intervals, "ts", "s", "e").collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    assert got == naive
+    assert (1, 100) in got and (3, 100) in got  # multi-bucket span works
+    assert (5, 300) in got  # sub-bucket interval works
