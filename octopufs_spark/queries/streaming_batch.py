@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from octopufs_spark.queries.common import DEC
 from octopufs_spark.registry import register
 from octopufs_spark.tables import load
 
@@ -114,3 +115,65 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_stream_rollup_multires",
+    oracle="""
+SELECT resolution, bucket, event_type, cnt, sum_value FROM (
+  SELECT 'minute' AS resolution, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
+         event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'hour', date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type, COUNT(*),
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', date_trunc('day', CAST(ts AS TIMESTAMP)), event_type, COUNT(*),
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+  FROM events GROUP BY 2, 3
+)
+""",
+)
+def q_stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute buckets
+    aggregated ONCE from raw data, then hour and day resolutions rolled
+    up FROM the minute aggregate (not re-scanned) — the continuous-
+    aggregate pattern. At 100 TB the raw table is read once; each
+    coarser resolution reduces ~60x fewer rows. Decimal-exact sums make
+    the reduction order-independent, so the rollup-of-rollup matches
+    the oracle's direct per-resolution aggregation bit-for-bit.
+    """
+    e = load(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).alias("_dsum"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("cnt").alias("cnt"), F.sum("_dsum").alias("_dsum"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("_dsum").alias("_dsum"))
+    )
+
+    def fin(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            "event_type",
+            "cnt",
+            F.col("_dsum").cast("double").alias("sum_value"),
+        )
+
+    return fin(minute, "minute").unionByName(fin(hour, "hour")).unionByName(fin(day, "day"))
