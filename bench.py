@@ -31,8 +31,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    # Warm up the JVM/codegen path once so q1 doesn't pay session startup.
-    execute(queries["q_scan_parquet"](spark, sf_dir))
+    # Warm up the JVM once so the first timed queries don't pay session
+    # startup and whole-stage-codegen JIT compilation: one scan, one
+    # decimal hash aggregate, one multi-way join cover the hot operator
+    # classes (standard excluded-warm-up-iteration practice).
+    for warm in ("q_scan_parquet", "q_agg_sum_group", "q_join_multi"):
+        execute(queries[warm](spark, sf_dir))
 
     verbose = os.environ.get("BENCH_VERBOSE")
     timings: dict[str, float] = {}
