@@ -26,6 +26,15 @@ TABLE_NAMES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Deterministic semantics under ANY caller's session (the
+    # correctness driver builds its own): timestamps must render as the
+    # parquet wall-clock values (what DuckDB sees), so pin UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # unless nanosAsLong is set. Sessions built by get_spark have it;
+        # set it here too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
