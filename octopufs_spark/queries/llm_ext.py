@@ -316,3 +316,77 @@ def q_ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode; real codec stubbed — see llm/multimodal.py)."""
     media = multimodal.documents_as_media(load(spark, sf_dir, "documents"))
     return multimodal.decode_media(media, fake=True)
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_ext_token_bpe",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS bpe_per_word
+FROM documents
+""",
+)
+def q_ext_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-style pre-tokenizer regex (letter
+    runs / digit runs / single punctuation) alongside whitespace tokens
+    — the cost estimator every training-data pipeline runs over its
+    corpus. Pure JVM regexp, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    # Spark SQL string literals process C-style escapes, so \s must be
+    # doubled there; DuckDB string literals keep the backslash as-is.
+    spark_pattern = _BPE_PATTERN.replace("\\", "\\\\")
+    bpe = F.expr(f"regexp_extract_all(text, '{spark_pattern}', 0)")
+    ws = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        (F.size(bpe).cast("double") / F.size(ws)).alias("bpe_per_word"),
+    )
+
+
+@register(
+    "q_ext_fingerprint_winnow",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(substr(text, 1, 200)) - 4),
+                        i -> ('0x' || substr(md5(substr(substr(text, 1, 200), i, 5)), 1, 8))::BIGINT) AS h
+  FROM documents WHERE doc_id < 200
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(h) - 3),
+                                      j -> list_min(h[j:j+3]))) AS fps
+  FROM g WHERE len(h) >= 4
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS fp_min, list_max(fps) AS fp_max
+FROM w
+""",
+)
+def q_ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (rolling hash): char-5-gram
+    hashes, window-of-4 minima, distinct — the plagiarism/near-dup
+    fingerprint selection of Schleimer et al.'s winnowing, entirely in
+    JVM higher-order functions. Hash = md5-prefix int, identical on
+    both engines."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    expr = """
+      transform(sequence(1, length(substr(text, 1, 200)) - 4),
+                i -> cast(conv(substring(md5(substring(substr(text, 1, 200), i, 5)), 1, 8), 16, 10) as bigint))
+    """
+    g = d.select("doc_id", F.expr(expr).alias("h")).where(F.size("h") >= 4)
+    fps = F.array_distinct(
+        F.expr("transform(sequence(1, size(h) - 3), j -> array_min(slice(h, j, 4)))")
+    )
+    return g.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+    )
