@@ -107,3 +107,39 @@ def test_watermark_finalizes_windows(spark, event_files):
     for r in emitted:
         window_end = r.window_start + datetime.timedelta(hours=1)
         assert window_end <= horizon
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """A restarted stream resumes from its checkpoint: the file sink
+    ends up with every source row exactly once, no dupes, no gaps."""
+    src = str(tmp_path / "ck_src")
+    sink = str(tmp_path / "ck_sink")
+    ckpt = str(tmp_path / "ck_state")
+    base = load(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    n_total = base.count()
+    base.repartition(4).write.mode("overwrite").parquet(src)
+
+    def start():
+        return (
+            streaming.read_events_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # first run: process one micro-batch (maxFilesPerTrigger=1), then stop
+    q = start()
+    q.awaitTermination(15)
+    q.stop()
+    partial = spark.read.parquet(sink).count()
+    # second run: resume from checkpoint and drain
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    final = spark.read.parquet(sink).count()
+    assert partial <= n_total
+    assert final == n_total  # exactly-once: no dupes after restart
+    assert spark.read.parquet(sink).select("event_id").distinct().count() == n_total
