@@ -54,20 +54,41 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", chars_col: str = "n_chars") -> DataFrame:
-    """Deterministic quality score from length + token-count signals.
+def punct_ratio(text_col: str = "text") -> Column:
+    """Punctuation density: punctuation chars / total chars. High
+    values flag boilerplate/markup-heavy documents."""
+    total = F.length(F.col(text_col))
+    no_punct = F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return (total - no_punct).cast("double") / total
 
-    score = 0.5·min(n_chars/400, 1) + 0.5·min(n_tokens/80, 1) — a
-    placeholder for classifier-based quality; exact double arithmetic so
-    it is oracle-checkable.
+
+def quality_score(df: DataFrame, text_col: str = "text", chars_col: str = "n_chars") -> DataFrame:
+    """Deterministic quality score from length / token / punctuation /
+    stopword signals (the standard pre-classifier quality gates):
+
+    score = 0.4·min(n_chars/400, 1) + 0.4·min(n_tokens/80, 1)
+          + 0.1·(1 - punct_ratio) + 0.1·min(stop_ratio/0.05, 1)
+
+    Exact double arithmetic so it is oracle-checkable; a learned
+    classifier would slot in behind the same column contract.
     """
     n_tokens = F.size(tokens_col(text_col)).cast("long")
     len_score = F.least(F.col(chars_col).cast("double") / 400.0, F.lit(1.0))
     tok_score = F.least(n_tokens.cast("double") / 80.0, F.lit(1.0))
+    p_ratio = punct_ratio(text_col)
+    s_ratio = stopword_ratio(text_col)
     return (
         df.withColumn("n_tokens", n_tokens)
         .withColumn("len_score", len_score)
-        .withColumn("quality", 0.5 * len_score + 0.5 * tok_score)
+        .withColumn("punct_ratio", p_ratio)
+        .withColumn("stop_ratio", s_ratio)
+        .withColumn(
+            "quality",
+            0.4 * len_score
+            + 0.4 * tok_score
+            + 0.1 * (F.lit(1.0) - p_ratio)
+            + 0.1 * F.least(s_ratio / 0.05, F.lit(1.0)),
+        )
     )
 
 

@@ -199,19 +199,30 @@ def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ext_quality",
-    oracle="""
+    oracle=r"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0) AS len_score,
-       0.5 * LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0)
-         + 0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80, 1.0) AS quality
+       CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stop_ratio,
+       0.4 * LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0)
+         + 0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80, 1.0)
+         + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                        / length(text))
+         + 0.1 * LEAST((CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                        / len(string_split(text, ' '))) / 0.05, 1.0) AS quality
 FROM documents
 """,
 )
 def q_ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic length/token quality score per document."""
+    """Quality gates per document: length, token, punctuation-density
+    and stopword-ratio signals combined into one deterministic score."""
     d = text.quality_score(load(spark, sf_dir, "documents"))
-    return d.select("doc_id", "n_tokens", "len_score", "quality")
+    return d.select("doc_id", "n_tokens", "len_score", "punct_ratio", "stop_ratio", "quality")
 
 
 @register(

@@ -6,7 +6,6 @@ schemas, batch shapes, row cardinality, binary round-trips."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from octopufs_spark.llm import multimodal
 from octopufs_spark.tables import load
