@@ -109,6 +109,68 @@ def hyperplane_lsh_buckets(
     return v.withColumn("bucket", bucket_udf(F.col("emb")))
 
 
+def cosine_topk_ivf(
+    vecs: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    vector space; each vector is indexed under its nearest centroid and
+    each query probes its ``n_probe`` nearest centroids' lists.
+
+    The alternative bucketing strategy to random-hyperplane LSH:
+    data-adaptive cells (better for clustered embeddings) at the cost
+    of a training pass. At 100 TB the centroid table is tiny and
+    broadcast; candidate scoring shuffles on cluster id, so cost scales
+    with cell population × n_probe, not n². Returns
+    [vec_a, vec_b, cos_sim, rn].
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    ml = v.withColumn("fvec", array_to_vector("emb"))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="fvec", predictionCol="cluster"
+    ).fit(ml)
+    indexed = model.transform(ml).select(id_col, "emb", "cluster")
+
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # tiny: driver-side
+    c_norm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def probe_udf(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c_norm.T  # (batch, n_clusters)
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    queries = indexed.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.explode(probe_udf(F.col("emb"))).alias("cluster"),
+    )
+    pairs = queries.join(
+        indexed.select(
+            F.col(id_col).alias("vec_b"), F.col("emb").alias("emb_b"), "cluster"
+        ),
+        ["cluster"],
+    ).where(F.col("vec_a") != F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+    ).dropDuplicates(["vec_a", "vec_b"])
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
+
+
 def cosine_topk_ann(
     vecs: DataFrame,
     dim: int,

@@ -49,6 +49,7 @@ def q_agg_sum_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
 FROM lineitem GROUP BY l_returnflag
+)
 """,
 )
 def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +162,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_corr",
     oracle="""
+SELECT l_returnflag, ROUND(corr_raw, 12) AS corr_qty_price FROM (
 SELECT l_returnflag,
        (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
@@ -168,15 +170,18 @@ SELECT l_returnflag,
                - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
           * SQRT(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
-       AS corr_qty_price
+       AS corr_raw
 FROM lineitem GROUP BY l_returnflag
+)
 """,
 )
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from first principles: exact decimal sums
     (sx, sy, sxy, sxx, syy) combined with the identical double formula
     on both engines — native corr() implementations differ in
-    accumulation order, this is bit-stable and map-side combinable."""
+    accumulation order. Rounded to 12 digits: decimal->double casts of
+    wide sums can differ by 1 ulp between engines (DuckDB's cast is not
+    always correctly rounded), which is noise for a [-1,1] statistic."""
     li = load(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast(DEC)
     y = F.col("l_extendedprice").cast(DEC)
@@ -187,7 +192,7 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(x * x).cast("double")
     syy = F.sum(y * y).cast("double")
     return li.groupBy("l_returnflag").agg(
-        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
-            "corr_qty_price"
-        )
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 12
+        ).alias("corr_qty_price")
     )

@@ -401,3 +401,11 @@ def q_ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("fp_min"),
         F.array_max(fps).alias("fp_max"),
     )
+
+
+@register("q_ext_ann_ivf", oracle=None)  # weak: kmeans-seed-specific cells
+def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-5: k-means cells + n_probe=2 — the
+    data-adaptive alternative to the random-hyperplane LSH path."""
+    vecs = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(vecs, k=5, n_clusters=16, n_probe=2, seed=42)

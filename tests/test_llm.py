@@ -100,3 +100,29 @@ def test_connected_components_long_chain(spark):
     got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 9
+
+
+def test_ivf_finds_identical_vectors(spark):
+    """Duplicated vectors share a k-means cell and rank first."""
+    vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 20)
+    dup = vecs.withColumn("vec_id", F.col("vec_id") + 100000)
+    out = similarity.cosine_topk_ivf(vecs.union(dup), k=1, n_clusters=4, n_probe=2)
+    top1 = {r.vec_a: (r.vec_b, r.cos_sim) for r in out.collect()}
+    for vid in range(20):
+        assert top1[vid][0] == vid + 100000
+        assert top1[vid][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with generous probes recovers most exact top-1 neighbors."""
+    vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 60)
+    exact = {
+        r.vec_a: r.vec_b
+        for r in similarity.cosine_topk_exact(vecs, k=1).collect()
+    }
+    ivf = {
+        r.vec_a: r.vec_b
+        for r in similarity.cosine_topk_ivf(vecs, k=1, n_clusters=4, n_probe=3).collect()
+    }
+    hits = sum(1 for a, b in exact.items() if ivf.get(a) == b)
+    assert hits / len(exact) >= 0.6  # synthetic uniform vectors: modest recall floor
