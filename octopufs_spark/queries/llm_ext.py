@@ -409,3 +409,35 @@ def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-adaptive alternative to the random-hyperplane LSH path."""
     vecs = load(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(vecs, k=5, n_clusters=16, n_probe=2, seed=42)
+
+
+@register(
+    "q_udtf_python",
+    oracle="""
+SELECT doc_id, u.part AS part, u.idx AS idx FROM (
+  SELECT doc_id, unnest(list_transform(string_split(text, '. '), (p, i) -> {'part': p, 'idx': i - 1})) AS u
+  FROM documents WHERE doc_id < 100
+) WHERE u.part <> ''
+""",
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark @udtf): sentence-ish splitter emitting
+    (part, idx) rows per document via LATERAL — the arbitrary-arity
+    table function surface beyond explode()."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part string, idx int")
+    class SplitParts:
+        def eval(self, text: str):
+            for i, p in enumerate(text.split(". ")):
+                if p:
+                    yield p, i
+
+    spark.udtf.register("octopufs_split_parts", SplitParts)
+    load(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_docs_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, part, CAST(idx AS INT) AS idx "
+        "FROM _docs_udtf, LATERAL octopufs_split_parts(text)"
+    )
