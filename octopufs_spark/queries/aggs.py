@@ -49,7 +49,6 @@ def q_agg_sum_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
 FROM lineitem GROUP BY l_returnflag
-)
 """,
 )
 def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
