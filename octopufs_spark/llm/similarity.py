@@ -39,12 +39,18 @@ def cosine_topk_exact(
     """
     from pyspark.sql.window import Window
 
-    v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    v = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb")
+    ).withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
     a, b = v.alias("a"), v.alias("b")
+    # norms precomputed per vector (sqrt(dot(x,x)) once, not per pair);
+    # norm_a*norm_b is bit-identical to the naive per-pair expression.
     pairs = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
         F.col(f"a.{id_col}").alias("vec_a"),
         F.col(f"b.{id_col}").alias("vec_b"),
-        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return (
@@ -67,14 +73,18 @@ def cosine_near_dup_pairs(
     (``cosine_topk_ann``'s candidate generation) so only same-bucket
     pairs are scored.
     """
-    v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    v = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb")
+    ).withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -134,9 +144,11 @@ def cosine_topk_ivf(
     from pyspark.sql.window import Window
 
     v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
-    ml = v.withColumn("fvec", array_to_vector("emb"))
+    # cache: k-means makes one pass per iteration — without this every
+    # pass re-reads and re-featurizes the source.
+    ml = v.withColumn("fvec", array_to_vector("emb")).cache()
     model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="fvec", predictionCol="cluster"
+        k=n_clusters, seed=seed, featuresCol="fvec", predictionCol="cluster", maxIter=10
     ).fit(ml)
     indexed = model.transform(ml).select(id_col, "emb", "cluster")
 
@@ -151,21 +163,30 @@ def cosine_topk_ivf(
         top = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series([row.astype("int32").tolist() for row in top])
 
-    queries = indexed.select(
+    # precompute norms once at index time — cosine per pair then costs
+    # one dot product instead of three.
+    normed = indexed.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    queries = normed.select(
         F.col(id_col).alias("vec_a"),
         F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
         F.explode(probe_udf(F.col("emb"))).alias("cluster"),
     )
     pairs = queries.join(
-        indexed.select(
-            F.col(id_col).alias("vec_b"), F.col("emb").alias("emb_b"), "cluster"
+        normed.select(
+            F.col(id_col).alias("vec_b"),
+            F.col("emb").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+            "cluster",
         ),
         ["cluster"],
     ).where(F.col("vec_a") != F.col("vec_b"))
     scored = pairs.select(
         "vec_a",
         "vec_b",
-        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+        ).alias("cos_sim"),
     ).dropDuplicates(["vec_a", "vec_b"])
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
@@ -189,7 +210,8 @@ def cosine_topk_ann(
     from pyspark.sql.window import Window
 
     b = hyperplane_lsh_buckets(vecs, dim, n_planes, seed, id_col, vec_col)
-    lhs, rhs = b.alias("a"), b.alias("b")
+    bn = b.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    lhs, rhs = bn.alias("a"), bn.alias("b")
     pairs = lhs.join(
         rhs,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -197,7 +219,9 @@ def cosine_topk_ann(
     ).select(
         F.col(f"a.{id_col}").alias("vec_a"),
         F.col(f"b.{id_col}").alias("vec_b"),
-        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return (
