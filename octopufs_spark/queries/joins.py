@@ -8,8 +8,8 @@ Scale notes: small dimensions (region, nation) are explicitly
 broadcast; fact-fact joins shuffle on their keys and rely on AQE for
 skew handling. At 100 TB the orders⋈customer join is a sort-merge
 shuffle on the key — co-locate by bucketing both tables on custkey to
-eliminate it entirely (see octopufs_spark/catalog.py bucketed-write
-helper).
+eliminate it entirely (octopufs_spark/scale.py write_bucketed; the
+zero-Exchange join is asserted in tests/test_scale.py).
 """
 
 from __future__ import annotations
