@@ -118,3 +118,34 @@ def clean_text_udf():
         return s.str.lower().str.replace(r"[^a-z0-9 ]", "", regex=True)
 
     return udf
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the context-
+    window chunking every training/RAG pipeline runs before embedding.
+
+    One row per chunk: [id, chunk_id, chunk_text, n_chunk_tokens].
+    Stride = chunk_size - overlap; the final partial window is kept.
+    Pure JVM (split + sequence + slice + concat_ws), cardinality grows
+    ~n_tokens/stride per doc, partitioning follows the input so the
+    explode never shuffles.
+    """
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_chunk_toks")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", "_chunk_toks").alias("chunk_text"),
+        F.size("_chunk_toks").cast("long").alias("n_chunk_tokens"),
+    )

@@ -441,3 +441,28 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, part, CAST(idx AS INT) AS idx "
         "FROM _docs_udtf, LATERAL octopufs_split_parts(text)"
     )
+
+
+@register(
+    "q_ext_chunk",
+    oracle="""
+SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+       u.chunk_text AS chunk_text,
+       CAST(u.n AS BIGINT) AS n_chunk_tokens
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 8, 1), 24),
+           s -> {'chunk_id': (s - 1) // 24,
+                 'chunk_text': array_to_string(string_split(text, ' ')[s:s+31], ' '),
+                 'n': len(string_split(text, ' ')[s:s+31])}
+         )) AS u
+  FROM documents WHERE doc_id < 200
+)
+""",
+)
+def q_ext_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: 32-token chunks, 8-token overlap
+    (stride 24) — one row per chunk, JVM-side explode."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return text.chunk_tokens(d, chunk_size=32, overlap=8)
