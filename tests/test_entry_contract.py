@@ -1,0 +1,46 @@
+"""Driver-contract tests for __spark_entry__.py: the three functions
+the correctness harness calls, plus a build-check of every registered
+query so a registration/column regression fails fast in pytest rather
+than in the external gate."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_oracles_subset_of_queries():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 90  # inventory floor: don't silently lose queries
+    # weak (rows-only) set stays small and intentional
+    weak = set(q) - set(o)
+    assert weak <= {
+        "q_ext_ann_lsh",
+        "q_ext_ann_ivf",
+        "q_ext_dedup_minhash",
+        "q_ext_simhash",
+        "q_agg_approx_distinct",
+        "q_stream_session",
+    }
+
+
+def test_every_query_builds(spark):
+    """Every registered callable produces a DataFrame against sf0.001
+    (plan construction catches missing columns/typos; execution is the
+    oracle gate's job)."""
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        assert df.columns, f"{name} produced no columns"
