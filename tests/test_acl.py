@@ -124,3 +124,36 @@ def test_retry_tolerates_missing_paths(tmp_path):
     results = acl.modify_acls(Flaky(), [str(tmp_path / "a")], [FsPermission("user", "rwx")])
     assert all(r.success for r in results)
     assert calls["n"] == 3
+
+
+def test_modify_table_acl(spark, tmp_path):
+    """Table folder gets ACCESS+DEFAULT; every data file gets ACCESS
+    (file list from the metastore cache, not a storage listing)."""
+    from octopufs_spark import catalog
+    from tests.conftest import SF_DIR
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS acl_db")
+    spark.sql("USE acl_db")
+    spark.sql("DROP TABLE IF EXISTS acl_t")
+    (
+        spark.read.parquet(f"{SF_DIR}/region.parquet")
+        .write.mode("overwrite")
+        .option("path", str(tmp_path / "acl_t"))
+        .saveAsTable("acl_t")
+    )
+    try:
+        store = SidecarAclStore(str(tmp_path))
+        perm = FsPermission("group", "r-x", DEFAULT, "team-a")
+        acl.modify_table_acl(store, spark, "acl_t", perm)
+        loc_acl = store.get_acl(catalog.get_table_location(spark, "acl_t"))
+        assert {e.level for e in loc_acl} == {ACCESS, DEFAULT}
+        files = catalog.get_list_of_table_files(spark, "acl_t")
+        assert files
+        for f in files:
+            file_acl = store.get_acl(f)
+            assert file_acl and all(e.level == ACCESS for e in file_acl)
+            assert {e.grantee for e in file_acl} == {"team-a"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS acl_t")
+        spark.sql("DROP DATABASE IF EXISTS acl_db")
+        spark.sql("USE default")
