@@ -466,3 +466,44 @@ def q_ext_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stride 24) — one row per chunk, JVM-side explode."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return text.chunk_tokens(d, chunk_size=32, overlap=8)
+
+
+@register(
+    "q_ext_dedup_semantic",
+    oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 200
+), pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.emb, b.emb) /
+              (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+), labels AS (
+  SELECT id, MIN(reach) AS cluster_id FROM (
+    SELECT id, reach FROM walk UNION SELECT src, src FROM edges
+  ) GROUP BY id
+)
+SELECT cluster_id, COUNT(*) AS cluster_size, MIN(id) AS canonical_id
+FROM labels GROUP BY cluster_id
+""",
+)
+def q_ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: embedding-cosine candidate pairs →
+    connected components → one canonical (min-id) document per
+    cluster. The full composition a training-data pipeline runs:
+    candidate generation (LSH/IVF at scale, exact here) piped into the
+    distributed clustering operator."""
+    vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    pairs = similarity.cosine_near_dup_pairs(vecs, threshold=0.3).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = dedup.connected_components(pairs)
+    return labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_id")
+    )
