@@ -130,6 +130,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: [doc_id, cluster_id]
     where cluster_id = min doc_id reachable through the pair graph.
@@ -146,6 +147,24 @@ def connected_components(
     pair of shuffles on the edge list — no driver-side union-find, so
     it scales with executors.
     """
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if partitions:
+        # near-dup edge lists are usually tiny relative to the corpus:
+        # shrinking shuffle parallelism for the iteration loop avoids
+        # paying full-width shuffle overhead per round on a few
+        # thousand rows. (On a real cluster size this to the edge
+        # count; AQE coalescing helps but the per-round floor remains.)
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        return _connected_components_loop(pairs, a_col, b_col, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _connected_components_loop(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> DataFrame:
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -164,24 +183,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # change flag computed inline — convergence detection then reads
+        # the checkpointed result instead of re-joining old vs new
+        # (one fewer shuffle per round; rounds are job-launch bound).
+        new_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                new_label.alias("new_cluster_id"),
+                (new_label != F.col("cluster_id")).alias("_changed"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -137,7 +137,7 @@ def q_ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(pairs, partitions=4)
 
 
 @register("q_ext_simhash", oracle=None)  # weak: Pandas-UDF hash, Spark-side only
@@ -503,7 +503,7 @@ def q_ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_near_dup_pairs(vecs, threshold=0.3).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    labels = dedup.connected_components(pairs)
+    labels = dedup.connected_components(pairs, partitions=4)
     return labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_id")
     )
