@@ -396,3 +396,24 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+@register(
+    "q_scan_orc",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       {SQL_DSUM.format(col="o_totalprice", alias="sum_price")}
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion round-trip: dump orders to ORC, re-read,
+    aggregate — third columnar/source format alongside parquet and
+    CSV/JSON (the oracle reads the same rows from parquet)."""
+    out = tempfile.mkdtemp(prefix="octopufs_orc_")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice", "sum_price")
+    )

@@ -177,3 +177,98 @@ def q_stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return fin(minute, "minute").unionByName(fin(hour, "hour")).unionByName(fin(day, "day"))
+
+
+@register(
+    "q_stream_sessionize_exact",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def q_stream_sessionize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic gap-based sessionization (30-min idle closes a
+    session): lag-gap flag + running sum = session number — the classic
+    two-window formulation, fully oracle-checkable unlike engine
+    session_window assignment. One shuffle on user_id; both windows
+    share the same partitioning so the second sort is free."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap_flag = F.when(ms - F.lag(ms).over(w) > 30 * 60 * 1000, 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(gap_flag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_no"),
+    )
+    return sess.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q_stream_funnel",
+    oracle="""
+WITH stage_times AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS did_signup,
+       SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS signup_then_click,
+       SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS full_funnel
+FROM stage_times
+""",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → click → purchase): first
+    occurrence per stage per user via conditional MIN, then ordering
+    predicates — one shuffle, no self-joins."""
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("did_signup"),
+        F.sum(
+            F.when(F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")), 1).otherwise(0)
+        ).alias("signup_then_click"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("full_funnel"),
+    )
