@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: pin the plan shapes the engine's
+scale story depends on (pushdown, pruning, broadcast, TakeOrdered,
+map-side partial aggregation). A change that silently breaks one of
+these would still pass correctness — these tests make it fail fast."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from octopufs_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    q = all_queries()
+
+    def plan_of(name: str) -> str:
+        # formatted mode: the only explain variant that prints the
+        # complete PushedFilters list (tree modes truncate scan lines).
+        qe = q[name](spark, SF_DIR)._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return qe.explainString(mode)
+
+    return plan_of
+
+
+def test_projection_prunes_columns(plans):
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plans("q_scan_projection"))
+    assert m and m.group(1).count(":") == 3  # only the 3 selected columns
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    plan = plans("q_filter_range")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1) and "l_discount" in m.group(1)
+
+
+def test_small_dim_broadcasts(plans):
+    assert "BroadcastHashJoin" in plans("q_join_broadcast")
+
+
+def test_topk_avoids_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans("q_topk_orders")
+
+
+def test_aggregate_partials_before_exchange(plans):
+    plan = plans("q_agg_sum_group")
+    assert "partial_sum" in plan  # map-side combine
+    # formatted mode mentions each node twice (tree + detail): count ids
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # exactly one shuffle
+
+
+def test_semi_anti_join_strategies(plans):
+    assert "LeftSemi" in plans("q_join_semi")
+    assert "LeftAnti" in plans("q_join_anti")
+
+
+def test_no_cartesian_in_joins(plans):
+    for name in ("q_join_multi", "q_tpch_q5", "q_join_asof", "q_join_interval"):
+        assert "CartesianProduct" not in plans(name), name
