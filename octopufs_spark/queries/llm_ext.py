@@ -507,3 +507,30 @@ def q_ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_id")
     )
+
+
+@register(
+    "q_udaf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS weighted_avg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate as a GROUPED_AGG pandas UDF: quantity-
+    weighted average price per returnflag. Arrow ships each group's
+    columns as numpy-backed Series; the UDAF returns one scalar per
+    group. Rounded to 4 digits — the UDF accumulates in float64 while
+    the oracle is decimal-exact, so last-ulp drift is absorbed."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float(round((price * qty).sum() / qty.sum(), 4))
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
