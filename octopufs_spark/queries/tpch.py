@@ -3,8 +3,9 @@
 The driver fixtures are a reduced TPC-H (no partsupp; fewer columns —
 see FIXTURES.md), so each query keeps the *shape* of its TPC-H
 namesake (join graph, subquery pattern, aggregation structure) with
-predicates adapted to the columns that exist. Queries needing partsupp
-or receipt/commit dates (Q2, Q11, Q20, Q21) are omitted.
+predicates adapted to the columns that exist. Q2/Q11/Q20 run against
+a deterministically derived part-supplier relation (see _PARTSUPP_SQL);
+only Q21 (receipt/commit-date dependent) has no counterpart.
 
 These exercise the plan features a 100 TB engine lives on: multi-way
 joins with broadcastable dims, correlated/scalar subqueries
@@ -642,4 +643,166 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .orderBy("c_mktsegment")
+    )
+
+
+# The fixture has no partsupp table; Q2/Q11/Q20 shapes run against a
+# deterministically derived part-supplier relation: one row per
+# (l_partkey, l_suppkey) with supply cost = min unit price and
+# availability = total quantity shipped. Both engines derive it with
+# identical arithmetic, so the subquery shapes stay hash-checkable.
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2)) / CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    unit = F.col("l_extendedprice").cast(DEC) / F.col("l_quantity").cast(DEC)
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(unit).cast("double").alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("ps_availqty"),
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part JOIN partsupp ON p_partkey = ps_partkey
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+         JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: correlated MIN subquery decorrelated
+    into a per-part minimum joined back (the plan Catalyst produces
+    for the SQL form)."""
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_ps = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = eu_ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eu_ps.join(F.broadcast(min_cost), ["ps_partkey"])
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(part, F.col("ps_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS part_value
+FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+GROUP BY ps_partkey
+HAVING SUM(ps_supplycost * ps_availqty) > (
+  SELECT SUM(ps_supplycost * ps_availqty) * 0.001
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5')
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: HAVING against a scalar subquery over the
+    same aggregate (fraction-of-total filter)."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    national = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = national.groupBy("ps_partkey").agg(F.sum("v").alias("raw_value"))
+    total = national.agg((F.sum("v") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("raw_value") > F.col("threshold"))
+        .select("ps_partkey", F.round("raw_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > (
+        SELECT 0.5 * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'))
+ORDER BY s_name
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 excess availability: nested IN-subqueries with a correlated
+    scalar threshold — decorrelated into pre-aggregated joins + semi
+    joins."""
+    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    red_parts = load(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        F.col("p_partkey")
+    )
+    shipped = (
+        li.where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy(F.col("l_partkey").alias("sk_pk"), F.col("l_suppkey").alias("sk_sk"))
+        .agg((F.lit(0.5) * F.sum(F.col("l_quantity").cast(DEC))).alias("half_qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(red_parts), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.sk_pk) & (ps.ps_suppkey == shipped.sk_sk),
+            "left",
+        )
+        .where(F.col("ps_availqty") > F.coalesce(F.col("half_qty"), F.lit(0)))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
