@@ -5,7 +5,8 @@ see FIXTURES.md), so each query keeps the *shape* of its TPC-H
 namesake (join graph, subquery pattern, aggregation structure) with
 predicates adapted to the columns that exist. Q2/Q11/Q20 run against
 a deterministically derived part-supplier relation (see _PARTSUPP_SQL);
-only Q21 (receipt/commit-date dependent) has no counterpart.
+Q21 judges lateness on l_shipdate. All 22 TPC-H queries have a
+counterpart here.
 
 These exercise the plan features a 100 TB engine lives on: multi-way
 joins with broadcastable dims, correlated/scalar subqueries
@@ -805,4 +806,61 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualifying, supp.s_suppkey == qualifying.ps_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 waiting-orders: the double correlated EXISTS / NOT EXISTS —
+    a supplier's lineitem in a finished multi-supplier order where no
+    OTHER supplier shipped later (i.e. this supplier was the last to
+    ship). (Adapted: fixture lacks receipt/commit dates, so lateness is
+    judged on l_shipdate.) Expressed as semi + anti joins with
+    non-equi residuals."""
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
