@@ -147,8 +147,12 @@ def cosine_topk_ivf(
     # cache: k-means makes one pass per iteration — without this every
     # pass re-reads and re-featurizes the source.
     ml = v.withColumn("fvec", array_to_vector("emb")).cache()
+    # 5 Lloyd iterations suffice for *candidate generation*: cells only
+    # need to be stable enough that near neighbors co-locate — recall is
+    # governed by n_probe, not centroid convergence (each extra
+    # iteration is a full pass over the data at scale).
     model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="fvec", predictionCol="cluster", maxIter=10
+        k=n_clusters, seed=seed, featuresCol="fvec", predictionCol="cluster", maxIter=5
     ).fit(ml)
     indexed = model.transform(ml).select(id_col, "emb", "cluster")
 
