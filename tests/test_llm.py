@@ -126,3 +126,22 @@ def test_ivf_recall_vs_exact(spark):
     }
     hits = sum(1 for a, b in exact.items() if ivf.get(a) == b)
     assert hits / len(exact) >= 0.6  # synthetic uniform vectors: modest recall floor
+
+
+def test_chunk_tokens_reassembly(spark):
+    """Chunks cover every token; consecutive chunks overlap by exactly
+    `overlap` tokens; stride positions are correct."""
+    from octopufs_spark.llm import text as llm_text
+
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    chunks = {
+        r.chunk_id: r.chunk_text.split(" ")
+        for r in llm_text.chunk_tokens(df, chunk_size=32, overlap=8).collect()
+    }
+    stride = 32 - 8
+    for cid, ctoks in chunks.items():
+        start = cid * stride
+        assert ctoks == toks[start : start + 32]
+    covered = {t for ctoks in chunks.values() for t in ctoks}
+    assert covered == set(toks)

@@ -58,3 +58,21 @@ def test_interval_join_matches_naive(spark):
     assert got == naive
     assert (1, 100) in got and (3, 100) in got  # multi-bucket span works
     assert (5, 300) in got  # sub-bucket interval works
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    import pyspark.sql.functions as F
+    from octopufs_spark.timeseries import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 09:00:00")],
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "iid long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn("e", F.col("e").cast("timestamp"))
+    out = interval_join(points, intervals, "ts", "s", "e", how="left").collect()
+    by_pid = {r.pid: r.iid for r in out}
+    assert len(out) == 2  # unmatched left row kept exactly once
+    assert by_pid[1] == 100 and by_pid[2] is None
