@@ -17,7 +17,7 @@ normalization so every query hash-matches its DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from octopufs_spark.queries.common import DEC, SQL_DAVG, SQL_DSUM, SQL_REVENUE, davg, dsum, revenue_col
@@ -693,8 +693,12 @@ LIMIT 100
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 minimum-cost supplier: correlated MIN subquery decorrelated
-    into a per-part minimum joined back (the plan Catalyst produces
-    for the SQL form)."""
+    into a min-over-partition window, so the derived partsupp shuffle
+    is computed exactly once (no self-join, no broadcast of a
+    per-part aggregate whose size scales with |part|). The filtered
+    part dim joins in *before* the window — p_partkey is unique, so
+    the per-partkey EU row group survives intact and the window min is
+    unchanged while the window input shrinks by the part selectivity."""
     ps = _partsupp(spark, sf_dir)
     part = load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
@@ -706,12 +710,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
     )
-    min_cost = eu_ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    min_w = Window.partitionBy("ps_partkey")
     return (
-        eu_ps.join(F.broadcast(min_cost), ["ps_partkey"])
+        eu_ps.withColumn("min_cost", F.min("ps_supplycost").over(min_w))
         .where(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(part, F.col("ps_partkey") == part.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -737,7 +741,10 @@ ORDER BY part_value DESC, ps_partkey
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 important stock: HAVING against a scalar subquery over the
-    same aggregate (fraction-of-total filter)."""
+    same aggregate, computed in a single pass — the grand total is a
+    sum-over-empty-window on the *grouped* result (|parts| rows through
+    one extra single-partition exchange), so the partsupp shuffle runs
+    once instead of twice."""
     ps = _partsupp(spark, sf_dir)
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
@@ -747,9 +754,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
     )
     per_part = national.groupBy("ps_partkey").agg(F.sum("v").alias("raw_value"))
-    total = national.agg((F.sum("v") * 0.001).alias("threshold"))
+    total_w = Window.partitionBy()
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn("threshold", F.sum("raw_value").over(total_w) * 0.001)
         .where(F.col("raw_value") > F.col("threshold"))
         .select("ps_partkey", F.round("raw_value", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "ps_partkey")
@@ -776,25 +783,25 @@ ORDER BY s_name
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 excess availability: nested IN-subqueries with a correlated
-    scalar threshold — decorrelated into pre-aggregated joins + semi
-    joins."""
-    ps = _partsupp(spark, sf_dir)
+    scalar threshold. The correlated threshold groups lineitem on the
+    same (partkey, suppkey) key as the derived partsupp, so both are
+    computed in ONE groupBy with a conditional sum — one lineitem scan
+    and one shuffle instead of two (the date-windowed half-qty is NULL
+    for groups with no shipments in the window, matching the left
+    join's miss semantics via coalesce)."""
     li = load(spark, sf_dir, "lineitem")
     red_parts = load(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
         F.col("p_partkey")
     )
-    shipped = (
-        li.where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
-        .groupBy(F.col("l_partkey").alias("sk_pk"), F.col("l_suppkey").alias("sk_sk"))
-        .agg((F.lit(0.5) * F.sum(F.col("l_quantity").cast(DEC))).alias("half_qty"))
+    in_window = (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ps_plus = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("ps_availqty"),
+        (F.lit(0.5) * F.sum(F.when(in_window, F.col("l_quantity").cast(DEC)))).alias("half_qty"),
     )
     qualifying = (
-        ps.join(F.broadcast(red_parts), ps.ps_partkey == F.col("p_partkey"), "left_semi")
-        .join(
-            shipped,
-            (ps.ps_partkey == shipped.sk_pk) & (ps.ps_suppkey == shipped.sk_sk),
-            "left",
-        )
+        ps_plus.join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
         .where(F.col("ps_availqty") > F.coalesce(F.col("half_qty"), F.lit(0)))
         .select("ps_suppkey")
         .distinct()

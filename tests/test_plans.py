@@ -61,3 +61,38 @@ def test_semi_anti_join_strategies(plans):
 def test_no_cartesian_in_joins(plans):
     for name in ("q_join_multi", "q_tpch_q5", "q_join_asof", "q_join_interval"):
         assert "CartesianProduct" not in plans(name), name
+
+
+@pytest.mark.parametrize("qnum", range(1, 23))
+def test_tpch_no_cartesian_or_bnlj(plans, qnum):
+    # The full suite must stay equi-join shaped: a CartesianProduct or
+    # BroadcastNestedLoopJoin anywhere is a 100 TB plan failure.
+    # Exception: Q22 compares every row against a broadcast scalar
+    # aggregate (avg_bal, exactly 1 row) — that BNLJ is the correct
+    # plan at any scale; the alternative (global window) would
+    # single-partition the whole customer table.
+    plan = plans(f"q_tpch_q{qnum}")
+    assert "CartesianProduct" not in plan
+    if qnum != 22:
+        assert "BroadcastNestedLoopJoin" not in plan
+    else:
+        assert "IdentityBroadcastMode" in plan  # scalar build side
+
+
+def test_tpch_dims_broadcast(plans):
+    # Queries joining the nation/region/supplier dims must broadcast
+    # them, never shuffle the fact side on a dim key.
+    for name in ("q_tpch_q2", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9"):
+        assert "BroadcastHashJoin" in plans(name), name
+
+
+def test_tpch_q1_partial_agg(plans):
+    assert "partial_sum" in plans("q_tpch_q1")
+
+
+def test_tpch_partsupp_single_scan(plans):
+    # Q2/Q11/Q20's derived partsupp must be computed once: exactly one
+    # lineitem scan in the physical plan (the round-1 self-join form
+    # evaluated the biggest shuffle twice).
+    for name in ("q_tpch_q2", "q_tpch_q11", "q_tpch_q20"):
+        assert plans(name).count("lineitem.parquet") == 1, name
