@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass
 from pathlib import Path
@@ -99,19 +100,45 @@ class SidecarAclStore(AclStore):
         _, root = get_filesystem(root_uri)
         self._file = Path(root) / ".octopufs_acls.json"
         self._data: dict[str, list[dict]] = {}
+        # _apply_threaded drives this store from a many-thread pool;
+        # the shared dict + sidecar file need mutual exclusion or
+        # concurrent read-modify-write cycles lose entries and
+        # interleaved writes corrupt the JSON on disk.
+        self._lock = threading.Lock()
         if self._file.exists():
             self._data = json.loads(self._file.read_text())
 
     def _flush(self) -> None:
-        self._file.write_text(json.dumps(self._data, indent=0, sort_keys=True))
+        # Atomic replace: a reader (or a crash) never observes a
+        # half-written sidecar.
+        tmp = self._file.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(self._data, indent=0, sort_keys=True))
+        tmp.replace(self._file)
 
     def _norm(self, path: str) -> str:
         return get_filesystem(path)[1] if ":" in path.split("/", 1)[0] or "://" in path else path
 
     def get_acl(self, path: str) -> list[FsPermission]:
-        return [FsPermission(**d) for d in self._data.get(self._norm(path), [])]
+        with self._lock:
+            return [FsPermission(**d) for d in self._data.get(self._norm(path), [])]
+
+    def modify_acl(self, path: str, entries: list[FsPermission]) -> None:
+        # Base-class modify is get→merge→set; take the lock across the
+        # whole cycle so two threads can't interleave and drop entries.
+        with self._lock:
+            current = {e.key(): e for e in self._get_acl_locked(path)}
+            for e in entries:
+                current[e.key()] = e
+            self._set_acl_locked(path, list(current.values()))
 
     def set_acl(self, path: str, entries: list[FsPermission]) -> None:
+        with self._lock:
+            self._set_acl_locked(path, entries)
+
+    def _get_acl_locked(self, path: str) -> list[FsPermission]:
+        return [FsPermission(**d) for d in self._data.get(self._norm(path), [])]
+
+    def _set_acl_locked(self, path: str, entries: list[FsPermission]) -> None:
         p = self._norm(path)
         if entries:
             self._data[p] = [asdict(e) for e in sorted(entries, key=lambda e: e.key())]

@@ -19,9 +19,51 @@ from octopufs_spark.fs.model import FsElement
 log = logging.getLogger(__name__)
 
 
+def _catalog_table(spark: SparkSession, table: str):
+    """JVM CatalogTable for a table, or None when unavailable
+    (reference works with CatalogTable directly,
+    metastore/package.scala:84-86). Structured access beats parsing
+    DESCRIBE FORMATTED rows, whose layout shifts across Spark versions."""
+    try:
+        state = spark._jsparkSession.sessionState()
+        ident = state.sqlParser().parseTableIdentifier(table)
+        return state.catalog().getTableMetadata(ident)
+    except Exception as e:
+        log.debug("CatalogTable lookup failed for %s: %s", table, e)
+        return None
+
+
+def get_table_metadata(spark: SparkSession, table: str) -> dict:
+    """Structured table metadata (reference: getTableMetadata,
+    metastore/package.scala:84-86): location, provider, partition
+    columns, table type."""
+    meta = _catalog_table(spark, table)
+    if meta is not None:
+        provider = meta.provider()
+        return {
+            "location": meta.location().toString(),
+            "provider": provider.get() if provider.isDefined() else None,
+            "partition_columns": list(meta.partitionColumnNames()),
+            "table_type": meta.tableType().name(),
+        }
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    kv = {r.col_name.strip(): r.data_type.strip() for r in rows}
+    return {
+        "location": kv.get("Location"),
+        "provider": kv.get("Provider"),
+        "partition_columns": [
+            c.name for c in spark.catalog.listColumns(table) if c.isPartition
+        ],
+        "table_type": kv.get("Type"),
+    }
+
+
 def get_table_location(spark: SparkSession, table: str) -> str:
     """Table storage location (reference: getTableLocation,
     metastore/package.scala:70-74)."""
+    meta = _catalog_table(spark, table)
+    if meta is not None:
+        return meta.location().toString()
     rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     for r in rows:
         if r.col_name.strip() == "Location":
@@ -108,6 +150,18 @@ def validate_compatibility(spark: SparkSession, src_table: str, trg_table: str) 
 
 
 def _table_format(spark: SparkSession, table: str) -> dict[str, str]:
+    meta = _catalog_table(spark, table)
+    if meta is not None:
+        provider = meta.provider()
+        storage = meta.storage()
+        fmt = {"Provider": provider.get() if provider.isDefined() else None}
+        for key, opt in (
+            ("InputFormat", storage.inputFormat()),
+            ("OutputFormat", storage.outputFormat()),
+            ("Serde Library", storage.serde()),
+        ):
+            fmt[key] = opt.get() if opt.isDefined() else None
+        return fmt
     rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     keys = {"Provider", "InputFormat", "OutputFormat", "Serde Library"}
     return {r.col_name.strip(): r.data_type.strip() for r in rows if r.col_name.strip() in keys}

@@ -15,7 +15,6 @@ that are already well-sized.
 from __future__ import annotations
 
 import logging
-import statistics
 from concurrent.futures import Future, ThreadPoolExecutor, wait
 
 from pyarrow import fs as pafs
@@ -33,12 +32,21 @@ def figure_out_number_of_partitions(
     folder_uri: str, requested_mb: int, tolerance: float = 0.0
 ) -> int:
     """Target partition count, or -1 to skip (folder already compact)
-    (reference: figureOutNumberOfPartition, Coalesce.scala:19-31)."""
-    sizes = [e.byte_size for e in list_tree(folder_uri) if not e.is_dir and e.byte_size > 0]
-    if not sizes:
+    (reference: figureOutNumberOfPartition, Coalesce.scala:19-31).
+
+    Mirrors the reference heuristic exactly: only the folder's
+    *immediate* files count (data files of a leaf partition — nested
+    subfolder files belong to other leaves), and fewer than 2 files
+    means nothing to compact. Median is the upper median
+    (sorted[n/2]), as in the reference.
+    """
+    fs, folder = get_filesystem(folder_uri)
+    infos = fs.get_file_info(pafs.FileSelector(folder, recursive=False, allow_not_found=True))
+    sizes = sorted(i.size for i in infos if i.type == pafs.FileType.File)
+    if len(sizes) < 2:
         return -1
     target_bytes = requested_mb * 1024 * 1024
-    median = statistics.median(sorted(sizes))
+    median = sizes[len(sizes) // 2]
     if median < target_bytes * (1 - tolerance):
         return max(1, int(sum(sizes) / target_bytes))
     return -1

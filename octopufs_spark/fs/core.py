@@ -126,7 +126,12 @@ def does_move_look_safe(src_uri: str, trg_uri: str) -> bool:
     promotion (reference: doesMoveLookSafe, fs/package.scala:139-152)."""
     fs_src, src = get_filesystem(src_uri)
     fs_trg, trg = get_filesystem(trg_uri)
-    src_infos = fs_src.get_file_info(pafs.FileSelector(src, recursive=False, allow_not_found=True))
+    if fs_src.get_file_info(src).type == pafs.FileType.NotFound:
+        # Reference throws here (fs/package.scala:141-146): a missing
+        # source is an error, not an empty listing — proceeding would
+        # surface later as an opaque rename failure.
+        raise FileNotFoundError(f"Source folder {src_uri} does not exist")
+    src_infos = fs_src.get_file_info(pafs.FileSelector(src, recursive=False))
     trg_info = fs_trg.get_file_info(trg)
     trg_nonempty = (
         trg_info.type == pafs.FileType.Directory

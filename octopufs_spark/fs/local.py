@@ -150,8 +150,13 @@ def move_folder_content(
     _, trg = get_filesystem(trg_uri)
     fuse = SafetyFuse(src_uri)
     if not fuse.is_in_progress():
-        fuse.start_transaction()
+        # Delete completes BEFORE the fuse arms (reference order,
+        # fs/LocalExecution.scala:40-45): re-running an interrupted
+        # delete is safe, so a crash mid-delete must leave the fuse
+        # unset — an armed fuse would make the rerun skip this phase
+        # and rename children into a partially-cleared target.
         delete_folder(trg_uri, delete_content_only=True)
+        fuse.start_transaction()
     children = fs.get_file_info(pafs.FileSelector(src, recursive=False))
     pairs = [
         Paths(c.path, f"{trg}/{c.path.rsplit('/', 1)[-1]}")

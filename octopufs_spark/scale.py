@@ -37,8 +37,17 @@ def salted_join(
     The big side gets a uniform random salt in [0, n_salts); the small
     side is exploded n_salts× so every (key, salt) combination exists.
     The join then distributes each hot key over n_salts reducers.
-    Result is row-identical to ``big.join(small, big_key == small_key)``.
+    Result is row-identical to ``big.join(small, big_key == small_key)``
+    for inner/left joins only: under right/full outer an unmatched
+    small-side row would surface once per salt replica, so those modes
+    are rejected rather than silently multiplied.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: the exploded "
+            "small side would emit unmatched rows once per salt under "
+            "right/full outer semantics"
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -60,6 +60,28 @@ def test_modify_folder_acl_scopes(tree, tmp_path):
     assert {e.level for e in file_acl} == {ACCESS}
 
 
+def test_sidecar_store_concurrent_modify(tmp_path):
+    """The store is always driven through a wide thread pool: N threads
+    merging distinct grantees into one path must lose none, and the
+    sidecar on disk must stay valid JSON (lock + atomic replace)."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    (tmp_path / "a").mkdir()
+    store = SidecarAclStore(str(tmp_path))
+    p = str(tmp_path / "a")
+
+    def add(i: int) -> None:
+        store.modify_acl(p, [FsPermission("user", "rwx", ACCESS, f"g{i}")])
+
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        list(pool.map(add, range(64)))
+    assert len(store.get_acl(p)) == 64
+    reloaded = SidecarAclStore(str(tmp_path))  # parses the sidecar JSON
+    assert len(reloaded.get_acl(p)) == 64
+    assert json.loads((tmp_path / ".octopufs_acls.json").read_text())
+
+
 def test_modify_is_merge_not_replace(tmp_path):
     (tmp_path / "a").mkdir()
     store = SidecarAclStore(str(tmp_path))

@@ -62,6 +62,15 @@ def test_does_move_look_safe(tmp_path):
     assert does_move_look_safe(str(src), str(trg))
 
 
+def test_does_move_look_safe_missing_source_raises(tmp_path):
+    # Reference contract (fs/package.scala:141-146): a nonexistent
+    # source is an error, not an empty listing.
+    trg = tmp_path / "trg"
+    trg.mkdir()
+    with pytest.raises(FileNotFoundError):
+        does_move_look_safe(str(tmp_path / "no_such_src"), str(trg))
+
+
 def test_safety_fuse_state_machine(tmp_path):
     fuse = SafetyFuse(str(tmp_path / "tx"))
     assert not fuse.is_in_progress()

@@ -81,20 +81,25 @@ def test_synchronize_reaches_fixpoint(spark, src_tree, trg_tree):
 )
 @settings(max_examples=20, deadline=None)
 def test_compaction_partition_count_properties(tmp_path_factory, sizes, target_mb):
-    """Partition count is ≥1 when compaction triggers, and compaction
-    never triggers when the median file already meets the target."""
-    import statistics
-
+    """Reference heuristic (Coalesce.scala:19-31): fewer than 2 files
+    never compacts; otherwise compaction triggers iff the upper-median
+    file is below target, and the count is then ≥1. Files in nested
+    subfolders are invisible (only immediate files count)."""
     root = Path(tempfile.mkdtemp(prefix="prop_compact_"))
     try:
         for i, n in enumerate(sizes):
-            # sparse files are instant to create and list_tree sees the size
+            # sparse files are instant to create and listing sees the size
             with open(root / f"f{i}.bin", "wb") as f:
                 f.seek(n - 1)
                 f.write(b"\0")
+        # A nested subfolder file must not change the decision.
+        (root / "nested").mkdir()
+        with open(root / "nested" / "extra.bin", "wb") as f:
+            f.seek(1024 * 1024 - 1)
+            f.write(b"\0")
         n_parts = figure_out_number_of_partitions(str(root), target_mb)
-        median = statistics.median(sorted(sizes))
-        if median >= target_mb * 1024 * 1024:
+        upper_median = sorted(sizes)[len(sizes) // 2]
+        if len(sizes) < 2 or upper_median >= target_mb * 1024 * 1024:
             assert n_parts == -1
         else:
             assert n_parts >= 1

@@ -29,6 +29,15 @@ def test_salted_join_matches_plain(spark):
     assert a == b
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    # Unmatched small-side rows would surface once per salt replica.
+    orders = load(spark, SF_DIR, "orders")
+    cust = load(spark, SF_DIR, "customer")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            scale.salted_join(orders, cust, "o_custkey", "c_custkey", how=how)
+
+
 def test_salted_count_matches_plain(spark):
     li = load(spark, SF_DIR, "lineitem")
     plain = {r.l_returnflag: r.cnt for r in li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
