@@ -50,32 +50,48 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
+    """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
+    indexed n-gram. Returns [doc_a, doc_b, jaccard] with doc_a < doc_b.
 
     Inverted-index join (explode n-grams, self-join on the n-gram) so
-    only candidate pairs are scored — zero-overlap pairs never
-    materialize. Returns [doc_a, doc_b, jaccard] with doc_a < doc_b.
+    zero-overlap pairs never materialize. N-grams whose document
+    frequency exceeds ``max_doc_freq`` are dropped from the *index
+    only*: a ubiquitous n-gram's posting list otherwise produces a
+    quadratic (DF²/2) candidate bucket on a single skewed key — the
+    one shape that breaks this operator at 100×. Scoring stays exact
+    regardless: candidates re-join their full n-gram sets and the
+    intersection is ``array_intersect`` over those, so the cap changes
+    only *which pairs are discoverable* (a pair sharing exclusively
+    ubiquitous n-grams is missed — by construction those carry ~zero
+    Jaccard selectivity), never a reported similarity value.
     """
     g = ngram_sets(df, n=n, id_col=id_col, text_col=text_col)
-    sizes = g.select(F.col(id_col), F.size("ngrams").alias("n_ng"))
     e = g.select(F.col(id_col), F.explode("ngrams").alias("ng"))
-    a, b = e.alias("a"), e.alias("b")
-    inter = (
-        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
+    rare = (
+        e.groupBy("ng")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("ng")
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_ng").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_ng").alias("nb"))
+    indexed = e.join(rare, "ng")
+    a, b = indexed.alias("a"), indexed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col(id_col).alias("doc_a"), F.col("ngrams").alias("ngrams_a"))
+    gb = g.select(F.col(id_col).alias("doc_b"), F.col("ngrams").alias("ngrams_b"))
+    inter = F.size(F.array_intersect("ngrams_a", "ngrams_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+            inter.cast("double")
+            / (F.size("ngrams_a") + F.size("ngrams_b") - inter),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -119,6 +119,81 @@ def hyperplane_lsh_buckets(
     return v.withColumn("bucket", bucket_udf(F.col("emb")))
 
 
+def hyperplane_lsh_multi(
+    vecs: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified multi-table LSH: one (table, bucket) row per vector
+    per table.
+
+    A single signature's recall decays as p^n_planes; n_tables
+    independent plane sets recover it as 1-(1-p^b)^L without widening
+    buckets. All tables' signatures come out of ONE Arrow-batched
+    matmul per batch (einsum over a (tables, planes, dim) tensor), then
+    explode — no per-table passes over the data.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<string>")
+    def buckets_udf(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy())  # (batch, dim)
+        signs = np.einsum("bd,tpd->btp", m, planes) >= 0  # (batch, tables, planes)
+        codes = (signs * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series([[f"{t}:{int(c)}" for t, c in enumerate(row)] for row in codes])
+
+    v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    return v.withColumn("tb", F.explode(buckets_udf(F.col("emb"))))
+
+
+def cosine_near_dup_pairs_ann(
+    vecs: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via multi-table LSH candidates — the scale
+    path that replaces ``cosine_near_dup_pairs``'s O(n²) self-join.
+
+    Shuffles on (table, bucket); only same-bucket pairs are scored, and
+    a pair colliding in several tables is scored once (dropDuplicates
+    on the id pair *before* the dot product). Tune n_planes to the
+    threshold: high thresholds (0.9) keep buckets tiny at b=8; chasing
+    low thresholds needs fewer planes + more tables and approaches
+    all-pairs cost — which is inherent to LSH, not this implementation.
+    Returns [vec_a, vec_b, cos_sim] with vec_a < vec_b.
+    """
+    b = hyperplane_lsh_multi(vecs, dim, n_planes, n_tables, seed, id_col, vec_col)
+    bn = b.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    lhs, rhs = bn.alias("a"), bn.alias("b")
+    # Score in the join projection, dedup after: a pair colliding in
+    # several tables costs a few extra (cheap, JVM-side) dot products,
+    # but the dedup exchange then carries 3 scalar columns instead of
+    # two dim-wide arrays. The threshold filter also lands before the
+    # shuffle, shrinking it further.
+    scored = lhs.join(
+        rhs,
+        (F.col("a.tb") == F.col("b.tb")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.round(
+            dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")), 6
+        ).alias("cos_sim"),
+    )
+    return scored.where(F.col("cos_sim") >= threshold).dropDuplicates(["vec_a", "vec_b"])
+
+
 def cosine_topk_ivf(
     vecs: DataFrame,
     k: int = 5,
@@ -127,37 +202,34 @@ def cosine_topk_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float = 0.1,
+    fit_cap: int = 100_000,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means partitions the
-    vector space; each vector is indexed under its nearest centroid and
-    each query probes its ``n_probe`` nearest centroids' lists.
+    """IVF (inverted-file) approximate top-k: k-means cells partition
+    the vector space; each vector is indexed under its nearest centroid
+    and each query probes its ``n_probe`` nearest centroids' lists.
 
     The alternative bucketing strategy to random-hyperplane LSH:
     data-adaptive cells (better for clustered embeddings) at the cost
-    of a training pass. At 100 TB the centroid table is tiny and
-    broadcast; candidate scoring shuffles on cluster id, so cost scales
-    with cell population × n_probe, not n². Returns
-    [vec_a, vec_b, cos_sim, rn].
+    of a training pass. Centroids train on a seeded sample capped at
+    ``fit_cap`` rows, collected to the driver and fit with numpy
+    spherical k-means — bounded O(cap·k·dim·iters) work independent of
+    table size, and zero Spark jobs per Lloyd iteration (a
+    cluster-side fit costs one full pass per iteration and buys no
+    recall, which is governed by n_probe). At 100 TB the centroid
+    matrix is tiny and ships in the UDF closure; candidate scoring
+    shuffles on cluster id, so cost scales with cell population ×
+    n_probe, not n². Returns [vec_a, vec_b, cos_sim, rn].
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
     v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
-    # cache: k-means makes one pass per iteration — without this every
-    # pass re-reads and re-featurizes the source.
-    ml = v.withColumn("fvec", array_to_vector("emb")).cache()
-    # 5 Lloyd iterations suffice for *candidate generation*: cells only
-    # need to be stable enough that near neighbors co-locate — recall is
-    # governed by n_probe, not centroid convergence (each extra
-    # iteration is a full pass over the data at scale).
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="fvec", predictionCol="cluster", maxIter=5
-    ).fit(ml)
-    indexed = model.transform(ml).select(id_col, "emb", "cluster")
-
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # tiny: driver-side
-    c_norm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    sample = [
+        r[0] for r in v.sample(fraction=fit_fraction, seed=seed).limit(fit_cap).select("emb").collect()
+    ]
+    if len(sample) < n_clusters * 4:  # tiny input: sample can't carve the cells
+        sample = [r[0] for r in v.limit(fit_cap).select("emb").collect()]
+    c_norm = _spherical_kmeans(np.stack(sample), min(n_clusters, len(sample)), seed)
 
     @pandas_udf("array<int>")
     def probe_udf(embs: pd.Series) -> pd.Series:
@@ -167,14 +239,23 @@ def cosine_topk_ivf(
         top = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series([row.astype("int32").tolist() for row in top])
 
-    # precompute norms once at index time — cosine per pair then costs
-    # one dot product instead of three.
-    normed = indexed.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
-    queries = normed.select(
+    # One Arrow-batched pass computes the probe list; the index cell is
+    # its first element (nearest centroid). Norms precomputed at index
+    # time — cosine per pair then costs one dot product, not three.
+    probed = v.select(
+        F.col(id_col),
+        "emb",
+        probe_udf(F.col("emb")).alias("probes"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("norm"),
+    )
+    normed = probed.select(
+        id_col, "emb", "norm", F.element_at("probes", 1).alias("cluster")
+    )
+    queries = probed.select(
         F.col(id_col).alias("vec_a"),
         F.col("emb").alias("emb_a"),
         F.col("norm").alias("norm_a"),
-        F.explode(probe_udf(F.col("emb"))).alias("cluster"),
+        F.explode("probes").alias("cluster"),
     )
     pairs = queries.join(
         normed.select(
@@ -194,6 +275,24 @@ def cosine_topk_ivf(
     ).dropDuplicates(["vec_a", "vec_b"])
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
+
+
+def _spherical_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 5) -> np.ndarray:
+    """Seeded driver-side spherical k-means: unit-normalized points,
+    cosine assignment, mean-then-renormalize update. Returns (k, dim)
+    unit centroid matrix. Input is pre-capped by the caller, so this is
+    bounded work however large the source table is."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (Xn @ centroids.T).argmax(axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
 
 
 def cosine_topk_ann(

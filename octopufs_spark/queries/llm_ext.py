@@ -509,6 +509,26 @@ def q_ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ext_dedup_semantic_ann", oracle=None)  # weak: LSH-seed-specific candidates
+def q_ext_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, scale path: multi-table LSH candidate pairs →
+    connected components → one canonical (min-id) document per cluster.
+    The composition a 100 TB pipeline actually runs — candidates come
+    from (table, bucket) joins, never an all-pairs product; the exact
+    q_ext_dedup_semantic is its recall verifier (see
+    tests/test_llm.py::test_semantic_ann_recall). n_planes=4/n_tables=24
+    targets this fixture's low 0.35 threshold; production near-dup
+    thresholds (0.9+) use the b=8/L=8 default with far smaller buckets."""
+    vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    pairs = similarity.cosine_near_dup_pairs_ann(
+        vecs, dim=64, threshold=0.35, n_planes=4, n_tables=24, seed=42
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labels = dedup.connected_components(pairs, partitions=4)
+    return labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_id")
+    )
+
+
 @register(
     "q_udaf_grouped_agg",
     oracle="""

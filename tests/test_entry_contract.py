@@ -30,6 +30,7 @@ def test_oracles_subset_of_queries():
     assert weak <= {
         "q_ext_ann_lsh",
         "q_ext_ann_ivf",
+        "q_ext_dedup_semantic_ann",
         "q_ext_dedup_minhash",
         "q_ext_simhash",
         "q_agg_approx_distinct",

@@ -128,6 +128,96 @@ def test_ivf_recall_vs_exact(spark):
     assert hits / len(exact) >= 0.6  # synthetic uniform vectors: modest recall floor
 
 
+def test_ngram_jaccard_df_cap(spark):
+    """A ubiquitous n-gram (present in every doc) must not create a
+    quadratic candidate bucket, and capping it must not change reported
+    similarity values: docs pairing through rare n-grams keep their
+    exact Jaccard; docs sharing ONLY the ubiquitous phrase drop out."""
+    common = "the quick brown fox"  # 4 tokens → ubiquitous 3-grams
+    rows = []
+    # 30 docs all starting with the common phrase; docs 2i/2i+1 also
+    # share a rare distinctive tail.
+    for i in range(15):
+        tail = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        rows.append((2 * i, f"{common} {tail}"))
+        rows.append((2 * i + 1, f"{common} {tail} zeta{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=10**9).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=5).collect()
+    }
+    # The planted twin pairs survive the cap (they share rare tail
+    # n-grams) with IDENTICAL exact scores.
+    for i in range(15):
+        pair = (2 * i, 2 * i + 1)
+        assert pair in capped
+        assert capped[pair] == pytest.approx(uncapped[pair])
+    # Cross pairs shared only the ubiquitous phrase: discoverable
+    # without the cap, gone with it.
+    assert all(a // 2 == b // 2 for (a, b) in capped)
+    assert any(a // 2 != b // 2 for (a, b) in uncapped)
+
+
+def _planted_near_dup_vectors(spark, n_base: int = 60, dim: int = 64, seed: int = 7):
+    """n_base random unit-ish vectors plus one noisy near-copy each
+    (cos ≥ ~0.99) — the ground-truth near-dup pairs are
+    (i, i + 100000)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    noisy = base + 0.05 * rng.standard_normal((n_base, dim))
+    rows = [(i, base[i].tolist()) for i in range(n_base)] + [
+        (i + 100000, noisy[i].tolist()) for i in range(n_base)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_ann_recall(spark):
+    """The LSH-candidate near-dup path recovers ≥0.9 of the exact
+    composition's planted near-dup pairs at threshold 0.9 — the check
+    that licenses q_ext_dedup_semantic_ann as the scale path with the
+    exact query as its verifier."""
+    vecs = _planted_near_dup_vectors(spark)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_near_dup_pairs(vecs, threshold=0.9).collect()
+    }
+    ann = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_near_dup_pairs_ann(
+            vecs, dim=64, threshold=0.9, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert exact, "planting failed: no exact near-dup pairs"
+    assert ann <= exact  # candidates are scored exactly: no false positives
+    assert len(ann & exact) / len(exact) >= 0.9
+
+
+def test_semantic_ann_clusters_match_exact(spark):
+    """On planted data the full ANN composition (candidates → connected
+    components) yields the same canonical survivors as exact pairing."""
+    vecs = _planted_near_dup_vectors(spark, n_base=30)
+    exact_pairs = similarity.cosine_near_dup_pairs(vecs, threshold=0.9).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    ann_pairs = similarity.cosine_near_dup_pairs_ann(
+        vecs, dim=64, threshold=0.9, n_planes=6, n_tables=12
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    exact_cl = {
+        r.cluster_id for r in dedup.connected_components(exact_pairs, partitions=4).collect()
+    }
+    ann_cl = {
+        r.cluster_id for r in dedup.connected_components(ann_pairs, partitions=4).collect()
+    }
+    assert len(ann_cl & exact_cl) / len(exact_cl) >= 0.9
+
+
 def test_chunk_tokens_reassembly(spark):
     """Chunks cover every token; consecutive chunks overlap by exactly
     `overlap` tokens; stride positions are correct."""
