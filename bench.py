@@ -62,17 +62,37 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_seconds_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Full per-query timings always land in BENCH_FULL.json next to this
+    # file — the one-line stdout contract is capped below.
+    payload = {
+        "metric": "total_seconds_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
+
+    # The consumer keeps only the LAST 2000 chars of stdout, so the JSON
+    # line must fit entirely inside that window or it never parses
+    # (round 1 lost its bench to exactly this). Emit the slowest queries
+    # first — the ones a reader compares round-over-round — and greedily
+    # stop before the line could overflow; the full dict is in
+    # BENCH_FULL.json either way.
+    budget = 1900
+    kept: dict[str, float] = {}
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(payload, queries=dict(kept, **{name: t}), queries_in_full=0)
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        kept[name] = t
+    out = dict(payload, queries=kept, queries_in_full=len(timings))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

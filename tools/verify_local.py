@@ -7,6 +7,12 @@ report for floats so near-misses are visible before the driver's
 hash-compare flags them).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+
+Importable: ``sweep(spark, sf_dir, only=None)`` returns the result
+dict used both by this CLI and by tests/test_oracle_parity.py, which
+runs the same gate at sf0.001 inside the regular pytest suite so an
+oracle divergence is caught before the driver's bounded per-round
+check samples it.
 """
 
 from __future__ import annotations
@@ -20,10 +26,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from octopufs_spark.session import get_spark  # noqa: E402
 from octopufs_spark.tables import TABLE_NAMES  # noqa: E402
-
-import __spark_entry__ as entrymod  # noqa: E402
 
 
 def normalize(rows: list[tuple], cols: list[str]):
@@ -43,18 +46,31 @@ def normalize(rows: list[tuple], cols: list[str]):
     return sorted(out), [cols[i] for i in order]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("verify_local")
+def sweep(
+    spark,
+    sf_dir: str,
+    only: set[str] | None = None,
+    verbose: bool = True,
+) -> dict[str, dict]:
+    """Run each queries() entry vs its oracle; return {name: result}.
+
+    result: {"status": "pass"|"weak"|"fail", "rows": int|None,
+    "msg": str, "secs": float}.
+    """
+    import __spark_entry__ as entrymod
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_weak = 0
-    failures: list[str] = []
+    results: dict[str, dict] = {}
+
+    def emit(line: str) -> None:
+        if verbose:
+            print(line, flush=True)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -64,48 +80,66 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
-            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
-            n_fail += 1
-            failures.append(name)
+            msg = f"spark error\n{traceback.format_exc()}"
+            results[name] = {"status": "fail", "rows": None, "msg": msg, "secs": 0}
+            emit(f"FAIL  {name}: {msg}")
             continue
+        secs = round(time.time() - t0, 1)
         if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
-            n_weak += 1
+            results[name] = {"status": "weak", "rows": len(srows), "msg": "", "secs": secs}
+            emit(f"weak  {name}: rows={len(srows)} ({secs}s)")
             continue
         try:
             res = con.sql(oracles[name])
             ocols = res.columns
             orows = [tuple(r) for r in res.fetchall()]
         except Exception:
-            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
-            n_fail += 1
-            failures.append(name)
+            msg = f"duckdb error\n{traceback.format_exc()}"
+            results[name] = {"status": "fail", "rows": len(srows), "msg": msg, "secs": secs}
+            emit(f"FAIL  {name}: {msg}")
             continue
         s_norm, s_cols = normalize(srows, scols)
         o_norm, o_cols = normalize(orows, ocols)
-        ok = True
         msgs = []
         if s_cols != o_cols:
-            ok = False
             msgs.append(f"cols spark={s_cols} duck={o_cols}")
         if len(s_norm) != len(o_norm):
-            ok = False
             msgs.append(f"rowcount spark={len(s_norm)} duck={len(o_norm)}")
         elif s_norm != o_norm:
-            ok = False
             diff = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:3]
             msgs.append(f"values differ, first diffs: {diff}")
-        if ok:
-            print(f"pass  {name}: rows={len(s_norm)} ({time.time()-t0:.1f}s)")
-            n_pass += 1
+        if msgs:
+            results[name] = {
+                "status": "fail",
+                "rows": len(s_norm),
+                "msg": "; ".join(msgs),
+                "secs": secs,
+            }
+            emit(f"FAIL  {name}: " + "; ".join(msgs))
         else:
-            print(f"FAIL  {name}: " + "; ".join(msgs))
-            n_fail += 1
+            results[name] = {"status": "pass", "rows": len(s_norm), "msg": "", "secs": secs}
+            emit(f"pass  {name}: rows={len(s_norm)} ({secs}s)")
+    con.close()
+    return results
+
+
+def main() -> int:
+    from octopufs_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or None
+    spark = get_spark("verify_local")
+    results = sweep(spark, sf_dir, only)
+    by = {"pass": 0, "weak": 0, "fail": 0}
+    failures = []
+    for name, r in results.items():
+        by[r["status"]] += 1
+        if r["status"] == "fail":
             failures.append(name)
-    print(f"\n== pass={n_pass} weak={n_weak} fail={n_fail}")
+    print(f"\n== pass={by['pass']} weak={by['weak']} fail={by['fail']}")
     if failures:
         print("failed:", " ".join(failures))
-    return 1 if n_fail else 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
