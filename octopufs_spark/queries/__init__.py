@@ -10,11 +10,13 @@ from octopufs_spark.queries import (  # noqa: F401
     filters,
     joins,
     llm_ext,
+    pipeline,
     scalars,
     scans,
     setops,
     sorts,
     streaming_batch,
     tpch,
+    tsq,
     windows,
 )

@@ -7,6 +7,7 @@ entries: MinHash-LSH, SimHash and ANN — algorithm-specific outputs.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -553,4 +554,56 @@ def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@register(
+    "q_udaf_weighted_median",
+    oracle="""
+WITH o AS (
+  SELECT l_returnflag AS rf, l_extendedprice AS v,
+         CAST(l_quantity AS DECIMAL(18,2)) AS w
+  FROM lineitem
+), c AS (
+  SELECT rf, v,
+         SUM(w) OVER (PARTITION BY rf ORDER BY v) AS cum,
+         SUM(w) OVER (PARTITION BY rf) AS tot
+  FROM o
+)
+SELECT rf AS l_returnflag, MIN(v) AS weighted_median
+FROM c WHERE 2 * cum >= tot GROUP BY rf
+""",
+)
+def q_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic UDAF: quantity-weighted median price per
+    returnflag as a GROUPED_AGG pandas UDF (lower weighted median:
+    smallest value whose cumulative weight — peers included — reaches
+    half the total).
+
+    The oracle states the same statistic relationally via a RANGE-frame
+    cumulative-weight window. The UDF accumulates weights in integer
+    cents (exact), so the half-total comparison is bit-identical to the
+    oracle's DECIMAL arithmetic — no float tie-breaking at the
+    boundary. Scale: one shuffle on the group key; each group's
+    (value, weight) columns cross the Arrow boundary once. For
+    cardinality-explosive groups, swap in the window formulation the
+    oracle uses — same single shuffle, no Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        cents = np.round(w.to_numpy() * 100).astype(np.int64)
+        order = np.argsort(v.to_numpy(), kind="stable")
+        vs = v.to_numpy()[order]
+        cs = cents[order]
+        # collapse peer groups so cum at value x includes all weight <= x
+        uniq, idx = np.unique(vs, return_index=True)
+        per = np.add.reduceat(cs, idx)
+        cum = np.cumsum(per)
+        tot = cum[-1]
+        return float(uniq[np.searchsorted(2 * cum, tot, side="left")])
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag")).agg(
+        wmedian("l_extendedprice", "l_quantity").alias("weighted_median")
     )

@@ -1,0 +1,255 @@
+"""Training-data curation operators over the documents table.
+
+The pieces a 100 TB pretraining pipeline runs between raw crawl and
+tokenization, each with an exact DuckDB oracle: benchmark
+decontamination (n-gram overlap against an eval set), deterministic
+hash / stratified sampling, unigram-LM surprisal scoring, repetition
+metrics, and the composed quality-filter chain. All JVM-side column
+ops — no Python UDFs anywhere in this module.
+
+Scale notes are per-query; the common pattern is one narrow projection
+off the parquet scan, array ops inside whole-stage codegen, and a
+single aggregation or broadcast join per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+# Shared tokenization: split on single spaces, drop empties. DuckDB
+# twin: list_filter(string_split(text, ' '), x -> x <> '').
+def _words(col: str = "text"):
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+SQL_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@register(
+    "q_ext_decontaminate",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {SQL_WORDS} AS words FROM documents
+), n AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(words[i:i+7], ' ')
+                        FOR i IN range(1, greatest(len(words) - 6, 1))]) AS ngs
+  FROM d
+), e AS (
+  SELECT DISTINCT unnest(ngs) AS ng FROM n WHERE source = 'src0'
+), t AS (
+  SELECT doc_id, unnest(ngs) AS ng FROM n WHERE source <> 'src0'
+)
+SELECT t.doc_id, COUNT(*) AS shared_ngrams
+FROM t JOIN e USING (ng)
+GROUP BY t.doc_id
+""",
+)
+def q_ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with the eval set (source='src0' stands in for a benchmark).
+
+    The standard n-gram-overlap decontamination used on pretraining
+    corpora. Scale shape: the eval side is distinct 8-grams of the
+    *benchmark* (bounded — benchmarks are MBs, not TBs), so it
+    broadcasts; the training side streams through one explode + one
+    broadcast hash join + one groupBy on doc_id. No shuffle touches
+    the full 8-gram stream except the final per-doc count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    ngrams = F.when(
+        F.size(words) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 7),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", "source", F.array_distinct(ngrams).alias("ngs"))
+    eval_ngs = (
+        d.where(F.col("source") == "src0").select(F.explode("ngs").alias("ng")).distinct()
+    )
+    train = d.where(F.col("source") != "src0").select("doc_id", F.explode("ngs").alias("ng"))
+    return (
+        train.join(F.broadcast(eval_ngs), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
+@register(
+    "q_ext_sample_hash",
+    oracle="""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+""",
+)
+def q_ext_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% corpus sample: keep docs whose md5(doc_id)
+    hex prefix falls under 0x34/0x100.
+
+    The reproducible alternative to rand()-sampling: stable across
+    engines, runs, and partitionings, so downstream stages can re-derive
+    the same subset. Pure per-row predicate — no shuffle, no state;
+    at 100 TB this is a filter pushed against the scan."""
+    docs = load(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    return docs.where(F.substring(digest, 1, 2) < "34").select("doc_id", "lang", "source")
+
+
+@register(
+    "q_ext_sample_stratified",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn FROM r WHERE rn <= 50
+""",
+)
+def q_ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 50 docs per language, chosen by
+    md5 order (a seeded shuffle both engines reproduce bit-identically).
+
+    One shuffle on the stratum key. At 100 TB: strata counts are
+    bounded (languages, sources), per-stratum top-k via window is the
+    right shape; for heavy skew (one lang = 90% of corpus) switch the
+    rank to a pre-filter on the md5 prefix (q_ext_sample_hash shape)
+    sized per stratum, which needs no global window at all."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "q_ext_surprisal",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents
+), f AS (
+  SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+), t AS (
+  SELECT SUM(cnt) AS total FROM f
+), s AS (
+  SELECT w.doc_id,
+         CAST(ROUND(-LN(CAST(f.cnt AS DOUBLE) / t.total), 9) AS DECIMAL(28,9)) AS sp
+  FROM w JOIN f USING (word) CROSS JOIN t
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(sp) AS DOUBLE) / COUNT(*), 9) AS avg_surprisal,
+       COUNT(*) AS n_words
+FROM s GROUP BY doc_id
+""",
+)
+def q_ext_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean per-word surprisal −ln p(word)
+    under the corpus's own unigram distribution (the cheap stand-in for
+    perplexity filtering when no external LM is available).
+
+    Two aggregations: corpus word counts, then a join back to the word
+    stream. The frequency table is vocabulary-sized — bounded and
+    broadcast here; at 100 TB raw-token vocabularies get heavy-hitter
+    capped (min count) first, or the join falls back to a hash shuffle
+    on word, which is still linear. Per-word surprisal is quantized to
+    9 decimals and summed as DECIMAL so the cross-engine result is
+    order-independent and bit-identical."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_words()).alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    sp = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("total")), 9
+    ).cast("decimal(28,9)")
+    scored = (
+        words.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", sp.alias("sp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("sp").cast("double") / F.count("*"), 9).alias("avg_surprisal"),
+        F.count("*").alias("n_words"),
+    )
+
+
+@register(
+    "q_ext_repetition",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_ratio,
+       1 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_ratio,
+       CAST(SUM(c) AS BIGINT) AS n_words
+FROM c GROUP BY doc_id
+""",
+)
+def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metrics (Gopher-style filters): most-frequent
+    word's share of the doc, and the duplicate-word fraction.
+
+    Shuffle on (doc_id, word) then doc_id — both linear in corpus size
+    and map-side combinable. Exact long/long→double divisions, no
+    rounding needed for cross-engine identity."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_words()).alias("word"))
+    c = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    return c.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_word_ratio"),
+        (F.lit(1) - F.count("*").cast("double") / F.sum("c").cast("double")).alias("dup_ratio"),
+        F.sum("c").cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "q_ext_filter_chain",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, {SQL_WORDS} AS words FROM documents
+), m AS (
+  SELECT doc_id, lang, len(words) AS n_words,
+         1 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_ratio
+  FROM s WHERE len(words) > 0
+)
+SELECT doc_id, n_words, dup_ratio FROM m
+WHERE lang = 'en' AND n_words BETWEEN 30 AND 120 AND dup_ratio < 0.6
+""",
+)
+def q_ext_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality-filter chain: language gate + length bounds +
+    repetition cap, returning survivors with their stats — the single
+    fused pass a curation pipeline actually runs (each metric computed
+    once, all predicates in one codegen stage, no intermediate
+    materialization).
+
+    Entirely per-row array math over one scan; the lang equality and
+    length bounds are plain predicates Catalyst pushes toward the
+    scan."""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        (
+            F.lit(1)
+            - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+        ).alias("dup_ratio"),
+    ).where(F.size(words) > 0)
+    return m.where(
+        (F.col("lang") == "en")
+        & F.col("n_words").between(30, 120)
+        & (F.col("dup_ratio") < 0.6)
+    ).select("doc_id", "n_words", "dup_ratio")

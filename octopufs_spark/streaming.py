@@ -134,6 +134,45 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def clicks_purchases_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``horizon`` after a
+    click by the same user (batch twin: queries/tsq.py::q_stream_join).
+
+    Both sides are watermarked and the join condition bounds purchase
+    time to [click ts, click ts + horizon], which is what lets Spark
+    expire buffered join state: a click older than watermark+horizon
+    can never match a future purchase and is evicted. Without the time
+    bound the state store grows forever — the interval is load-bearing,
+    not cosmetic.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"interval {horizon}")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "append"):
     """Start the stream into an in-memory table and return the query
     handle; callers awaitTermination/processAllAvailable then read

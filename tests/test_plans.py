@@ -96,3 +96,36 @@ def test_tpch_partsupp_single_scan(plans):
     # evaluated the biggest shuffle twice).
     for name in ("q_tpch_q2", "q_tpch_q11", "q_tpch_q20"):
         assert plans(name).count("lineitem.parquet") == 1, name
+
+
+def test_pipeline_plans(plans):
+    """Curation-pipeline queries keep their scale-critical shapes."""
+    # decontamination: eval n-gram set must broadcast (it's benchmark-
+    # sized however big the corpus is), and nothing goes cartesian
+    p = plans("q_ext_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # hash sampling is a pure scan-side filter: no exchange at all
+    p = plans("q_ext_sample_hash")
+    assert "Exchange" not in p
+    # surprisal: frequency join broadcasts; the only nested-loop is the
+    # single-row grand-total scalar (same exemption as TPC-H q22)
+    p = plans("q_ext_surprisal")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ewma_single_window(plans):
+    """All 8 EWMA lag taps evaluate in ONE Window operator over one
+    Exchange — the formulation's whole point vs 8 shuffles."""
+    p = plans("q_ts_ewma")
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1  # one Window operator node
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_gapfill_no_extra_shuffle(plans):
+    """Gap-fill: bucket agg, bounds agg, spine join, and fill window
+    all shuffle on user_id-rooted keys; no range/global exchanges."""
+    p = plans("q_ts_gapfill")
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p

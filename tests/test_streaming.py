@@ -143,3 +143,53 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert partial <= n_total
     assert final == n_total  # exactly-once: no dupes after restart
     assert spark.read.parquet(sink).select("event_id").distinct().count() == n_total
+
+
+def test_stream_stream_interval_join(spark, event_files):
+    """Stream-stream interval join (clicks->purchases within 30 min)
+    produces exactly the batch join's pairs."""
+    ev1 = streaming.read_events_stream(spark, event_files)
+    ev2 = streaming.read_events_stream(spark, event_files)
+    # The fixture's micro-batch files are random slices, not
+    # time-ordered arrival: a production-width watermark would race to
+    # max(ts)-1h after batch 1 and evict every later (all "late") row.
+    # A watermark wider than the fixture's 30-day span keeps the join
+    # semantics under test and lateness out of it (dedup/session tests
+    # cover lateness).
+    joined = streaming.clicks_purchases_join(
+        ev1.where(F.col("event_type") == "click"),
+        ev2.where(F.col("event_type") == "purchase"),
+        watermark="40 days",
+    )
+    _run(joined, "t_ssjoin")
+    got = {
+        (r.click_id, r.purchase_id, r.user_id, r.lag_seconds)
+        for r in spark.table("t_ssjoin").collect()
+    }
+    e = load(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id, r.user_id, r.lag_seconds)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 30 minutes")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
