@@ -199,18 +199,40 @@ def _connected_components_loop(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # change flag computed inline — convergence detection then reads
-        # the checkpointed result instead of re-joining old vs new
-        # (one fewer shuffle per round; rounds are job-launch bound).
         new_label = F.least(
             F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
         )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            new_label.alias("cluster_id"),
+        )
+        # Pointer doubling: follow the freshly-stepped label one more
+        # hop through the PREVIOUS round's (checkpointed) label table
+        # (label := min(label, old_label(label))). Hopping through
+        # `stepped` itself would be a self-join that recomputes the
+        # neighbor-min aggregation twice per round; the old table is
+        # already materialized, and any adopted label is still the
+        # label of a reachable node, so correctness and monotonicity
+        # hold. Net effect: convergence in ~O(log diameter) rounds
+        # instead of O(diameter) — and rounds, not per-round work, are
+        # the cost on a near-dup graph (each round is a fixed number of
+        # jobs regardless of edge count).
+        hop = labels.select(
+            F.col("id").alias("hop_id"), F.col("cluster_id").alias("hop_label")
+        )
+        # change flag computed inline — convergence detection then reads
+        # the checkpointed result instead of re-joining old vs new
+        # (one fewer shuffle per round; rounds are job-launch bound).
+        jumped_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("hop_label"), F.col("cluster_id"))
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(hop, stepped.cluster_id == hop.hop_id, "left")
             .select(
                 "id",
-                new_label.alias("new_cluster_id"),
-                (new_label != F.col("cluster_id")).alias("_changed"),
+                jumped_label.alias("new_cluster_id"),
+                (jumped_label != F.col("old_cluster_id")).alias("_changed"),
             )
             .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint()

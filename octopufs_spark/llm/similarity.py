@@ -217,9 +217,16 @@ def cosine_topk_ivf(
     table size, and zero Spark jobs per Lloyd iteration (a
     cluster-side fit costs one full pass per iteration and buys no
     recall, which is governed by n_probe). At 100 TB the centroid
-    matrix is tiny and ships in the UDF closure; candidate scoring
-    shuffles on cluster id, so cost scales with cell population ×
-    n_probe, not n². Returns [vec_a, vec_b, cos_sim, rn].
+    matrix is tiny and ships in the UDF closure.
+
+    Scoring shuffles each vector to its cell(s) ONCE — queries to
+    every probed cell, index vectors to their home cell — and scores
+    the whole cell with a single numpy matmul (applyInPandas). That is
+    the canonical IVF cost model: bytes moved ∝ n·(n_probe+1)·dim,
+    compute ∝ cell_population × probes — versus a pair-materializing
+    join whose transfer/compute is ∝ candidate PAIRS (cell_size× more).
+    Each cell emits per-query top-k; the global window then reduces
+    n_probe·k candidates per query. Returns [vec_a, vec_b, cos_sim, rn].
     """
     from pyspark.sql.window import Window
 
@@ -241,38 +248,55 @@ def cosine_topk_ivf(
 
     # One Arrow-batched pass computes the probe list; the index cell is
     # its first element (nearest centroid). Norms precomputed at index
-    # time — cosine per pair then costs one dot product, not three.
+    # time.
     probed = v.select(
         F.col(id_col),
         "emb",
         probe_udf(F.col("emb")).alias("probes"),
         F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("norm"),
     )
-    normed = probed.select(
-        id_col, "emb", "norm", F.element_at("probes", 1).alias("cluster")
-    )
     queries = probed.select(
-        F.col(id_col).alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
+        F.col(id_col).alias("vid"),
+        "emb",
+        "norm",
         F.explode("probes").alias("cluster"),
+        F.lit(True).alias("is_query"),
     )
-    pairs = queries.join(
-        normed.select(
-            F.col(id_col).alias("vec_b"),
-            F.col("emb").alias("emb_b"),
-            F.col("norm").alias("norm_b"),
-            "cluster",
-        ),
-        ["cluster"],
-    ).where(F.col("vec_a") != F.col("vec_b"))
-    scored = pairs.select(
-        "vec_a",
-        "vec_b",
-        F.round(
-            dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6
-        ).alias("cos_sim"),
-    ).dropDuplicates(["vec_a", "vec_b"])
+    index = probed.select(
+        F.col(id_col).alias("vid"),
+        "emb",
+        "norm",
+        F.element_at("probes", 1).alias("cluster"),
+        F.lit(False).alias("is_query"),
+    )
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["is_query"]]
+        i = pdf[~pdf["is_query"]]
+        if q.empty or i.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        qm = np.stack(q["emb"].to_numpy())
+        im = np.stack(i["emb"].to_numpy())
+        sims = (qm @ im.T) / np.outer(q["norm"].to_numpy(), i["norm"].to_numpy())
+        qa = q["vid"].to_numpy()
+        ib = i["vid"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])  # +1: the self pair may rank first
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for r in range(sims.shape[0]):
+            for c in part[r]:
+                if ib[c] != qa[r]:
+                    out_a.append(qa[r])
+                    out_b.append(ib[c])
+                    out_s.append(round(float(sims[r, c]), 6))
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s})
+
+    tagged = queries.unionByName(index)
+    scored = tagged.groupBy("cluster").applyInPandas(
+        score_cell, "vec_a long, vec_b long, cos_sim double"
+    )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 
