@@ -1,0 +1,298 @@
+"""Manifest-committed tables: atomic publish of file sets.
+
+Directory swaps (`compact._replace_folder`, promotion) are not atomic
+on object stores — a reader listing the directory mid-swap sees a
+mixed or empty file set; the SafetyFuse only makes the *writer's*
+rerun safe. This module adds the standard fix, the same commit model
+Delta Lake / Iceberg use (a log/manifest names the live files; readers
+never list the data directory): each commit writes
+``_manifest/v{N}.json`` naming the table's live data files, and
+readers resolve the newest version. Writers never mutate a published
+manifest; data files are immutable once referenced.
+
+Atomicity story by store:
+
+- **Local / HDFS**: a version file is staged as ``v{N}.json.tmp.{run}``
+  and published with a no-overwrite rename — POSIX/HDFS rename makes
+  the commit atomic, and a concurrent committer of the same N loses
+  the rename race and retries at N+1 (optimistic concurrency).
+- **Object stores (S3/ABFS)**: rename is copy+delete, but the version
+  file is tiny and keyed by N — two writers racing on the same N is
+  resolved by the exists-check-then-put pattern the respective SDKs
+  expose (conditional put / ETag if-none-match). The pyarrow backend
+  here models it as create-exclusive.
+
+Readers: ``latest_version`` → ``read_manifest`` → exact file list →
+``spark.read.parquet(*files)``. No directory listing of data, so
+uncommitted/leftover files are invisible — which also makes compaction
+garbage collection safe to defer (``vacuum``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from octopufs_spark.fs.core import get_filesystem, list_tree
+
+_MANIFEST_DIR = "_manifest"
+_VERSION_RE = re.compile(r"v(\d+)\.json$")
+
+
+@dataclass(frozen=True)
+class Manifest:
+    version: int
+    files: list[str]  # paths relative to the table root
+    operation: str = "commit"
+    parent: int | None = None
+    meta: dict = field(default_factory=dict)
+
+
+class ManifestTable:
+    """A parquet table whose live file set is named by a manifest."""
+
+    def __init__(self, root_uri: str):
+        self.root = root_uri.rstrip("/")
+        self.fs, self.root_path = get_filesystem(self.root)
+        self._mdir = f"{self.root_path}/{_MANIFEST_DIR}"
+
+    # ---------- read side ----------
+
+    def versions(self) -> list[int]:
+        try:
+            infos = list_tree(self.root + "/" + _MANIFEST_DIR)
+        except FileNotFoundError:
+            return []
+        out = []
+        for el in infos:
+            m = _VERSION_RE.search(el.path)
+            if m and not el.is_dir:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read_manifest(self, version: int | None = None) -> Manifest:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
+        with self.fs.open_input_stream(f"{self._mdir}/v{version}.json") as f:
+            d = json.loads(f.read().decode())
+        return Manifest(
+            version=d["version"],
+            files=list(d["files"]),
+            operation=d.get("operation", "commit"),
+            parent=d.get("parent"),
+            meta=d.get("meta", {}),
+        )
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Load the committed snapshot — optionally time-traveled."""
+        m = self.read_manifest(version)
+        paths = [f"{self.root}/{p}" for p in m.files]
+        if not paths:
+            raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
+        return spark.read.parquet(*paths)
+
+    # ---------- write side ----------
+
+    def _publish(self, manifest: Manifest) -> int:
+        """Atomically publish a manifest at its version; raise if that
+        version was committed first by someone else."""
+        import pyarrow.fs as pafs
+
+        self.fs.create_dir(self._mdir, recursive=True)
+        final = f"{self._mdir}/v{manifest.version}.json"
+        # exists-check is advisory (fast fail); the no-overwrite move
+        # below is the real gate.
+        if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
+            raise FileExistsError(final)
+        tmp = f"{self._mdir}/v{manifest.version}.json.tmp.{uuid.uuid4().hex[:8]}"
+        payload = json.dumps(
+            {
+                "version": manifest.version,
+                "files": manifest.files,
+                "operation": manifest.operation,
+                "parent": manifest.parent,
+                "meta": manifest.meta,
+            },
+            indent=1,
+        ).encode()
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(payload)
+        # no-overwrite move: losing a race on the same version raises
+        try:
+            if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
+                raise FileExistsError(final)
+            self.fs.move(tmp, final)
+        except Exception:
+            try:
+                self.fs.delete_file(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+        return manifest.version
+
+    def _rel(self, uri: str) -> str:
+        _, p = get_filesystem(uri)
+        if not p.startswith(self.root_path + "/"):
+            raise ValueError(f"{uri} is outside table root {self.root}")
+        return p[len(self.root_path) + 1 :]
+
+    def _data_files_under(self, subdir: str) -> list[str]:
+        els = list_tree(f"{self.root}/{subdir}")
+        # paths relative to the table root, so partitioned layouts
+        # (subdir/year=2024/part-*.parquet) carry their partition dirs
+        return sorted(
+            el.path[len(self.root_path) + 1 :]
+            for el in els
+            if not el.is_dir and el.path.endswith(".parquet")
+        )
+
+    def commit_overwrite(
+        self, staged_subdir: str, operation: str = "overwrite", meta: dict | None = None
+    ) -> int:
+        """Publish the parquet files under ``root/staged_subdir`` as the
+        table's complete new content (full-snapshot commit). Retries the
+        version number on loser-side race, never rewrites data files."""
+        files = self._data_files_under(staged_subdir)
+        if not files:
+            raise ValueError(f"nothing staged under {self.root}/{staged_subdir}")
+        return self._commit_with_retry(files, operation, meta)
+
+    def commit_replace(
+        self,
+        remove_prefix: str,
+        staged_subdir: str,
+        operation: str = "replace",
+        meta: dict | None = None,
+    ) -> int:
+        """Atomic partial rewrite (the compaction/promotion commit):
+        keep the parent snapshot's files except those under
+        ``remove_prefix``, plus everything staged under
+        ``staged_subdir``. Readers see either the whole old set or the
+        whole new set — never a mix."""
+        staged = self._data_files_under(staged_subdir)
+        if not staged:
+            raise ValueError(f"nothing staged under {self.root}/{staged_subdir}")
+
+        def build(parent: Manifest | None) -> list[str]:
+            base = parent.files if parent else []
+            kept = [f for f in base if not f.startswith(remove_prefix.rstrip("/") + "/")]
+            return sorted(kept + staged)
+
+        return self._commit_with_retry(build, operation, meta)
+
+    def _commit_with_retry(self, files_or_build, operation: str, meta: dict | None) -> int:
+        for _ in range(5):  # reference-style bounded retry
+            latest = self.latest_version()
+            parent = self.read_manifest(latest) if latest is not None else None
+            files = files_or_build(parent) if callable(files_or_build) else files_or_build
+            m = Manifest(
+                version=(latest or 0) + 1 if latest is not None else 1,
+                files=files,
+                operation=operation,
+                parent=latest,
+                meta=meta or {},
+            )
+            try:
+                return self._publish(m)
+            except FileExistsError:
+                continue  # someone committed our version number: re-resolve
+        raise RuntimeError(f"lost the commit race 5 times on {self.root}")
+
+    # ---------- maintenance ----------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained manifest (and
+        prune old manifests). Safe to defer arbitrarily — unreferenced
+        files are invisible to readers."""
+        vs = self.versions()
+        if not vs:
+            return []
+        keep = set(vs[-keep_versions:])
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.read_manifest(v).files)
+        removed: list[str] = []
+        for el in list_tree(self.root):
+            if el.is_dir:
+                continue
+            rel = el.path[len(self.root_path) + 1 :]
+            if rel.startswith(_MANIFEST_DIR + "/"):
+                m = _VERSION_RE.search(rel)
+                if m and int(m.group(1)) not in keep:
+                    self.fs.delete_file(el.path)
+                    removed.append(rel)
+                continue
+            if rel.endswith(".parquet") and rel not in live:
+                self.fs.delete_file(el.path)
+                removed.append(rel)
+        return removed
+
+
+def write_and_commit(
+    df: DataFrame, table: ManifestTable, mode: str = "overwrite", meta: dict | None = None
+) -> int:
+    """Write ``df`` to a fresh staging directory under the table root,
+    then publish it as one atomic snapshot commit. The staging dir name
+    is unique per attempt, so a crashed writer leaves only invisible
+    orphans for ``vacuum``."""
+    staged = f"data-{uuid.uuid4().hex[:12]}"
+    df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+    if mode == "overwrite":
+        return table.commit_overwrite(staged, meta=meta)
+    if mode == "append":
+
+        def build(parent):
+            base = parent.files if parent else []
+            return sorted(base + table._data_files_under(staged))
+
+        return table._commit_with_retry(build, "append", meta)
+    raise ValueError(f"unsupported mode {mode!r}")
+
+
+def compact_and_commit(
+    spark: SparkSession,
+    table: ManifestTable,
+    target_file_bytes: int = 100 * 1024 * 1024,
+) -> int | None:
+    """Atomic small-file compaction of a manifest table: rewrite the
+    current snapshot into ceil(total_bytes/target) files and publish as
+    one commit. Readers flip from the old file set to the new one
+    atomically — the manifest-table answer to `compact.do_auto_coalesce`
+    whose directory swap has a non-atomic window on object stores
+    (reference: Coalesce.scala:33-46 has the same window; SafetyFuse
+    only protects the writer's rerun).
+
+    Returns the committed version, or None when the snapshot is already
+    a single file (nothing to do). Old files stay until ``vacuum`` —
+    time travel keeps working.
+    """
+    m = table.read_manifest()
+    if len(m.files) < 2:
+        return None
+    import pyarrow.fs as pafs
+
+    total = 0
+    for f in m.files:
+        info = table.fs.get_file_info(f"{table.root_path}/{f}")
+        if info.type == pafs.FileType.File:
+            total += info.size or 0
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    if n >= len(m.files):
+        return None  # files already at/above target size
+    staged = f"compact-{uuid.uuid4().hex[:12]}"
+    table.read(spark).coalesce(n).write.parquet(f"{table.root}/{staged}")
+    # replace everything: keep nothing from the parent snapshot
+    def build(parent):
+        return table._data_files_under(staged)
+
+    return table._commit_with_retry(build, "compact", {"target_file_bytes": target_file_bytes})

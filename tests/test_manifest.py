@@ -1,0 +1,154 @@
+"""Manifest-committed tables: atomic snapshot publish, optimistic
+concurrency, time travel, partial replace, vacuum."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+
+
+def test_overwrite_and_read(spark, table):
+    v = write_and_commit(_df(spark, 0, 100), table)
+    assert v == 1
+    got = table.read(spark)
+    assert got.count() == 100
+    assert {r.id for r in got.collect()} == set(range(100))
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 100, 105), table)  # full overwrite
+    assert table.latest_version() == 2
+    assert {r.id for r in table.read(spark).collect()} == set(range(100, 105))
+    # v1 still readable: data files are immutable, commits never delete
+    assert {r.id for r in table.read(spark, version=1).collect()} == set(range(10))
+
+
+def test_append_unions_snapshots(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 10, 20), table, mode="append")
+    assert {r.id for r in table.read(spark).collect()} == set(range(20))
+    m = table.read_manifest()
+    assert m.operation == "append" and m.parent == 1
+
+
+def test_uncommitted_staging_invisible(spark, table):
+    """A crashed writer's files (staged but never committed) are
+    invisible to readers — the property directory swaps can't give."""
+    write_and_commit(_df(spark, 0, 10), table)
+    # simulate a crash: stage data, no commit
+    _df(spark, 500, 600).write.parquet(f"{table.root}/data-orphan")
+    assert table.read(spark).count() == 10
+    removed = table.vacuum()
+    assert any("data-orphan" in r for r in removed)
+    assert table.read(spark).count() == 10
+
+
+def test_commit_replace_is_all_or_nothing(spark, table):
+    """Compaction-style commit: new compact file replaces a prefix;
+    reader set flips from old to new with no intermediate mix."""
+    write_and_commit(_df(spark, 0, 50), table)
+    m1 = table.read_manifest()
+    # stage a compacted rewrite of the whole snapshot
+    table.read(spark).coalesce(1).write.parquet(f"{table.root}/compact-1")
+    old_prefix = m1.files[0].split("/")[0]
+    v = table.commit_replace(old_prefix, "compact-1", operation="compact")
+    m2 = table.read_manifest(v)
+    assert all(f.startswith("compact-1/") for f in m2.files)
+    assert {r.id for r in table.read(spark).collect()} == set(range(50))
+
+
+def test_version_race_one_winner(spark, table):
+    """Two committers racing: both land, on distinct versions, and the
+    final state contains both appends (optimistic retry)."""
+    write_and_commit(_df(spark, 0, 5), table)
+    errs = []
+
+    def appender(lo):
+        try:
+            write_and_commit(_df(spark, lo, lo + 5), table, mode="append")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender, args=(10,))
+    t2 = threading.Thread(target=appender, args=(20,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert table.latest_version() == 3
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(5)) | set(range(10, 15)) | set(range(20, 25))
+
+
+def test_publish_rejects_duplicate_version(spark, table):
+    write_and_commit(_df(spark, 0, 5), table)
+    # corrupt path: hand-craft a v1 re-publish
+    from octopufs_spark.manifest import Manifest
+
+    with pytest.raises(FileExistsError):
+        table._publish(Manifest(version=1, files=["nope.parquet"]))
+
+
+def test_vacuum_keeps_retained_versions(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 10, 20), table)
+    write_and_commit(_df(spark, 20, 30), table)
+    removed = table.vacuum(keep_versions=2)
+    # v1's data files + v1's manifest pruned; v2/v3 intact
+    assert removed
+    assert table.versions() == [2, 3]
+    assert {r.id for r in table.read(spark, version=2).collect()} == set(range(10, 20))
+    with pytest.raises(FileNotFoundError):
+        table.read_manifest(1)
+
+
+def test_partitioned_layout_round_trip(spark, table):
+    df = _df(spark, 0, 100).withColumn("part", (F.col("id") % 3).cast("int"))
+    staged = "data-part"
+    df.write.partitionBy("part").parquet(f"{table.root}/{staged}")
+    table.commit_overwrite(staged)
+    got = table.read(spark)
+    # partition column is encoded in the path; basePath not set, so the
+    # files read back with their data columns only — counts still match
+    assert got.count() == 100
+
+
+def test_manifest_json_shape(spark, table):
+    """The on-disk manifest is plain JSON a non-Spark reader can use."""
+    write_and_commit(_df(spark, 0, 10), table, meta={"writer": "test"})
+    with open(f"{table.root}/_manifest/v1.json") as f:
+        d = json.load(f)
+    assert d["version"] == 1
+    assert d["meta"] == {"writer": "test"}
+    assert all(f.endswith(".parquet") for f in d["files"])
+
+
+def test_compact_and_commit(spark, table):
+    from octopufs_spark.manifest import compact_and_commit
+
+    # 8 tiny files -> far below any sane target: compacts to 1
+    _df(spark, 0, 80).repartition(8).write.parquet(f"{table.root}/data-w1")
+    table.commit_overwrite("data-w1")
+    assert len(table.read_manifest().files) == 8
+    v = compact_and_commit(spark, table)
+    assert v == 2
+    m = table.read_manifest()
+    assert len(m.files) == 1 and m.operation == "compact"
+    assert {r.id for r in table.read(spark).collect()} == set(range(80))
+    # still time-travelable to the fragmented snapshot
+    assert len(table.read_manifest(1).files) == 8
+    # idempotent: single file -> nothing to do
+    assert compact_and_commit(spark, table) is None
