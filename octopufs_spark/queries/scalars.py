@@ -163,3 +163,42 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").getItem(0).cast("double").alias("first_elem"),
         F.element_at("embedding", -1).cast("double").alias("last_elem"),
     )
+
+
+@register(
+    "q_scalar_higher_order",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS n_long_words,
+       list_sort(list_transform(list_filter(string_split(text, ' '),
+                                            x -> len(x) > 6),
+                                x -> upper(x))) AS long_upper,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS BIGINT)
+         AS total_chars
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform/filter/aggregate
+    lambdas evaluated JVM-side (DuckDB twins: list_transform /
+    list_filter / list_sum). Array results sorted so the value hash is
+    order-independent."""
+    words = F.split(F.col("text"), " ")
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long_words"),
+            F.sort_array(
+                F.transform(
+                    F.filter(words, lambda x: F.length(x) > 6), lambda x: F.upper(x)
+                )
+            ).alias("long_upper"),
+            F.aggregate(
+                F.transform(words, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_chars"),
+        )
+    )

@@ -194,3 +194,54 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
     )
+
+
+@register(
+    "q_ext_retention",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(time_bucket(INTERVAL 7 DAYS, CAST(ts AS TIMESTAMP),
+                                  TIMESTAMP '2024-01-01')) AS cohort
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id,
+         time_bucket(INTERVAL 7 DAYS, CAST(ts AS TIMESTAMP),
+                     TIMESTAMP '2024-01-01') AS week
+  FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.week) / 7 AS BIGINT) AS week_n,
+       COUNT(*) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week
+    (origin-anchored 7-day buckets), counted in each subsequent week —
+    the canonical product-analytics rollup.
+
+    Two aggregations on user_id (first-week + distinct active weeks,
+    both map-side combinable) and one join that stays in the user_id
+    exchange; the final groupBy is cohort×week (tiny). At 100 TB the
+    first-activity table is the only state carried across the join and
+    it is one row per user."""
+    e = load(spark, sf_dir, "events")
+    week = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+        + (
+            (F.unix_timestamp(F.col("ts").cast("timestamp"))
+             - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
+            / (7 * 86400)
+        ).cast("long") * (7 * 86400)
+    ).cast("timestamp_ntz")
+    active = e.select("user_id", week.alias("week")).distinct()
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7).cast("long").alias("week_n"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -85,3 +85,57 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (ms - F.lag(ms).over(w)).alias("gap_ms"),
     )
+
+
+@register(
+    "q_window_range_time",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_90d
+FROM orders
+""",
+)
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-90-day spend per customer via a time-RANGE frame — the
+    value-based frame ROWS windows can't express (peers at the same day
+    aggregate together; sparse order dates still bound by calendar
+    time, not row count).
+
+    Both engines order by integer days-since-epoch so the RANGE
+    arithmetic is exact; the decimal sum keeps the result
+    order-independent. One shuffle on the partition key."""
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = Window.partitionBy("o_custkey").orderBy(day.cast("long")).rangeBetween(-90, 0)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("trailing_90d"),
+    )
+
+
+@register(
+    "q_window_percent_cume",
+    oracle="""
+SELECT s_suppkey, s_acctbal,
+       ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey), 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey), 9) AS cume
+FROM supplier
+""",
+)
+def q_window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST over a deterministic total order
+    (acctbal with suppkey tiebreak). Both are rank/count ratios —
+    exact integer divisions, rounded 9 only to absorb the engines'
+    division-order difference in (rank-1)/(n-1)."""
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
