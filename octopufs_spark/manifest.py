@@ -296,3 +296,33 @@ def compact_and_commit(
         return table._data_files_under(staged)
 
     return table._commit_with_retry(build, "compact", {"target_file_bytes": target_file_bytes})
+
+
+def promote_table_to_manifest(
+    spark: SparkSession,
+    source_table: str,
+    table: ManifestTable,
+    meta: dict | None = None,
+) -> int:
+    """Promote a catalog table into a manifest table by FILE COPY plus
+    one atomic commit — promotion semantics (bytes move, nothing is
+    recomputed or rewritten; reference: copyFilesBetweenTables,
+    Promotor.scala:114) with reader atomicity the directory-swap
+    promotor can't give. The copy fans out one file per Spark task
+    (fs/distributed.py); a failed promotion leaves only an uncommitted
+    staging dir for ``vacuum``.
+    """
+    from octopufs_spark.catalog import get_table_location
+    from octopufs_spark.fs.distributed import copy_folder
+
+    src = get_table_location(spark, source_table)
+    staged = f"promote-{uuid.uuid4().hex[:12]}"
+    results = copy_folder(spark, src, f"{table.root}/{staged}")
+    failed = [r for r in results if not r.success]
+    if failed:
+        raise RuntimeError(
+            f"promotion copy failed for {len(failed)} file(s), e.g. {failed[0].path}"
+        )
+    return table.commit_overwrite(
+        staged, operation="promote", meta={"source": source_table, **(meta or {})}
+    )

@@ -152,3 +152,23 @@ def test_compact_and_commit(spark, table):
     assert len(table.read_manifest(1).files) == 8
     # idempotent: single file -> nothing to do
     assert compact_and_commit(spark, table) is None
+
+
+def test_promote_table_to_manifest(spark, table, tmp_path):
+    from octopufs_spark.manifest import promote_table_to_manifest
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mfdb")
+    loc = tmp_path / "src_tbl"
+    _df(spark, 0, 40).repartition(3).write.option("path", str(loc)).saveAsTable(
+        "mfdb.src_tbl", mode="overwrite"
+    )
+    try:
+        v = promote_table_to_manifest(spark, "mfdb.src_tbl", table)
+        m = table.read_manifest(v)
+        assert m.operation == "promote" and m.meta["source"] == "mfdb.src_tbl"
+        assert {r.id for r in table.read(spark).collect()} == set(range(40))
+        # bytes moved, not rewritten: same file count as the source
+        assert len(m.files) == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mfdb.src_tbl")
+        spark.sql("DROP DATABASE IF EXISTS mfdb")
