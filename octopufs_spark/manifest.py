@@ -326,3 +326,38 @@ def promote_table_to_manifest(
     return table.commit_overwrite(
         staged, operation="promote", meta={"source": source_table, **(meta or {})}
     )
+
+
+def manifest_stream_writer(stream_df: DataFrame, table: ManifestTable):
+    """Stream sink: land every micro-batch as one atomic manifest
+    append commit (``foreachBatch``), giving readers exactly-once
+    VISIBLE snapshots — a plain file sink makes in-flight files
+    observable; here a batch's files appear all-or-nothing.
+
+    Exactly-once across restarts: the batch id is recorded in the
+    commit meta, and a replayed batch (checkpoint recovery re-runs the
+    last uncommitted-to-sink batch) is detected by scanning retained
+    manifests for its id and skipped — the standard idempotent
+    foreachBatch pattern, with the manifest log doubling as the
+    transaction log. Returns a DataStreamWriter; caller starts it with
+    its checkpoint location.
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        current = table.latest_version()
+        v = current
+        while v is not None:
+            m = table.read_manifest(v)
+            if m.meta.get("batch_id") == batch_id and m.operation == "stream-append":
+                return  # replayed batch: already committed
+            v = m.parent
+        staged = f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
+        batch_df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+
+        def build(parent):
+            base = parent.files if parent else []
+            return sorted(base + table._data_files_under(staged))
+
+        table._commit_with_retry(build, "stream-append", {"batch_id": batch_id})
+
+    return stream_df.writeStream.foreachBatch(commit_batch)

@@ -172,3 +172,41 @@ def test_promote_table_to_manifest(spark, table, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mfdb.src_tbl")
         spark.sql("DROP DATABASE IF EXISTS mfdb")
+
+
+def test_manifest_stream_sink_exactly_once(spark, table, tmp_path):
+    """Micro-batches land as atomic append commits; replayed batch ids
+    (fresh checkpoint, same source) commit nothing twice."""
+    from octopufs_spark import streaming
+    from octopufs_spark.manifest import manifest_stream_writer
+    from octopufs_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    src = str(tmp_path / "stream_src")
+    load(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).limit(300).repartition(3).write.mode("overwrite").parquet(src)
+
+    def run_stream(ckpt: str) -> None:
+        events = streaming.read_events_stream(spark, src)
+        q = (
+            manifest_stream_writer(events, table)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_stream("ckpt1")
+    assert table.read(spark).count() == 300
+    m = table.read_manifest()
+    assert m.operation == "stream-append" and "batch_id" in m.meta
+    n_versions = len(table.versions())
+    assert n_versions >= 2  # one commit per micro-batch
+
+    # Lose the checkpoint: the rerun replays every batch with the same
+    # ids; the manifest log is the transaction log, so every replayed
+    # commit is skipped and the table is unchanged.
+    run_stream("ckpt2")
+    assert len(table.versions()) == n_versions
+    assert table.read(spark).count() == 300
