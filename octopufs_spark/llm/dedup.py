@@ -181,9 +181,14 @@ def connected_components(
 def _connected_components_loop(
     pairs: DataFrame, a_col: str, b_col: str, max_iter: int
 ) -> DataFrame:
+    # Materialize the incoming pair list ONCE before mirroring it:
+    # the union below reads it twice, and candidate generation
+    # (exact BNLJ, LSH bucket join) is usually the most expensive
+    # plan feeding this operator — without the checkpoint it runs
+    # twice.
+    base = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).localCheckpoint()
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
