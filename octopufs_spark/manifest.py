@@ -361,3 +361,48 @@ def manifest_stream_writer(stream_df: DataFrame, table: ManifestTable):
         table._commit_with_retry(build, "stream-append", {"batch_id": batch_id})
 
     return stream_df.writeStream.foreachBatch(commit_batch)
+
+
+def promote_partitions_to_manifest(
+    spark: SparkSession,
+    source_table: str,
+    match_strings: list[str],
+    table: ManifestTable,
+    meta: dict | None = None,
+) -> int:
+    """Partition-level promotion into a manifest table: copy the files
+    of substring-matched partitions of a catalog table (reference
+    semantics: copyOverwritePartitions, Promotor.scala:259-277 —
+    replace those partitions at the target, leave the rest untouched),
+    then publish ONE commit that swaps exactly the matched partition
+    prefixes. Readers never see a half-replaced partition; a failed
+    copy aborts with nothing committed.
+    """
+    from octopufs_spark import catalog
+    from octopufs_spark.fs.distributed import copy_folder
+
+    parts = catalog.filter_partitions(spark, source_table, match_strings)
+    if not parts:
+        raise ValueError(f"no partitions of {source_table} match {match_strings}")
+    src_loc = catalog.get_table_location(spark, source_table).rstrip("/")
+    staged = f"promote-{uuid.uuid4().hex[:12]}"
+    part_names = []
+    for p in parts:
+        name = p.rstrip("/").rsplit("/", 1)[-1]  # e.g. year=2024
+        part_names.append(name)
+        results = copy_folder(spark, f"{src_loc}/{name}", f"{table.root}/{staged}/{name}")
+        failed = [r for r in results if not r.success]
+        if failed:
+            raise RuntimeError(f"copy failed for partition {name}: {failed[0].path}")
+
+    def build(parent):
+        # a file belongs to partition `year=2024` iff that path segment
+        # appears in its root-relative path (staging prefixes don't
+        # collide: they never contain '=')
+        base = parent.files if parent else []
+        kept = [f for f in base if not set(f.split("/")) & set(part_names)]
+        return sorted(kept + table._data_files_under(staged))
+
+    return table._commit_with_retry(
+        build, "promote-partitions", {"source": source_table, "partitions": part_names, **(meta or {})}
+    )

@@ -210,3 +210,40 @@ def test_manifest_stream_sink_exactly_once(spark, table, tmp_path):
     run_stream("ckpt2")
     assert len(table.versions()) == n_versions
     assert table.read(spark).count() == 300
+
+
+def test_promote_partitions_to_manifest(spark, table, tmp_path):
+    """Partition swap: only matched partitions are replaced, siblings
+    keep their files, and the flip is one commit."""
+    from octopufs_spark.manifest import promote_partitions_to_manifest
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mfdb2")
+    loc = tmp_path / "src_part_tbl"
+    src = _df(spark, 0, 60).withColumn("year", (2020 + F.col("id") % 3).cast("int"))
+    src.write.partitionBy("year").option("path", str(loc)).saveAsTable(
+        "mfdb2.src_part", mode="overwrite"
+    )
+    try:
+        # seed the manifest table with ALL partitions
+        staged = "data-full"
+        spark.table("mfdb2.src_part").write.partitionBy("year").parquet(
+            f"{table.root}/{staged}"
+        )
+        table.commit_overwrite(staged)
+        before = table.read_manifest().files
+        kept_2021 = {f for f in before if "year=2021" in f}
+
+        # rewrite year=2020 at the source, promote only that partition
+        v = promote_partitions_to_manifest(spark, "mfdb2.src_part", ["year=2020"], table)
+        m = table.read_manifest(v)
+        assert m.operation == "promote-partitions"
+        assert m.meta["partitions"] == ["year=2020"]
+        # 2021 files untouched (identical paths), 2020 files replaced
+        assert kept_2021 <= set(m.files)
+        assert not ({f for f in before if "year=2020" in f} & set(m.files))
+        # content: still the full id range (year col lives in paths;
+        # read back row count per partition unchanged)
+        assert table.read(spark).count() == 60
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mfdb2.src_part")
+        spark.sql("DROP DATABASE IF EXISTS mfdb2")
