@@ -417,3 +417,35 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"), dsum("o_totalprice", "sum_price")
     )
+
+
+@register(
+    "q_agg_unpivot",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value
+FROM s UNPIVOT (value FOR metric IN (total_price, n_orders, n_customers))
+""",
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-priority metrics to long
+    (priority, metric, value) — the inverse of q_agg_pivot. Spark's
+    unpivot is a zero-shuffle Expand over the aggregate."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        F.count("*").cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return s.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_price", "n_orders", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

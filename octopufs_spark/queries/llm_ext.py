@@ -607,3 +607,56 @@ def q_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(F.col("l_returnflag")).agg(
         wmedian("l_extendedprice", "l_quantity").alias("weighted_median")
     )
+
+
+@register(
+    "q_ext_multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
+       'text/plain' AS media_type
+FROM documents
+""",
+)
+def q_ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing: binary payloads through the Arrow-batched
+    mapInPandas resize operator (codec faked — payload passes through,
+    metadata reflects the target; see llm/multimodal.py). The oracle
+    pins the metadata contract: payload byte-length preserved, target
+    dimensions stamped, schema stable."""
+    media = multimodal.documents_as_media(load(spark, sf_dir, "documents"))
+    out = multimodal.resize_media(media, 224, 224, fake=True)
+    return out.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.col("width"),
+        F.col("height"),
+        "media_type",
+    )
+
+
+@register(
+    "q_ext_multimodal_frames",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, CAST(greatest(ceil(n / 128.0), 1) AS BIGINT))) AS BIGINT) AS frame_no,
+       CAST(least(128, n - CAST(unnest(range(0, CAST(greatest(ceil(n / 128.0), 1) AS BIGINT))) AS BIGINT) * 128) AS BIGINT) AS frame_bytes
+FROM m
+""",
+)
+def q_ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: one payload row → N frame rows through
+    the cardinality-expanding mapInPandas operator (every 128 bytes
+    stands in for a decoded frame). The oracle reproduces the slicing
+    arithmetic exactly — frame numbering and per-frame byte counts —
+    so the expansion shape is hash-checked even with the codec faked."""
+    media = multimodal.documents_as_media(load(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, every_n_bytes=128, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.octet_length("payload").cast("long").alias("frame_bytes"),
+    )

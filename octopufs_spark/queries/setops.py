@@ -64,3 +64,40 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.subtract(o)  # subtract == EXCEPT DISTINCT
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity <= 25
+INTERSECT ALL
+SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity >= 20
+""",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each row kept
+    min(count_left, count_right) times), the bag semantics plain
+    INTERSECT's dedup destroys. Spark plans it as a count-matching
+    aggregate, one shuffle per side."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    a = li.where(F.col("l_quantity") <= 25)
+    b = li.where(F.col("l_quantity") >= 20)
+    return a.intersectAll(b)
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity <= 25
+EXCEPT ALL
+SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity >= 20
+""",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (left multiplicity minus right
+    multiplicity, floored at zero); the reference's folder-diff is the
+    distinct special case (Delta.scala:47-48)."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    a = li.where(F.col("l_quantity") <= 25)
+    b = li.where(F.col("l_quantity") >= 20)
+    return a.exceptAll(b)
