@@ -660,3 +660,37 @@ def q_ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         F.octet_length("payload").cast("long").alias("frame_bytes"),
     )
+
+
+@register(
+    "q_ext_embed_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x)))), 6) AS avg_norm,
+       ROUND(MIN(list_aggregate(CAST(embedding AS DOUBLE[]), 'min')), 6) AS min_component,
+       ROUND(MAX(list_aggregate(CAST(embedding AS DOUBLE[]), 'max')), 6) AS max_component
+FROM embeddings GROUP BY label
+""",
+)
+def q_ext_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health stats per label: vector counts, mean L2
+    norm, extreme components — the sanity pass run before any
+    similarity work (catches unnormalized batches, NaN explosions,
+    truncated vectors).
+
+    Norms via JVM higher-order fold (identical sequential accumulation
+    to DuckDB's list_sum), rounded 6 to absorb float->double cast
+    noise. One narrow aggregation; no Python."""
+    from octopufs_spark.llm.similarity import dot
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return v.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.sqrt(dot(F.col("emb"), F.col("emb")))), 6).alias("avg_norm"),
+        F.round(F.min(F.array_min("emb")), 6).alias("min_component"),
+        F.round(F.max(F.array_max("emb")), 6).alias("max_component"),
+    )

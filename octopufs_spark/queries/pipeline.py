@@ -252,3 +252,56 @@ def q_ext_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_words").between(30, 120)
         & (F.col("dup_ratio") < 0.6)
     ).select("doc_id", "n_words", "dup_ratio")
+
+
+@register(
+    "q_ext_fuzzy_levenshtein",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, 40) AS prefix,
+         n_chars // 100 AS len_bucket
+  FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+""",
+)
+def q_ext_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: Levenshtein distance on 40-char prefixes,
+    candidates restricted to (lang, length-bucket) blocks — the classic
+    blocking+edit-distance near-dup pass for short fields (titles,
+    names, URLs).
+
+    Blocking is what makes this scale: the quadratic edit-distance
+    work happens only inside blocks (equi-join keys → hash join), never
+    across the corpus. Edit distance itself is exact and
+    engine-portable. At 100 TB block keys need cardinality tuning
+    (add a prefix-hash char to split hot blocks) — same skew playbook
+    as the n-gram inverted index."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            "lang",
+            F.substring("text", 1, 40).alias("prefix"),
+            # integer floor division on BOTH sides — a double divide +
+            # cast truncates in Spark but rounds in DuckDB
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).cast("long").alias("edit_dist"),
+    )
+    return pairs.where(F.col("edit_dist") <= 20)

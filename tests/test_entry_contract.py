@@ -24,7 +24,7 @@ def test_oracles_subset_of_queries():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 124  # inventory floor: don't silently lose queries
+    assert len(q) >= 126  # inventory floor: don't silently lose queries
     # weak (rows-only) set stays small and intentional
     weak = set(q) - set(o)
     assert weak <= {

@@ -33,4 +33,4 @@ def test_all_oracles_match_duckdb(spark):
     assert not failures, f"{len(failures)} oracle mismatches: {failures}"
     # Inventory floor on the hard-verified set: don't silently demote
     # oracle-backed queries to weak.
-    assert n_pass >= 117
+    assert n_pass >= 119
