@@ -127,7 +127,12 @@ def minhash_near_dup_pairs(
     tf = HashingTF(
         inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
     )
-    featurized = tf.transform(ng.transform(tok.transform(df.select(id_col, text_col))))
+    # materialize the featurization once: the LSH self-join below reads
+    # it from BOTH sides, and tokenize→shingle→hashingTF is the
+    # expensive half of this operator
+    featurized = tf.transform(
+        ng.transform(tok.transform(df.select(id_col, text_col)))
+    ).localCheckpoint()
     mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
     model = mh.fit(featurized)
     joined = model.approxSimilarityJoin(featurized, featurized, threshold, distCol="jaccard_dist")
