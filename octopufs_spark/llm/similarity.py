@@ -90,6 +90,133 @@ def cosine_near_dup_pairs(
     )
 
 
+def _collect_block(
+    vecs: DataFrame, id_col: str, vec_col: str, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collect a BOUNDED vector block to the driver (ids, matrix, norms).
+
+    Raises if the block exceeds ``cap`` — this is the broadcast side of
+    a block-broadcast scorer and must stay small (an eval/query set,
+    not a corpus). Same bounded-collect contract as the IVF fit sample.
+    """
+    rows = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb")
+    ).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"broadcast block exceeds cap={cap} rows; use the LSH/IVF ANN "
+            "path for corpus-vs-corpus similarity"
+        )
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    m = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    norms = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-300)
+    return ids, m, norms
+
+
+def cosine_topk_broadcast(
+    index: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 100_000,
+) -> DataFrame:
+    """Exact cosine top-k of a bounded query block against a corpus,
+    with the scale-correct plan shape: queries are collected once
+    (bounded by ``query_cap``), broadcast to every task, and the corpus
+    streams through ``mapInPandas`` — one numpy matmul per Arrow batch,
+    a per-batch partial top-k, then one tiny global top-k window over
+    ≤ n_batches·n_queries·k candidate rows.
+
+    No pair-product join exists in the plan: corpus bytes are read
+    once, never shuffled against themselves (the shuffle carries only
+    partial top-k triples). This is how exact scoring survives 100 TB —
+    broadcast the small side, shard the big side — and it replaces the
+    all-pairs self-join (``cosine_topk_exact``, now the pytest-only
+    recall verifier). ``queries=None`` means self-kNN over ``index``
+    (self-pairs excluded). Returns [vec_a, vec_b, cos_sim, rn].
+    """
+    from pyspark.sql.window import Window
+
+    spark = index.sparkSession
+    qids, qm, qnorm = _collect_block(queries if queries is not None else index,
+                                     id_col, vec_col, query_cap)
+    bc = spark.sparkContext.broadcast((qids, qm / qnorm[:, None]))
+
+    def score(batches):
+        b_qids, b_qm = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["emb"].to_numpy())
+            inorm = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-300)
+            sims = b_qm @ (m / inorm[:, None]).T  # (n_q, batch)
+            iids = pdf["vid"].to_numpy()
+            kk = min(k + 1, sims.shape[1])  # +1 absorbs the self pair
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_a, out_b, out_s = [], [], []
+            for r in range(sims.shape[0]):
+                for c in part[r]:
+                    if iids[c] != b_qids[r]:
+                        out_a.append(b_qids[r])
+                        out_b.append(int(iids[c]))
+                        out_s.append(round(float(sims[r, c]), 6))
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s})
+
+    v = index.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("emb")
+    )
+    partial = v.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return partial.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= k
+    )
+
+
+def cosine_near_dup_pairs_broadcast(
+    index: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 100_000,
+) -> DataFrame:
+    """Exact above-threshold cosine pairs (vec_a < vec_b) of a bounded
+    block against itself, broadcast-block shaped: one matmul per Arrow
+    batch of the streamed side, threshold applied inside the batch, no
+    pair-product join in the plan (cf. ``cosine_topk_broadcast``).
+
+    Replaces the all-pairs self-join registration of
+    ``cosine_near_dup_pairs`` (kept as the pytest recall verifier).
+    For corpus-vs-corpus near-dup at scale use
+    ``cosine_near_dup_pairs_ann``. Returns [vec_a, vec_b, cos_sim].
+    """
+    spark = index.sparkSession
+    qids, qm, qnorm = _collect_block(index, id_col, vec_col, query_cap)
+    bc = spark.sparkContext.broadcast((qids, qm / qnorm[:, None]))
+
+    def score(batches):
+        b_qids, b_qm = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["emb"].to_numpy())
+            inorm = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-300)
+            sims = b_qm @ (m / inorm[:, None]).T  # (n_q, batch)
+            iids = pdf["vid"].to_numpy()
+            # vec_a < vec_b keeps each unordered pair exactly once even
+            # though the broadcast block and the stream are the same set
+            qa, ic = np.nonzero(np.round(sims, 6) >= threshold)
+            keep = b_qids[qa] < iids[ic]
+            yield pd.DataFrame(
+                {
+                    "vec_a": b_qids[qa[keep]],
+                    "vec_b": iids[ic[keep]].astype("int64"),
+                    "cos_sim": np.round(sims[qa[keep], ic[keep]], 6),
+                }
+            )
+
+    v = index.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("emb")
+    )
+    return v.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+
+
 def hyperplane_lsh_buckets(
     vecs: DataFrame,
     dim: int,

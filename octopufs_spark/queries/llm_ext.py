@@ -67,9 +67,13 @@ SELECT vec_a, vec_b, cos_sim, rn FROM (
 """,
 )
 def q_ext_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for vec_id<50 (brute-force baseline)."""
+    """Exact cosine top-5 neighbors for vec_id<50, broadcast-block
+    shaped: the bounded query block is broadcast and the corpus streams
+    through one matmul per Arrow batch — no pair-product join in the
+    plan (the all-pairs self-join ``cosine_topk_exact`` is now the
+    pytest-only verifier)."""
     vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
-    return similarity.cosine_topk_exact(vecs, k=5)
+    return similarity.cosine_topk_broadcast(vecs, k=5)
 
 
 @register(
@@ -89,9 +93,11 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) /
 def q_ext_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
     synthetic embeddings have no true near-dups, so the threshold sits
-    in the upper tail of the actual similarity distribution)."""
+    in the upper tail of the actual similarity distribution).
+    Broadcast-block shaped: exact values, but no all-pairs join in the
+    plan (see ``cosine_near_dup_pairs_broadcast``)."""
     vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return similarity.cosine_near_dup_pairs(vecs, threshold=0.35)
+    return similarity.cosine_near_dup_pairs_broadcast(vecs, threshold=0.35)
 
 
 @register("q_ext_ann_lsh", oracle=None)  # weak: approximate, plane-seed-specific
@@ -497,11 +503,13 @@ FROM labels GROUP BY cluster_id
 def q_ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end: embedding-cosine candidate pairs →
     connected components → one canonical (min-id) document per
-    cluster. The full composition a training-data pipeline runs:
-    candidate generation (LSH/IVF at scale, exact here) piped into the
-    distributed clustering operator."""
+    cluster. The full composition a training-data pipeline runs.
+    Candidate generation is the broadcast-block exact scorer (no
+    pair-product join; the corpus-vs-corpus scale twin is
+    q_ext_dedup_semantic_ann) piped into the distributed clustering
+    operator."""
     vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    pairs = similarity.cosine_near_dup_pairs(vecs, threshold=0.3).select(
+    pairs = similarity.cosine_near_dup_pairs_broadcast(vecs, threshold=0.3).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     labels = dedup.connected_components(pairs, partitions=4)

@@ -170,9 +170,10 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS n_long_words,
-       list_sort(list_transform(list_filter(string_split(text, ' '),
-                                            x -> len(x) > 6),
-                                x -> upper(x))) AS long_upper,
+       COALESCE(array_to_string(list_sort(list_transform(list_filter(string_split(text, ' '),
+                                                                     x -> len(x) > 6),
+                                                         x -> upper(x))), ' '),
+                '') AS long_upper,
        CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS BIGINT)
          AS total_chars
 FROM documents WHERE doc_id < 200
@@ -181,8 +182,9 @@ FROM documents WHERE doc_id < 200
 def q_scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions — transform/filter/aggregate
     lambdas evaluated JVM-side (DuckDB twins: list_transform /
-    list_filter / list_sum). Array results sorted so the value hash is
-    order-independent."""
+    list_filter / list_sum). Array results are sorted then joined to a
+    single string: order-independent AND hashable by harnesses that
+    canonicalize via pandas sort_values (raw list cells are not)."""
     words = F.split(F.col("text"), " ")
     return (
         load(spark, sf_dir, "documents")
@@ -190,10 +192,14 @@ def q_scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long_words"),
-            F.sort_array(
-                F.transform(
-                    F.filter(words, lambda x: F.length(x) > 6), lambda x: F.upper(x)
-                )
+            F.array_join(
+                F.sort_array(
+                    F.transform(
+                        F.filter(words, lambda x: F.length(x) > 6),
+                        lambda x: F.upper(x),
+                    )
+                ),
+                " ",
             ).alias("long_upper"),
             F.aggregate(
                 F.transform(words, lambda x: F.length(x).cast("long")),

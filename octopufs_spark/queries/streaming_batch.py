@@ -236,10 +236,10 @@ WITH stage_times AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS did_signup,
-       SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS signup_then_click,
-       SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
-                THEN 1 ELSE 0 END) AS full_funnel
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS did_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS signup_then_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
 FROM stage_times
 """,
 )

@@ -218,6 +218,45 @@ def test_semantic_ann_clusters_match_exact(spark):
     assert len(ann_cl & exact_cl) / len(exact_cl) >= 0.9
 
 
+def test_broadcast_topk_equals_all_pairs(spark):
+    """The broadcast-block exact scorer (registered plan shape: no
+    pair-product join) returns exactly the all-pairs self-join's top-k,
+    including rounded scores and vec_b tie-breaks."""
+    vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 40)
+    exact = sorted(
+        (r.vec_a, r.rn, r.vec_b, r.cos_sim)
+        for r in similarity.cosine_topk_exact(vecs, k=5).collect()
+    )
+    bcast = sorted(
+        (r.vec_a, r.rn, r.vec_b, r.cos_sim)
+        for r in similarity.cosine_topk_broadcast(vecs, k=5).collect()
+    )
+    assert bcast == exact
+
+
+def test_broadcast_pairs_equal_all_pairs(spark):
+    """Broadcast-block threshold pairs == all-pairs self-join pairs."""
+    vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 80)
+    exact = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in similarity.cosine_near_dup_pairs(vecs, threshold=0.3).collect()
+    }
+    bcast = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in similarity.cosine_near_dup_pairs_broadcast(vecs, threshold=0.3).collect()
+    }
+    assert exact  # threshold chosen inside the observed sim range
+    assert bcast == exact
+
+
+def test_broadcast_block_cap_enforced(spark):
+    """The broadcast side is contractually bounded: exceeding the cap
+    raises instead of silently collecting a corpus to the driver."""
+    vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 40)
+    with pytest.raises(ValueError, match="cap"):
+        similarity.cosine_topk_broadcast(vecs, k=3, query_cap=10)
+
+
 def test_chunk_tokens_reassembly(spark):
     """Chunks cover every token; consecutive chunks overlap by exactly
     `overlap` tokens; stride positions are correct."""

@@ -46,6 +46,78 @@ def normalize(rows: list[tuple], cols: list[str]):
     return sorted(out), [cols[i] for i in order]
 
 
+_SPARK_KIND = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "bytes",
+}
+
+_DUCK_KIND = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "UTINYINT": "int",
+    "USMALLINT": "int",
+    "UINTEGER": "int",
+    # HUGEINT/UBIGINT deliberately NOT mapped to "int": the driver's
+    # pandas canonicalizer renders them as a different dtype than
+    # Spark's int64, so they must flag locally too (round-2
+    # q_stream_funnel lesson — bare SUM(int) in DuckDB is HUGEINT).
+    "HUGEINT": "int128",
+    "UBIGINT": "uint64",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "BLOB": "bytes",
+}
+
+
+def schema_kinds(spark_dtypes, duck_types, duck_cols):
+    """Map both engines' column types onto one comparable kind space.
+
+    Returns (spark_kinds, duck_kinds, unhashable) keyed by column
+    name.  Complex types (array/map/struct/list) map to
+    'UNHASHABLE:<type>' — the driver's pandas sort_values
+    canonicalizer crashes on them (round-2 q_scalar_higher_order
+    lesson), so any such output column is an automatic local FAIL.
+    """
+    sk: dict[str, str] = {}
+    unhashable: list[str] = []
+    for c, t in spark_dtypes:
+        if t.startswith("decimal"):
+            # precision is irrelevant to a value hash; scale is not
+            sk[c] = "decimal(s=%s)" % t.replace(" ", "").rstrip(")").rsplit(",", 1)[-1]
+        elif t.startswith(("array", "map", "struct")):
+            sk[c] = f"UNHASHABLE:{t}"
+            unhashable.append(c)
+        else:
+            sk[c] = _SPARK_KIND.get(t, t)
+    dk: dict[str, str] = {}
+    for c, t in zip(duck_cols, duck_types):
+        ts = str(t).upper()
+        if ts.startswith("DECIMAL"):
+            dk[c] = "decimal(s=%s)" % ts.replace(" ", "").rstrip(")").rsplit(",", 1)[-1]
+        elif ts.startswith(("STRUCT", "MAP", "UNION")) or "[]" in ts:
+            dk[c] = f"UNHASHABLE:{ts}"
+            unhashable.append(c)
+        else:
+            dk[c] = _DUCK_KIND.get(ts, ts)
+    return sk, dk, unhashable
+
+
 def sweep(
     spark,
     sf_dir: str,
@@ -92,6 +164,7 @@ def sweep(
         try:
             res = con.sql(oracles[name])
             ocols = res.columns
+            otypes = res.types
             orows = [tuple(r) for r in res.fetchall()]
         except Exception:
             msg = f"duckdb error\n{traceback.format_exc()}"
@@ -103,6 +176,14 @@ def sweep(
         msgs = []
         if s_cols != o_cols:
             msgs.append(f"cols spark={s_cols} duck={o_cols}")
+        sk, dk, unhashable = schema_kinds(sdf.dtypes, otypes, ocols)
+        if unhashable:
+            msgs.append(f"unhashable output columns (driver canonicalizer crashes): {sorted(set(unhashable))}")
+        kind_diffs = {
+            c: (sk[c], dk[c]) for c in sk if c in dk and sk[c] != dk[c]
+        }
+        if kind_diffs:
+            msgs.append(f"dtype kind mismatch (driver hash would differ): {kind_diffs}")
         if len(s_norm) != len(o_norm):
             msgs.append(f"rowcount spark={len(s_norm)} duck={len(o_norm)}")
         elif s_norm != o_norm:
