@@ -101,6 +101,29 @@ class ManifestTable:
             raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
         return spark.read.parquet(*paths)
 
+    def register_view(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> int:
+        """Expose a committed snapshot in the session catalog so
+        ``spark.table(name)`` (and SQL over ``name``) resolves it —
+        closing the addressing gap between Promotor-style catalog
+        tables and manifest tables.
+
+        The view pins the file list of the registered version (latest
+        by default): new commits do NOT leak in mid-query, and a
+        concurrent writer can't flip the snapshot under a reader.
+        Re-call after a commit to advance, or pass ``version`` for a
+        time-traveled registration. Returns the registered version.
+
+        Spark's public API has no pluggable catalog-table hook short of
+        a JVM DataSource V2, so the shim is a (replaceable) temp view —
+        the same mechanism ``spark.read.parquet(...)`` users reach for,
+        but centralized and version-aware.
+        """
+        m = self.read_manifest(version)
+        self.read(spark, m.version).createOrReplaceTempView(name)
+        return m.version
+
     # ---------- write side ----------
 
     def _publish(self, manifest: Manifest) -> int:
