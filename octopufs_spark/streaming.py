@@ -173,6 +173,61 @@ def clicks_purchases_join(
     )
 
 
+def read_kafka_events(
+    spark,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka event stream: JSON-encoded events on ``topic`` decoded
+    into the same schema as the file source, so every transformation
+    in this module composes with either source unchanged.
+
+    The production entry point (a file stream is the test harness's
+    stand-in); requires the spark-sql-kafka connector on the JVM
+    classpath (``spark.jars.packages=org.apache.spark:
+    spark-sql-kafka-0-10_2.13:<spark version>``), which this sandbox
+    doesn't ship — the env-gated integration test skips cleanly
+    without it. Offsets/partitions map 1:1 onto Spark tasks, so
+    parallelism follows the topic's partition count.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_STREAM_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def write_kafka(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+):
+    """Kafka sink: rows serialized to JSON values (optionally keyed by
+    ``key_col`` for log-compaction / partition affinity). Returns the
+    DataStreamWriter; caller ``.start()``s it."""
+    cols = [F.to_json(F.struct("*")).alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return (
+        stream_df.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "append"):
     """Start the stream into an in-memory table and return the query
     handle; callers awaitTermination/processAllAvailable then read
