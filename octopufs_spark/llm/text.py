@@ -104,6 +104,37 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PII_PATTERNS = {
+    # ASCII-only patterns chosen to mean the same thing under Java
+    # regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ ]+",
+    "id_number": r"[0-9]{6,}",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, URLs and long digit runs from a text column —
+    the standard pre-training privacy pass (C4/Dolma-style rules as
+    regex classes). Adds ``scrubbed`` plus an ``n_<class>`` count per
+    class, all JVM-side (regexp_extract_all / regexp_replace in one
+    codegen stage, no Python).
+
+    Order matters: URLs are redacted before id_numbers so a digit run
+    inside a URL counts once as URL, not again as an id; counts are
+    taken on the same partially-scrubbed intermediate the replacement
+    sees, keeping counts and redactions consistent.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))).cast("long")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)
+
+
 def clean_text_udf():
     """Arrow-batched text normalization: lowercase + strip non-[a-z0-9 ].
 

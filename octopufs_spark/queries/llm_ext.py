@@ -539,6 +539,86 @@ def q_ext_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_pii_scrub",
+    oracle="""
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com visit https://site.example/p/'
+              || CAST(doc_id AS VARCHAR) || ' id ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+           AS t
+  FROM documents
+), t1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM t0
+), t2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+         regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS t
+  FROM t1
+)
+SELECT doc_id, n_email, n_url,
+       CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_id_number,
+       regexp_replace(t, '[0-9]{6,}', '<ID_NUMBER>', 'g') AS scrubbed
+FROM t2
+""",
+)
+def q_ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / URLs / long digit runs → placeholders)
+    with per-class counts — the standard pre-training privacy pass.
+    The fixture text is synthetic word soup, so deterministic PII is
+    appended identically in both engines before scrubbing; the
+    operator itself (llm/text.py::scrub_pii) is input-agnostic.
+    All JVM regexp — one codegen stage, no shuffle."""
+    from octopufs_spark.llm.text import scrub_pii
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com visit https://site.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" id "),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(d).select(
+        "doc_id", "n_email", "n_url", "n_id_number", "scrubbed"
+    )
+
+
+@register(
+    "q_ext_length_hist",
+    oracle="""
+SELECT LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 9) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+""",
+)
+def q_ext_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets, top-coded at 9) —
+    the first corpus-analysis op run on any new crawl. Single
+    map-side-combinable aggregate on a derived key; no skew risk
+    (bucket count is fixed)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@register(
     "q_udaf_grouped_agg",
     oracle="""
 SELECT l_returnflag,

@@ -218,6 +218,20 @@ def test_semantic_ann_clusters_match_exact(spark):
     assert len(ann_cl & exact_cl) / len(exact_cl) >= 0.9
 
 
+def test_scrub_pii_counts_and_redaction(spark):
+    """Each PII class is counted and redacted; a digit run inside a URL
+    is consumed by the URL pass (counted once); short digit runs stay."""
+    from octopufs_spark.llm import text
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c@mail.ex.com or https://x.y/z?id=9999999 code 1234567 short 123")],
+        "doc_id long, text string",
+    )
+    r = text.scrub_pii(df).collect()[0]
+    assert (r.n_email, r.n_url, r.n_id_number) == (1, 1, 1)
+    assert r.scrubbed == "mail <EMAIL> or <URL> code <ID_NUMBER> short 123"
+
+
 def test_broadcast_topk_equals_all_pairs(spark):
     """The broadcast-block exact scorer (registered plan shape: no
     pair-product join) returns exactly the all-pairs self-join's top-k,
