@@ -592,6 +592,72 @@ def q_ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_merge_upsert",
+    oracle="""
+WITH orders_d AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+), changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(ROUND(o_totalprice * CAST('1.1' AS DECIMAL(2,1)), 2) AS DECIMAL(18,2))
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders_d WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders_d WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT * FROM orders_d o
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM changes
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice) AS total_price
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (CDC upsert): a deterministic changeset (every
+    7th order updated with status 'U' and +10% price, every 97th
+    inserted under a shifted key with status 'N') merged into orders
+    via merge.merge_upsert — one anti-join shuffle on the key,
+    changeset broadcast by AQE. Money math is decimal end-to-end so
+    the post-merge rollup (which makes updates, inserts and
+    carried-forward rows all participate in the hash) is exact in both
+    engines. The manifest-atomic variant (merge_upsert_manifest) is
+    pytest-verified."""
+    from octopufs_spark.merge import merge_upsert
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    updates = o.where(F.col("o_orderkey") % 7 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.round(
+                F.col("o_totalprice") * F.lit("1.1").cast("decimal(2,1)"), 2
+            ).cast("decimal(18,2)"),
+        }
+    )
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).withColumns(
+        {
+            "o_orderkey": F.col("o_orderkey") + 1000000000,
+            "o_orderstatus": F.lit("N"),
+        }
+    )
+    merged = merge_upsert(o, updates.unionByName(inserts), keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
     "q_ext_length_hist",
     oracle="""
 SELECT LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 9) AS bucket,

@@ -208,6 +208,26 @@ def test_register_view_spark_table_and_time_travel(spark, table, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS mfdb3")
 
 
+def test_merge_upsert_manifest_atomic(spark, table):
+    """Row-level MERGE into a manifest table: updates replace matched
+    keys, inserts appear, untouched rows carry forward — all in ONE
+    commit, with the pre-merge snapshot still time-travelable."""
+    from octopufs_spark.merge import merge_upsert, merge_upsert_manifest
+
+    v1 = write_and_commit(_df(spark, 0, 10), table)  # v = id*2
+    changes = spark.range(8, 13).withColumn("v", F.col("id") * 100)
+    v2 = merge_upsert_manifest(spark, table, changes, keys=["id"])
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert got == {**{i: i * 2 for i in range(8)}, **{i: i * 100 for i in range(8, 13)}}
+    m = table.read_manifest(v2)
+    assert m.operation == "merge" and m.meta["keys"] == ["id"]
+    # pre-merge snapshot intact
+    assert {r.id for r in table.read(spark, version=v1).collect()} == set(range(10))
+    # schema mismatch is refused before any write
+    with pytest.raises(ValueError, match="schema"):
+        merge_upsert(table.read(spark), spark.range(3), keys=["id"])
+
+
 def test_manifest_stream_sink_exactly_once(spark, table, tmp_path):
     """Micro-batches land as atomic append commits; replayed batch ids
     (fresh checkpoint, same source) commit nothing twice."""
