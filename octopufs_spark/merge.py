@@ -23,13 +23,20 @@ from pyspark.sql import DataFrame, SparkSession
 from octopufs_spark.manifest import ManifestTable
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    deletes: DataFrame | None = None,
+) -> DataFrame:
     """Relational MERGE: rows of ``source`` win on key collision,
-    unmatched ``target`` rows are kept (insert + update, no delete).
+    unmatched ``target`` rows are kept; keys present in ``deletes``
+    (a key-columns-only DataFrame) are removed — the full CDC
+    insert/update/delete triple.
 
-    Columns must match; the result is ``target ANTI JOIN source ON
-    keys UNION ALL source``. Broadcast of the changeset is left to
-    Catalyst/AQE (changesets are small; a 100 TB target never
+    Columns must match; the result is ``target ANTI JOIN (source keys
+    ∪ delete keys) UNION ALL source``. Broadcast of the changeset is
+    left to Catalyst/AQE (changesets are small; a 100 TB target never
     re-shuffles more than once, on the merge keys).
     """
     if set(target.columns) != set(source.columns):
@@ -37,7 +44,10 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
             f"schema mismatch: target {sorted(target.columns)} vs "
             f"source {sorted(source.columns)}"
         )
-    kept = target.join(source.select(*keys), keys, "left_anti")
+    gone = source.select(*keys)
+    if deletes is not None:
+        gone = gone.unionByName(deletes.select(*keys))
+    kept = target.join(gone, keys, "left_anti")
     return kept.unionByName(source)
 
 
@@ -46,6 +56,7 @@ def merge_upsert_manifest(
     table: ManifestTable,
     source: DataFrame,
     keys: list[str],
+    deletes: DataFrame | None = None,
 ) -> int:
     """MERGE a changeset into a manifest table atomically: read the
     current snapshot, apply :func:`merge_upsert`, stage the merged
@@ -54,7 +65,7 @@ def merge_upsert_manifest(
     leaves only an uncommitted staging dir for ``vacuum``."""
     import uuid
 
-    merged = merge_upsert(table.read(spark), source, keys)
+    merged = merge_upsert(table.read(spark), source, keys, deletes=deletes)
     staged = f"merge-{uuid.uuid4().hex[:12]}"
     merged.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
     return table.commit_overwrite(staged, operation="merge", meta={"keys": keys})

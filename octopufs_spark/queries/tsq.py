@@ -197,6 +197,55 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ts_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         value, ts, event_id
+  FROM events
+), r AS (
+  SELECT user_id, hour, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, hour ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT user_id, hour,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+       MIN(value) AS low_v,
+       MAX(value) AS high_v,
+       COUNT(*) AS n_events
+FROM r GROUP BY user_id, hour
+""",
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close per user per hour) — the
+    classic hypertable resample for tick-style data. First/last are
+    made deterministic by a total (ts, event_id) order via two
+    row_number windows that share one (user_id, hour)-rooted exchange;
+    min/max/count ride the same hash aggregate. No value arithmetic,
+    so doubles compare exactly across engines."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour"), "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "hour")
+    r = e.select(
+        "user_id",
+        "hour",
+        "value",
+        F.row_number().over(w.orderBy(F.asc("ts"), F.asc("event_id"))).alias("rn_a"),
+        F.row_number().over(w.orderBy(F.desc("ts"), F.desc("event_id"))).alias("rn_d"),
+    )
+    return r.groupBy("user_id", "hour").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+        F.min("value").alias("low_v"),
+        F.max("value").alias("high_v"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
     "q_ext_retention",
     oracle="""
 WITH f AS (

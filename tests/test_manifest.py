@@ -226,6 +226,17 @@ def test_merge_upsert_manifest_atomic(spark, table):
     # schema mismatch is refused before any write
     with pytest.raises(ValueError, match="schema"):
         merge_upsert(table.read(spark), spark.range(3), keys=["id"])
+    # CDC deletes: keys in the delete set vanish in the same commit
+    v3 = merge_upsert_manifest(
+        spark,
+        table,
+        _df(spark, 20, 22),
+        keys=["id"],
+        deletes=spark.range(0, 3),
+    )
+    got = {r.id for r in table.read(spark).collect()}
+    assert got == (set(range(3, 13)) | {20, 21})
+    assert table.read_manifest(v3).operation == "merge"
 
 
 def test_manifest_stream_sink_exactly_once(spark, table, tmp_path):
