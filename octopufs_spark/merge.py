@@ -19,6 +19,7 @@ Delta/Iceberg COW).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from octopufs_spark.manifest import ManifestTable
 
@@ -49,6 +50,47 @@ def merge_upsert(
         gone = gone.unionByName(deletes.select(*keys))
     kept = target.join(gone, keys, "left_anti")
     return kept.unionByName(source)
+
+
+def merge_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 MERGE: history is preserved as
+    validity intervals instead of overwritten.
+
+    ``target`` rows carry [``valid_from``, ``valid_to``) with NULL
+    ``valid_to`` marking the current version. ``source`` rows carry the
+    business columns plus ``valid_from`` (the change time; one change
+    per key per batch). Matched keys' current rows are CLOSED
+    (``valid_to`` := source change time), every source row is appended
+    as the new open version, and historical rows pass through
+    untouched. One shuffle of the target on the merge keys; the
+    changeset broadcasts.
+    """
+    expected = set(target.columns) - {valid_to}
+    if set(source.columns) != expected:
+        raise ValueError(
+            f"source must have target's columns minus {valid_to!r}: "
+            f"expected {sorted(expected)}, got {sorted(source.columns)}"
+        )
+    change_at = source.select(*keys, F.col(valid_from).alias("_change_at"))
+    closed = (
+        target.join(change_at, keys, "left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col("_change_at").isNotNull() & F.col(valid_to).isNull(),
+                F.col("_change_at"),
+            ).otherwise(F.col(valid_to)),
+        )
+        .drop("_change_at")
+    )
+    new_open = source.withColumn(valid_to, F.lit(None).cast(dict(target.dtypes)[valid_to]))
+    return closed.unionByName(new_open)
 
 
 def merge_upsert_manifest(

@@ -658,6 +658,64 @@ def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_scd2",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+), changes AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal,
+         TIMESTAMP '2021-06-01 00:00:00' AS valid_from
+  FROM customer WHERE c_custkey % 5 = 0
+), change_at AS (
+  SELECT c_custkey, valid_from AS change_at FROM changes
+), closed AS (
+  SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.valid_from,
+         CASE WHEN ca.change_at IS NOT NULL AND b.valid_to IS NULL
+              THEN ca.change_at ELSE b.valid_to END AS valid_to
+  FROM base b LEFT JOIN change_at ca ON b.c_custkey = ca.c_custkey
+)
+SELECT * FROM closed
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM changes
+""",
+)
+def q_ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 MERGE (merge.merge_scd2): every 5th customer gets a
+    balance change at a later effective time; the current version is
+    closed (valid_to set) and the new version appended open, history
+    untouched. One key-shuffle of the dimension, changeset broadcast.
+    No float arithmetic beyond an exact +100.0, so values hash across
+    engines."""
+    from octopufs_spark.merge import merge_scd2
+
+    c = load(spark, sf_dir, "customer")
+    t0 = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2021-06-01 00:00:00").cast("timestamp")
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            t1.alias("valid_from"),
+        )
+    )
+    return merge_scd2(base, changes, keys=["c_custkey"])
+
+
+@register(
     "q_ext_length_hist",
     oracle="""
 SELECT LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 9) AS bucket,

@@ -239,6 +239,38 @@ def test_merge_upsert_manifest_atomic(spark, table):
     assert table.read_manifest(v3).operation == "merge"
 
 
+def test_merge_scd2_closes_and_appends(spark):
+    """SCD2: matched current rows close at the change time, new open
+    versions append, history rows pass through, schema is validated."""
+    from octopufs_spark.merge import merge_scd2
+
+    target = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01 00:00:00", "2020-06-01 00:00:00"),  # history
+            (1, "b", "2020-06-01 00:00:00", None),  # current, will close
+            (2, "c", "2020-01-01 00:00:00", None),  # current, untouched
+        ],
+        "k long, attr string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS TIMESTAMP) valid_from", "CAST(valid_to AS TIMESTAMP) valid_to"
+    )
+    source = spark.createDataFrame(
+        [(1, "b2", "2021-01-01 00:00:00")], "k long, attr string, valid_from string"
+    ).selectExpr("k", "attr", "CAST(valid_from AS TIMESTAMP) valid_from")
+    got = {
+        (r.k, r.attr): (str(r.valid_from), str(r.valid_to) if r.valid_to else None)
+        for r in merge_scd2(target, source, keys=["k"]).collect()
+    }
+    assert got == {
+        (1, "a"): ("2020-01-01 00:00:00", "2020-06-01 00:00:00"),
+        (1, "b"): ("2020-06-01 00:00:00", "2021-01-01 00:00:00"),
+        (1, "b2"): ("2021-01-01 00:00:00", None),
+        (2, "c"): ("2020-01-01 00:00:00", None),
+    }
+    with pytest.raises(ValueError, match="minus"):
+        merge_scd2(target, target, keys=["k"])
+
+
 def test_manifest_stream_sink_exactly_once(spark, table, tmp_path):
     """Micro-batches land as atomic append commits; replayed batch ids
     (fresh checkpoint, same source) commit nothing twice."""
