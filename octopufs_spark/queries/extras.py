@@ -230,6 +230,40 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_percentile_approx",
+    oracle="""
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.50) AS DOUBLE) AS exact_p50,
+       CAST(ABS(CAST(approx_quantile(l_quantity, 0.50) AS DOUBLE)
+                / CAST(quantile_disc(CAST(l_quantity AS DECIMAL(18,2)), 0.50) AS DOUBLE)
+                - 1.0) <= 0.05 AS BOOLEAN) AS within_tolerance
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median — the sketch-based scale path for quantiles
+    (mergeable, no per-group sort). Sketch outputs are engine-specific
+    (Spark Greenwald-Khanna vs DuckDB t-digest), so the checkable
+    contract mirrors q_agg_approx_distinct: each engine asserts its own
+    estimate within 5% of its own exact median and emits
+    (exact_p50, within_tolerance), which hashes deterministically."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(l_quantity AS {DEC})) AS DOUBLE)"
+        ).alias("exact_p50"),
+        F.percentile_approx("l_quantity", 0.5).cast("double").alias("approx_p50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        (F.abs(F.col("approx_p50") / F.col("exact_p50") - 1.0) <= 0.05).alias(
+            "within_tolerance"
+        ),
+    )
+
+
+@register(
     "q_join_full_outer",
     oracle="""
 SELECT n_nationkey, n_name, cust_cnt, supp_cnt

@@ -658,6 +658,85 @@ def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_table_diff",
+    oracle="""
+WITH t2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 2000000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 17 = 0
+), a AS (
+  SELECT o_orderkey AS k, md5(o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h
+  FROM orders
+), b AS (
+  SELECT o_orderkey AS k, md5(o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h
+  FROM t2
+)
+SELECT
+  CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+FROM a FULL OUTER JOIN b ON a.k = b.k
+""",
+)
+def q_ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table reconciliation — the relational generalization
+    of the reference's file-level getDelta (Delta.scala:40-50: set
+    difference on (rel_path, size) becomes full outer join on key +
+    row-hash compare). A deterministic mutant of orders (every 13th
+    removed, every 11th surviving status-changed, every 17th re-added
+    under a shifted key) is diffed against the original: counts of
+    removed/added/changed/same. One shuffle per side on the key; row
+    hashes are md5 of a canonical decimal rendering, computed map-side
+    so the exchange carries (key, hash), not whole rows."""
+    o = load(spark, sf_dir, "orders")
+
+    def hashed(df: DataFrame, k: str = "o_orderkey") -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            )
+        )
+        return df.select(F.col(k).alias("k"), h.alias("h"))
+
+    mutated = (
+        o.where(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 17 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 2000000000
+            )
+        )
+    )
+    a, b = hashed(o).alias("a"), hashed(mutated).alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("b.k").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(F.col("a.k").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(
+            F.when(
+                F.col("a.k").isNotNull()
+                & F.col("b.k").isNotNull()
+                & (F.col("a.h") != F.col("b.h")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changed"),
+        F.sum(F.when(F.col("a.h") == F.col("b.h"), 1).otherwise(0)).alias("n_same"),
+    )
+
+
+@register(
     "q_ext_scd2",
     oracle="""
 WITH base AS (
