@@ -264,6 +264,46 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS ship_month, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_returnflag, ship_month, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, ship_month) AS rn
+  FROM c
+)
+SELECT l_returnflag, ship_month AS mode_month, cnt AS mode_cnt
+FROM r WHERE rn = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped mode (most frequent ship month per
+    returnflag). Built-in mode() breaks ties engine-specifically, so
+    the portable formulation is count + row_number with a value
+    tie-break — two stages that shuffle once on the (group, value)
+    pair and once on the group. At scale this is the exact heavy-
+    hitter-per-group pattern; approximate alternatives (count-min)
+    drop in when value cardinality explodes."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").cast("long").alias("ship_month")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("ship_month"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("ship_month").alias("mode_month"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )
+
+
+@register(
     "q_join_full_outer",
     oracle="""
 SELECT n_nationkey, n_name, cust_cnt, supp_cnt
