@@ -658,6 +658,68 @@ def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_hybrid_search",
+    oracle="""
+WITH qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0
+), hits AS (
+  SELECT d.doc_id, d.lang,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+               (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * SQRT(list_dot_product(qv.q, qv.q))), 6) AS cos_sim
+  FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id
+  CROSS JOIN qv
+  WHERE d.text LIKE '%window%' AND d.doc_id <> 0
+)
+SELECT doc_id, lang, cos_sim, rn FROM (
+  SELECT hits.*, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rn FROM hits
+) WHERE rn <= 10
+""",
+)
+def q_ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (RAG-style): keyword prefilter on text, then
+    exact cosine ranking against a fixed query vector (doc 0's
+    embedding), top-10 with deterministic tie-break. The query vector
+    rides a broadcast 1-row cross join (same sanctioned pattern as the
+    surprisal grand-total); scoring is the JVM higher-order dot fold.
+    At scale the keyword filter prunes before any vector math — the
+    plan a retrieval pipeline wants: cheap predicate first, vector
+    scoring on survivors only."""
+    from pyspark.sql.window import Window
+
+    from octopufs_spark.llm.similarity import dot
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("emb").alias("q"))
+    hits = (
+        d.where(F.col("text").like("%window%") & (F.col("doc_id") != 0))
+        .join(e, d.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                dot(F.col("emb"), F.col("q"))
+                / (
+                    F.sqrt(dot(F.col("emb"), F.col("emb")))
+                    * F.sqrt(dot(F.col("q"), F.col("q")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+    )
+
+
+@register(
     "q_ext_table_diff",
     oracle="""
 WITH t2 AS (
