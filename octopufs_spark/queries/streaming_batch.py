@@ -96,17 +96,48 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_session", oracle=None)  # weak: session assignment is engine-defined
+@register(
+    "q_stream_session",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w >= 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps
+)
+SELECT MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+       MAX(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_no
+""",
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — batch session_window.
 
-    No stable cross-engine oracle for session assignment; verified
-    rows-only here and exercised under streaming in streaming.py.
+    ``F.session_window`` assignment IS deterministic: a session is the
+    gap-merge closure (new session exactly when the gap to the previous
+    event is >= the 30-min gap, since window ends are exclusive), and
+    its end is last_event + gap. The oracle replays that definition as
+    lag-gap + running-sum sessionization — upgraded from rows-only in
+    round 3. Value sums go through DECIMAL(18,2) so per-session sums
+    are order-independent in both engines.
     """
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
