@@ -51,6 +51,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int = 1000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
     indexed n-gram. Returns [doc_a, doc_b, jaccard] with doc_a < doc_b.
@@ -68,6 +69,13 @@ def ngram_jaccard_pairs(
     Jaccard selectivity), never a reported similarity value.
     """
     g = ngram_sets(df, n=n, id_col=id_col, text_col=text_col)
+    if materialize:
+        # three plan legs read the n-gram sets (index + both
+        # verification sides); on a large corpus the tokenize→shingle
+        # pass dominates if recomputed per leg (cf. the DF-MinHash
+        # featurization checkpoint). Opt-in because bounded callers
+        # prefer the transparent single plan.
+        g = g.localCheckpoint()
     e = g.select(F.col(id_col), F.explode("ngrams").alias("ng"))
     rare = (
         e.groupBy("ng")
