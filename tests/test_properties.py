@@ -105,3 +105,40 @@ def test_compaction_partition_count_properties(tmp_path_factory, sizes, target_m
             assert n_parts >= 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_kv_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=-100, max_value=100),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target_kv=_kv_strategy, source_kv=_kv_strategy, delete_keys=st.sets(st.integers(0, 30), max_size=6))
+def test_merge_upsert_properties(spark, target_kv, source_kv, delete_keys):
+    """MERGE algebra: result = (target − source keys − delete keys) ⊎
+    source; applying the same source twice equals once (idempotent);
+    every key appears at most once when inputs are keyed."""
+    from octopufs_spark.merge import merge_upsert
+
+    def df_of(kv):
+        rows = [(k, v) for k, v in kv.items()]
+        return spark.createDataFrame(rows or [(None, None)], "k int, v int").where(
+            "k IS NOT NULL"
+        )
+
+    target, source = df_of(target_kv), df_of(source_kv)
+    deletes = df_of({k: 0 for k in delete_keys})
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, source, ["k"], deletes=deletes).collect()
+    }
+    want = {k: v for k, v in target_kv.items() if k not in source_kv and k not in delete_keys}
+    want.update(source_kv)
+    assert got == want
+    # idempotence: re-merging the same source changes nothing
+    once = merge_upsert(target, source, ["k"])
+    twice = merge_upsert(once, source, ["k"])
+    assert {(r.k, r.v) for r in twice.collect()} == {(r.k, r.v) for r in once.collect()}
