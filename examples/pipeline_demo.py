@@ -76,6 +76,27 @@ def main() -> None:
     sessions = all_queries()["q_stream_sessionize_exact"](spark, sf_dir)
     print("sessions:", sessions.count())
 
+    # 7. manifest table lifecycle: atomic commit → catalog registration
+    #    → CDC merge → time travel
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    mt = ManifestTable(f"{work}/events_mt")
+    v1 = write_and_commit(
+        load(spark, sf_dir, "events").limit(1000).select("event_id", "user_id", "value"), mt
+    )
+    mt.register_view(spark, "events_mt")
+    print("manifest v1 rows via spark.table:", spark.table("events_mt").count())
+    changes = spark.table("events_mt").limit(100).withColumn("value", F.col("value") * 0)
+    v2 = merge_upsert_manifest(spark, mt, changes, keys=["event_id"])
+    mt.register_view(spark, "events_mt")  # advance to v2
+    print(
+        "after merge: zeroed rows =",
+        spark.table("events_mt").where("value = 0").count(),
+        "| v1 still readable:", mt.read(spark, version=v1).count(),
+    )
+    spark.catalog.dropTempView("events_mt")
+
     spark.sql("DROP TABLE IF EXISTS fct")
     spark.sql("DROP TABLE IF EXISTS sfct")
     spark.sql("DROP DATABASE IF EXISTS demo")
