@@ -24,17 +24,16 @@ def test_oracles_subset_of_queries():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 126  # inventory floor: don't silently lose queries
-    # weak (rows-only) set stays small and intentional
+    assert len(q) >= 135  # inventory floor: don't silently lose queries
+    # weak (rows-only) set stays small and intentional — r3 upgraded
+    # approx_distinct (tolerance), stream_session (gap-merge replay)
+    # and dedup_minhash (recall contract) to full oracles
     weak = set(q) - set(o)
-    assert weak <= {
+    assert weak == {
         "q_ext_ann_lsh",
         "q_ext_ann_ivf",
         "q_ext_dedup_semantic_ann",
-        "q_ext_dedup_minhash",
         "q_ext_simhash",
-        "q_agg_approx_distinct",
-        "q_stream_session",
     }
 
 
