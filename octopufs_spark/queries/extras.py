@@ -264,6 +264,30 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_string_agg",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer GROUP BY c_nationkey
+""",
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: sorted, distinct, comma-joined segment list
+    per nation — deterministic because the list is sorted before
+    joining (bare collect_list order is partition-dependent; sorting
+    restores a stable value, which is the only way string aggregation
+    is comparable across engines or across runs of the same engine)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("c_mktsegment"))
+        ).alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
     "q_agg_mode",
     oracle="""
 WITH c AS (
