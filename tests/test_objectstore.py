@@ -66,14 +66,15 @@ def _get(uri: str) -> bytes:
 
 
 def test_list_and_sizes_remote(remote_prefix):
-    from octopufs_spark.fs.core import get_size, list_tree
+    from octopufs_spark.fs.core import get_filesystem, get_size, list_tree
 
     _put(f"{remote_prefix}/a/one.bin", b"x" * 10)
     _put(f"{remote_prefix}/a/b/two.bin", b"y" * 20)
     els = list_tree(remote_prefix)
     files = {e.path.rsplit("/", 1)[-1]: e.byte_size for e in els if not e.is_dir}
     assert files == {"one.bin": 10, "two.bin": 20}
-    assert get_size(remote_prefix).total_bytes == 30
+    _, root_path = get_filesystem(remote_prefix)
+    assert get_size(remote_prefix, skip_file_details=False).get_size_of_path(root_path) == 30
 
 
 def test_copy_single_and_roundtrip(remote_prefix):

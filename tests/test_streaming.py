@@ -67,6 +67,45 @@ def test_session_stream_runs(spark, event_files):
     assert all(r.session_end > r.session_start for r in rows)
 
 
+def test_session_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window == the batch twin: session assignment
+    is deterministic gap-merge (the r3 insight that gave
+    q_stream_session its full oracle), so over IN-ORDER micro-batches
+    (no event later than the watermark; files written in time order)
+    the streaming result must equal the one-shot batch aggregation.
+    The unordered-files fixture intentionally is NOT used: there the
+    watermark legitimately splits sessions whose events arrive late —
+    the divergence watermarking is designed to bound."""
+    src = str(tmp_path / "ordered_src")
+    base = (
+        load(spark, SF_DIR, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .orderBy("ts", "event_id")
+        .cache()
+    )
+    n = base.count()
+    rows_per_file = (n + 2) // 3
+    for i in range(3):  # three consecutive time ranges, written in order
+        chunk = base.offset(i * rows_per_file).limit(rows_per_file)
+        chunk.coalesce(1).write.mode("append").parquet(src)
+    events = streaming.read_events_stream(spark, src)
+    _run(streaming.session_counts(events), "t_session_parity", mode="complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.cnt
+        for r in spark.table("t_session_parity").collect()
+    }
+    batch = (
+        load(spark, SF_DIR, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = {
+        (r.user_id, r.w.start, r.w.end): r.cnt for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_stateful_user_stats(spark, event_files):
     """applyInPandasWithState totals converge to the batch groupBy."""
     events = streaming.read_events_stream(spark, event_files)

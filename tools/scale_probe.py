@@ -93,6 +93,46 @@ def main() -> None:
         lambda: salted_count(skewed, "user_id", n_salts=16),
     )
 
+    # connected components on a 1M-edge graph: 200k chains of length 10
+    # (diameter 10 → pointer doubling needs ~4 rounds, not 10)
+    from octopufs_spark.llm.dedup import connected_components
+
+    edges = (
+        spark.range(2_000_000)
+        .where((F.col("id") % 10) != 9)  # break into chains of 10
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .localCheckpoint()
+    )
+
+    def cc_run(df):
+        out = connected_components(edges, partitions=32)
+        n = out.select("cluster_id").distinct().count()
+        assert n == 200_000, n
+
+    timed("connected components, 1.8M edges / 200k chains (diam 10)", lambda: edges, cc_run)
+
+    # fs toolkit: list + du over a 2,000-file tree (object-store-ish
+    # file counts; driver-threaded BFS)
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from octopufs_spark.fs.core import get_size, list_tree
+
+    root = Path(tempfile.mkdtemp(prefix="probe_fs_"))
+    try:
+        for d in range(40):
+            (root / f"d{d}").mkdir()
+            for f_i in range(50):
+                (root / f"d{d}" / f"f{f_i}.bin").write_bytes(b"x" * 1024)
+        t0 = time.perf_counter()
+        els = list_tree(str(root))
+        sz = get_size(str(root), skip_file_details=False).get_size_of_path(str(root))
+        assert sz == 40 * 50 * 1024 and sum(1 for e in els if not e.is_dir) == 2000
+        print(f"| threaded list+du, 2,000 files / 40 dirs | {time.perf_counter()-t0:.1f} s |")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 def _sessionize(events):
     from pyspark.sql.window import Window
