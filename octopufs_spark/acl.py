@@ -147,6 +147,64 @@ class SidecarAclStore(AclStore):
         self._flush()
 
 
+class PosixChmodAclStore(AclStore):
+    """REAL local backend for the POSIX subset: user/group/other
+    ACCESS entries map onto kernel-enforced mode bits via ``os.chmod``
+    (verifiable with ``stat``), so the shared algorithms above —
+    folder-tree apply, DEFAULT→ACCESS conversion, synchronizeAcls
+    inheritance — drive actual enforcement, not a model.
+
+    Plain POSIX without extended ACLs (no ``setfacl`` in this
+    environment) has no named grantees, no mask, and no DEFAULT
+    scope; named-grantee entries are refused loudly (a silent drop
+    would fake security), while DEFAULT/mask entries are IGNORED with
+    the documented rationale that they exist only on ACL-capable
+    filesystems — the same tree algorithms then run unchanged against
+    HDFS/ADLS stores that do support them.
+    """
+
+    _BITS = {"user": 6, "group": 3, "other": 0}
+
+    def get_acl(self, path: str) -> list[FsPermission]:
+        import os
+
+        mode = os.stat(path).st_mode
+        out = []
+        for scope, shift in self._BITS.items():
+            bits = (mode >> shift) & 0o7
+            perm = ("r" if bits & 4 else "-") + ("w" if bits & 2 else "-") + (
+                "x" if bits & 1 else "-"
+            )
+            out.append(FsPermission(scope, perm, ACCESS, ""))
+        return out
+
+    def set_acl(self, path: str, entries: list[FsPermission]) -> None:
+        import os
+
+        applicable: dict[str, str] = {}
+        for e in entries:
+            if e.grantee:
+                raise ValueError(
+                    f"named grantee {e.grantee!r} needs an ACL-capable "
+                    "filesystem (HDFS/ADLS); plain POSIX mode bits cannot "
+                    "hold it"
+                )
+            if e.level == DEFAULT or e.scope == "mask":
+                continue  # no default ACLs / mask without extended ACLs
+            applicable[e.scope] = e.permission
+        if not entries:
+            # remove_acl semantics: drop everything we own
+            applicable = {}
+        mode = 0
+        for scope, shift in self._BITS.items():
+            perm = applicable.get(scope, "---")
+            bits = (4 if perm[0] == "r" else 0) | (2 if perm[1] == "w" else 0) | (
+                1 if perm[2] == "x" else 0
+            )
+            mode |= bits << shift
+        os.chmod(path, mode)
+
+
 def _apply_threaded(
     fn, paths: list[str], attempt: int = 0, ignore_missing: bool = True
 ) -> list[FsOperationResult]:

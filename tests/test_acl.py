@@ -179,3 +179,67 @@ def test_modify_table_acl(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS acl_t")
         spark.sql("DROP DATABASE IF EXISTS acl_db")
         spark.sql("USE default")
+
+
+# ---- real POSIX backend (kernel-enforced mode bits) ----
+
+
+def _mode(p):
+    import os
+
+    return os.stat(p).st_mode & 0o777
+
+
+def test_posix_store_roundtrip(tmp_path):
+    """get_acl reflects real stat bits; modify merges; set replaces."""
+    from octopufs_spark.acl import PosixChmodAclStore
+
+    f = tmp_path / "f.bin"
+    f.write_bytes(b"x")
+    f.chmod(0o640)
+    store = PosixChmodAclStore()
+    got = {e.scope: e.permission for e in store.get_acl(str(f))}
+    assert got == {"user": "rw-", "group": "r--", "other": "---"}
+    store.modify_acl(str(f), [FsPermission("other", "r--", ACCESS)])
+    assert _mode(f) == 0o644  # user/group preserved by the merge
+    store.set_acl(str(f), [FsPermission("user", "rwx", ACCESS)])
+    assert _mode(f) == 0o700  # replace clears unlisted scopes
+
+
+def test_posix_store_refuses_named_grantee(tmp_path):
+    from octopufs_spark.acl import PosixChmodAclStore
+
+    f = tmp_path / "f.bin"
+    f.write_bytes(b"x")
+    with pytest.raises(ValueError, match="grantee"):
+        PosixChmodAclStore().set_acl(
+            str(f), [FsPermission("user", "rwx", ACCESS, "someone")]
+        )
+
+
+def test_posix_folder_apply_and_sync(tmp_path):
+    """The SAME tree algorithms that drive the sidecar store drive real
+    chmod enforcement: folder apply sets kernel mode bits everywhere;
+    synchronize copies the source tree's dir modes onto the target
+    (file inheritance needs DEFAULT ACLs, which plain POSIX lacks —
+    ignored by contract)."""
+    import os
+
+    from octopufs_spark.acl import PosixChmodAclStore
+
+    src, trg = tmp_path / "src", tmp_path / "trg"
+    for root in (src, trg):
+        (root / "d0").mkdir(parents=True)
+        (root / "d0" / "f.bin").write_bytes(b"x")
+    store = PosixChmodAclStore()
+
+    results = acl.modify_folder_acl(store, str(src), FsPermission("user", "rwx", ACCESS))
+    assert all(r.success for r in results)
+    assert _mode(src / "d0") & 0o700 == 0o700
+    assert _mode(src / "d0" / "f.bin") & 0o700 == 0o700
+
+    os.chmod(src / "d0", 0o750)
+    os.chmod(trg / "d0", 0o700)
+    results = acl.synchronize_acls(store, str(trg), str(src))
+    assert all(r.success for r in results)
+    assert _mode(trg / "d0") == 0o750  # dir mode copied from source
