@@ -138,6 +138,66 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, fake: bool = True
     return media.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, n_channels long, sample_rate long, n_frames long, "
+    "duration_ms long, peak_amplitude long"
+)
+
+
+def decode_audio_batch():
+    """REAL audio decoder — no stub: stdlib ``wave`` parses RIFF/WAVE
+    payloads (the one codec the standard library ships), numpy decodes
+    the PCM frames. Proves the multimodal plumbing carries an actual
+    codec end-to-end in this container; image/video stay env-gated on
+    PIL/ffmpeg."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "peak_amplitude",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nch, sw = w.getnchannels(), w.getsampwidth()
+                    sr, nf = w.getframerate(), w.getnframes()
+                    raw = w.readframes(nf)
+                dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sw]
+                samples = np.frombuffer(raw, dtype=dtype)
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(sr)
+                rows["n_frames"].append(nf)
+                rows["duration_ms"].append(int(nf * 1000 / sr))
+                rows["peak_amplitude"].append(
+                    int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def decode_audio(media: DataFrame, target_partitions: int | None = None) -> DataFrame:
+    """Decode WAV payloads [doc_id, payload] to audio metadata +
+    peak amplitude. Same partition-size discipline as decode_media:
+    blobs dominate memory, so partition count tracks bytes."""
+    if target_partitions:
+        media = media.repartition(target_partitions)
+    return media.mapInPandas(decode_audio_batch(), schema=AUDIO_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests: treat utf-8 text bytes as an opaque payload."""
     return docs.select(

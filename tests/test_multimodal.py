@@ -59,3 +59,35 @@ def test_frame_sampling_cardinality(spark, media):
     orig = {r.doc_id: bytes(r.payload) for r in media.collect()}
     for doc_id, parts in by_doc.items():
         assert b"".join(p for _, p in sorted(parts)) == orig[doc_id]
+
+
+def test_decode_audio_real_wav(spark):
+    """REAL codec path: stdlib wave-encoded PCM payloads decode to
+    correct channel/rate/frame/duration/peak metadata through the same
+    Arrow-batched mapInPandas plumbing the stubbed codecs use."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from octopufs_spark.llm import multimodal
+
+    def make_wav(doc_id, sr, n_frames, peak):
+        t = np.arange(n_frames)
+        samples = (peak * np.sin(2 * np.pi * 440 * t / sr)).astype("<i2")
+        samples[0] = peak  # pin the exact peak regardless of phase
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.tobytes())
+        return (doc_id, bytearray(buf.getvalue()))
+
+    rows = [make_wav(1, 16000, 16000, 1000), make_wav(2, 8000, 2000, 30000)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.decode_audio(df).collect()}
+    assert got[1].sample_rate == 16000 and got[1].n_frames == 16000
+    assert got[1].duration_ms == 1000 and got[1].n_channels == 1
+    assert got[1].peak_amplitude == 1000
+    assert got[2].duration_ms == 250 and got[2].peak_amplitude == 30000
