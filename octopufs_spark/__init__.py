@@ -17,8 +17,13 @@ Layout:
   streaming.py   — Structured Streaming surface (windows, watermark,
                    dedup, applyInPandasWithState stateful ops)
   acl.py         — POSIX-ACL modify/clear/sync with parent inheritance
+                   (sidecar store + real chmod backend)
+  manifest.py    — manifest-committed tables (atomic publish, time travel,
+                   vacuum, catalog registration)
+  merge.py       — row-level MERGE: CDC upsert/delete + SCD Type 2
   scale.py       — skew salting + bucketed co-located joins
+  timeseries.py  — as-of / interval joins, range bucketing
   llm/           — dedup / similarity / text-analysis / multimodal operators
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
