@@ -141,11 +141,11 @@ WITH w AS (
   SELECT SUM(cnt) AS total FROM f
 ), s AS (
   SELECT w.doc_id,
-         CAST(ROUND(-LN(CAST(f.cnt AS DOUBLE) / t.total), 9) AS DECIMAL(28,9)) AS sp
+         CAST(ROUND(-LN(CAST(f.cnt AS DOUBLE) / t.total), 6) AS DECIMAL(28,6)) AS sp
   FROM w JOIN f USING (word) CROSS JOIN t
 )
 SELECT doc_id,
-       ROUND(CAST(SUM(sp) AS DOUBLE) / COUNT(*), 9) AS avg_surprisal,
+       ROUND(CAST(SUM(sp) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal,
        COUNT(*) AS n_words
 FROM s GROUP BY doc_id
 """,
@@ -160,22 +160,25 @@ def q_ext_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast here; at 100 TB raw-token vocabularies get heavy-hitter
     capped (min count) first, or the join falls back to a hash shuffle
     on word, which is still linear. Per-word surprisal is quantized to
-    9 decimals and summed as DECIMAL so the cross-engine result is
-    order-independent and bit-identical."""
+    6 decimals and summed as DECIMAL so the cross-engine result is
+    order-independent and bit-identical (9-decimal quantization sat
+    within libm's ln() ulp spread — a boundary word at sf0.1 rounded
+    differently per engine; 6 decimals puts the boundary 1000× further
+    than any cross-engine ln/division drift)."""
     docs = load(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(_words()).alias("word"))
     freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     sp = F.round(
-        -F.log(F.col("cnt").cast("double") / F.col("total")), 9
-    ).cast("decimal(28,9)")
+        -F.log(F.col("cnt").cast("double") / F.col("total")), 6
+    ).cast("decimal(28,6)")
     scored = (
         words.join(F.broadcast(freq), "word")
         .crossJoin(F.broadcast(total))
         .select("doc_id", sp.alias("sp"))
     )
     return scored.groupBy("doc_id").agg(
-        F.round(F.sum("sp").cast("double") / F.count("*"), 9).alias("avg_surprisal"),
+        F.round(F.sum("sp").cast("double") / F.count("*"), 6).alias("avg_surprisal"),
         F.count("*").alias("n_words"),
     )
 
