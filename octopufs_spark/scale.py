@@ -85,3 +85,67 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zorder_key(
+    c1, c2, min1, max1, min2, max2, bits: int = 12
+):
+    """Morton (Z-order) curve key of two columns — pure JVM
+    expression, no UDF: each column is normalized to [0, 2^bits) by
+    the caller-supplied min/max (one tiny agg at call time), then the
+    bit planes are interleaved with shiftleft/shiftright folds inside
+    whole-stage codegen.
+
+    The curve linearizes 2-D proximity, so range-partitioning + sorting
+    by it clusters rows that are close in BOTH dimensions into the same
+    files — the layout behind Delta/Iceberg OPTIMIZE ZORDER. 12 bits
+    per dimension (24-bit key) is plenty: file counts are < 2^24.
+    """
+    def norm(c, lo, hi):
+        span = F.lit(float(hi - lo)) if hi > lo else F.lit(1.0)
+        scaled = ((c.cast("double") - F.lit(float(lo))) / span) * ((1 << bits) - 1)
+        return F.least(
+            F.greatest(F.round(scaled, 0).cast("long"), F.lit(0)),
+            F.lit((1 << bits) - 1),
+        )
+
+    n1, n2 = norm(c1, min1, max1), norm(c2, min2, max2)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit1 = F.shiftright(n1, i).bitwiseAND(F.lit(1))
+        bit2 = F.shiftright(n2, i).bitwiseAND(F.lit(1))
+        key = key + F.shiftleft(bit1, 2 * i) + F.shiftleft(bit2, 2 * i + 1)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """Write ``df`` Z-ordered on (col1, col2): range-partition on the
+    Morton key and sort within partitions, so every output file covers
+    a small rectangle of the 2-D key space instead of a full-width
+    stripe. Parquet min/max footer stats on BOTH columns then prune
+    files for 2-D predicates — a plain sort prunes only its leading
+    column. One extra shuffle at write time, amortized over every
+    downstream selective read; at 100 TB this is the difference
+    between scanning a row-group stripe and scanning the whole table
+    for point-in-rectangle queries."""
+    stats = df.agg(
+        F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+    ).collect()[0]
+    key = zorder_key(
+        F.col(col1), F.col(col2), stats[0], stats[1], stats[2], stats[3], bits=bits
+    )
+    (
+        df.withColumn("_z", key)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -77,3 +77,59 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """Z-ordered files cover small rectangles of the 2-D value space,
+    so a selective predicate on EITHER dimension prunes most files; a
+    plain 1-D sort gives tight col1 stripes but every file spans the
+    full col2 domain (a y-only predicate scans everything). Verified
+    against REAL parquet footer min/max — the stats data skipping
+    actually reads."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from octopufs_spark.scale import write_zordered
+
+    df = (
+        spark.range(100_000)
+        .selectExpr("id % 317 AS x", "CAST(id / 317 AS LONG) AS y")
+        .withColumn("payload", F.col("x") * F.col("y"))
+    )
+    z_path, lin_path = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(df, z_path, "x", "y", n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lin_path)
+
+    def file_boxes(path):
+        boxes = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            boxes.append((mins["x"], maxs["x"], mins["y"], maxs["y"]))
+        return boxes
+
+    def files_hit(boxes, dim, lo, hi):
+        i = 0 if dim == "x" else 2
+        return sum(1 for b in boxes if not (b[i + 1] < lo or b[i] > hi))
+
+    zb, lb = file_boxes(z_path), file_boxes(lin_path)
+    assert len(zb) == len(lb) == 16
+    # a 1/8-height y band: the linear layout cannot prune it at all
+    y_band = files_hit(lb, "y", 100, 139), files_hit(zb, "y", 100, 139)
+    assert y_band[0] == 16  # linear: every file spans all of y
+    assert y_band[1] <= 8, y_band  # z-order: at most half the files
+    # the x band stays prunable in BOTH layouts (z-order trades a
+    # little x selectivity for massive y selectivity)
+    x_band = files_hit(lb, "x", 100, 139), files_hit(zb, "x", 100, 139)
+    assert x_band[0] <= 4
+    assert x_band[1] <= 10, x_band
