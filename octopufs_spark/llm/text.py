@@ -135,6 +135,33 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("scrubbed", scrubbed)
 
 
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched zlib compression ratio (compressed/raw bytes) —
+    the RefinedWeb/Dolma-style repetitiveness signal: highly templated
+    or repeated text compresses far below ~0.4 while natural prose
+    sits around 0.5-0.7. Stdlib zlib, no external deps; Pandas UDF
+    because the codec is Python-side by nature (one C call per doc,
+    not per char — cheap relative to Arrow transfer).
+
+    Built lazily like ``clean_text_udf`` (module-scope ``@pandas_udf``
+    needs an active session at import time).
+    """
+
+    @pandas_udf("double")
+    def udf(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = t.encode()
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(ratio)
+
+    return udf
+
+
 def clean_text_udf():
     """Arrow-batched text normalization: lowercase + strip non-[a-z0-9 ].
 

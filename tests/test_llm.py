@@ -288,3 +288,26 @@ def test_chunk_tokens_reassembly(spark):
         assert ctoks == toks[start : start + 32]
     covered = {t for ctoks in chunks.values() for t in ctoks}
     assert covered == set(toks)
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    """The zlib repetitiveness signal: pure repetition compresses far
+    below unique-ish text; empty text is defined as 1.0."""
+    from octopufs_spark.llm import text as llm_text
+
+    rows = [
+        (1, "spam " * 400),
+        (2, " ".join(f"w{i}x{i * 7 % 113}" for i in range(400))),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.ratio
+        for r in df.select(
+            "doc_id", llm_text.compression_ratio_udf()("text").alias("ratio")
+        ).collect()
+    }
+    assert got[1] < 0.05          # pure repetition
+    assert 0.2 < got[2] <= 1.1    # varied tokens
+    assert got[3] == 1.0
+    assert got[1] < got[2] / 4    # clear separation
