@@ -264,6 +264,85 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_nth_value",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       NTH_VALUE(o_totalprice, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_order_price
+FROM orders WHERE o_custkey < 100
+""",
+)
+def q_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over an unbounded frame: each customer's 2nd-ever
+    order price attached to every row (NULL for single-order
+    customers). Deterministic via the (date, key) total order."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+    )
+
+
+@register(
+    "q_scalar_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+       CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+       CAST(o_orderkey << 2 AS BIGINT) AS shifted_l,
+       CAST(o_orderkey >> 3 AS BIGINT) AS shifted_r,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+FROM orders WHERE o_orderkey < 4096
+""",
+)
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface: and/or/xor/shifts/popcount — the
+    primitives behind bitmap indexes, bloom hashing and flag columns."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4096)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).cast("long").alias("xored"),
+        F.shiftleft(k, 2).cast("long").alias("shifted_l"),
+        F.shiftright(k, 3).cast("long").alias("shifted_r"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any): assertion-style data-quality
+    checks as single map-side-combinable aggregates."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q_agg_string_agg",
     oracle="""
 SELECT c_nationkey,
