@@ -713,6 +713,105 @@ def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_dedup_incremental",
+    oracle="""
+WITH old AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+), new_docs AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_of_old,
+       CAST(SUM(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN o.h IS NULL THEN doc_id END) AS first_kept_id
+FROM new_docs n LEFT JOIN old o ON n.h = o.h
+""",
+)
+def q_ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) exact dedup — the shape every
+    ongoing ingestion pipeline runs: dedup the NEW batch against the
+    EXISTING corpus's digest set, not against itself. The existing
+    side reduces to distinct digests (bounded, broadcastable at any
+    corpus size since digests ≪ bytes); the new batch anti-joins on
+    digest. Here both halves come from the fixture split at
+    doc_id 250."""
+    d = load(spark, sf_dir, "documents")
+    old = (
+        d.where(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    new_docs = d.where(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    j = new_docs.join(F.broadcast(old), "h", "left")
+    return j.agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(F.col("_seen").isNotNull(), 1).otherwise(0)).alias("n_dup_of_old"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.min(F.when(F.col("_seen").isNull(), F.col("doc_id"))).alias("first_kept_id"),
+    )
+
+
+@register(
+    "q_ext_dedup_canonical_quality",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, md5(substr(text, 1, 15)) AS h FROM documents WHERE doc_id < 500) a
+  JOIN (SELECT doc_id, md5(substr(text, 1, 15)) AS h FROM documents WHERE doc_id < 500) b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+), labels AS (
+  SELECT id, MIN(reach) AS cluster_id FROM (
+    SELECT id, reach FROM walk UNION SELECT src, src FROM edges
+  ) GROUP BY id
+), ranked AS (
+  SELECT l.cluster_id, l.id AS doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.id) AS rn
+  FROM labels l JOIN documents d ON l.id = d.doc_id
+)
+SELECT cluster_id, doc_id AS canonical_id, CAST(n_chars AS BIGINT) AS canonical_chars
+FROM ranked WHERE rn = 1
+""",
+)
+def q_ext_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters keep their
+    LONGEST member (n_chars, min-id tie-break) instead of the min-id —
+    what production dedup actually ships (min-id loses the best copy).
+    Same prefix-collision candidate pairs and distributed CC as
+    q_ext_dedup_cluster, plus one window over cluster labels joined to
+    the quality column."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    keyed = d.select("doc_id", F.md5(F.substring("text", 1, 15)).alias("h"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    labels = dedup.connected_components(pairs, partitions=4)
+    ranked = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+        )
+    )
+
+
+@register(
     "q_ext_hybrid_search",
     oracle="""
 WITH qv AS (
