@@ -184,6 +184,72 @@ def q_ext_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_surprisal_bigram",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest({SQL_WORDS}) AS word,
+         unnest(range(len({SQL_WORDS}))) AS pos
+  FROM documents
+), lagged AS (
+  SELECT doc_id, word,
+         LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM w
+), b AS (
+  SELECT prev, word, COUNT(*) AS c2 FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2
+), ctx AS (
+  SELECT prev, SUM(c2) AS c1 FROM b GROUP BY prev
+), s AS (
+  SELECT l.doc_id,
+         CAST(ROUND(-LN(CAST(b.c2 AS DOUBLE) / ctx.c1), 6) AS DECIMAL(28,6)) AS sp
+  FROM lagged l
+  JOIN b ON l.prev = b.prev AND l.word = b.word
+  JOIN ctx ON l.prev = ctx.prev
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(sp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_surprisal,
+       COUNT(*) AS n_bigrams
+FROM s GROUP BY doc_id
+""",
+)
+def q_ext_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal: mean −ln P(wᵢ | wᵢ₋₁) per document under
+    the corpus's own bigram model — one order deeper than
+    q_ext_surprisal's unigram stand-in, the closest SQL-expressible
+    approximation of LM perplexity filtering. Token stream (one
+    posexplode, no shuffle) → per-doc lag window (one doc_id shuffle)
+    → corpus bigram/context counts (map-side combinable) → join back.
+    The bigram table broadcasts at fixture scale; at raw-crawl scale
+    it hash-joins on the context word, still linear. Same 6-decimal
+    decimal quantization as the unigram version (libm-boundary-safe)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.posexplode(_words()).alias("pos", "word"))
+    lagged = w.select(
+        "doc_id",
+        "word",
+        F.lag("word").over(Window.partitionBy("doc_id").orderBy("pos")).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    b = lagged.groupBy("prev", "word").agg(F.count("*").alias("c2"))
+    ctx = b.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    sp = F.round(-F.log(F.col("c2").cast("double") / F.col("c1")), 6).cast(
+        "decimal(28,6)"
+    )
+    scored = (
+        lagged.join(F.broadcast(b), ["prev", "word"])
+        .join(F.broadcast(ctx), "prev")
+        .select("doc_id", sp.alias("sp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("sp").cast("double") / F.count("*"), 6).alias(
+            "avg_bigram_surprisal"
+        ),
+        F.count("*").alias("n_bigrams"),
+    )
+
+
+@register(
     "q_ext_repetition",
     oracle=f"""
 WITH w AS (
