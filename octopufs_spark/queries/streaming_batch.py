@@ -257,6 +257,61 @@ def q_stream_sessionize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_lateness",
+    oracle="""
+WITH arr AS (
+  SELECT user_id, ts, event_id,
+         MAX(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS high_water
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < high_water - INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(FLOOR(MAX(epoch_ms(high_water) - epoch_ms(CAST(ts AS TIMESTAMP))) / 1000.0)
+            AS BIGINT) AS max_lateness_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM arr GROUP BY user_id
+""",
+)
+def q_stream_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit — the question every watermark choice needs
+    answered first: per user, how many events arrive (event_id =
+    arrival order) more than 1 hour behind that user's event-time
+    high-water mark, and how far behind at worst. A running-max window
+    per user (one shuffle) + one aggregate; the 1-hour threshold
+    mirrors the streaming module's default watermark, so n_late is
+    exactly what ``withWatermark('ts','1 hour')`` would drop."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = e.select(
+        "user_id",
+        "ts",
+        F.max(F.col("ts").cast("timestamp")).over(w).alias("high_water"),
+    )
+    lateness_ms = F.unix_millis("high_water") - F.unix_millis(
+        F.col("ts").cast("timestamp")
+    )
+    return arr.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("ts").cast("timestamp")
+                < F.col("high_water") - F.expr("interval 1 hour"),
+                1,
+            ).otherwise(0)
+        ).alias("n_late"),
+        F.floor(F.max(lateness_ms) / 1000).cast("long").alias("max_lateness_s"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
     "q_stream_funnel",
     oracle="""
 WITH stage_times AS (
