@@ -713,6 +713,73 @@ def q_ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_embed_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 300
+), s AS (
+  SELECT vec_id, emb,
+         GREATEST(ABS(list_min(emb)), ABS(list_max(emb)), 1e-12) / 127 AS raw_scale
+  FROM v
+), q AS (
+  SELECT vec_id, raw_scale,
+         list_transform(emb, x -> CAST(ROUND(x / raw_scale, 0) AS BIGINT)) AS qvec,
+         emb
+  FROM s
+)
+-- NB: the output alias must differ from the column the error term
+-- reads — DuckDB resolves lateral SELECT aliases left-to-right, so
+-- `ROUND(raw_scale,9) AS scale` followed by `... * scale` would feed
+-- the ROUNDED scale into the error (a 3e-8 cross-engine mismatch).
+SELECT vec_id,
+       ROUND(raw_scale, 9) AS scale,
+       CAST(list_min(qvec) AS BIGINT) AS q_min,
+       CAST(list_max(qvec) AS BIGINT) AS q_max,
+       ROUND(list_max(list_transform(list_zip(emb, qvec),
+                                     p -> ABS(p[1] - p[2] * raw_scale))), 9) AS max_abs_err
+FROM q
+""",
+)
+def q_ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings — the 4× storage /
+    bandwidth cut every 100 TB vector corpus takes before ANN. Scale =
+    max|x|/127 per vector; outputs the quantized range and the exact
+    max dequantization error, all JVM higher-order array ops (no
+    Python). Deterministic: scale/round/error are plain IEEE
+    arithmetic, pinned at 9 decimals (no transcendentals)."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    emb = F.col("embedding").cast("array<double>")
+    scale = (
+        F.greatest(
+            F.abs(F.array_min(emb)), F.abs(F.array_max(emb)), F.lit(1e-12)
+        )
+        / 127
+    )
+    # the internal column is named raw_scale on BOTH sides: aliasing the
+    # rounded output to "scale" in the same select would lateral-shadow
+    # a column of that name inside the error expression (Spark and
+    # DuckDB both resolve select-list aliases laterally) and feed the
+    # ROUNDED scale into the error — a ~3e-8 corruption.
+    s = e.select(F.col("vec_id"), emb.alias("emb"), scale.alias("raw_scale"))
+    qvec = F.transform(
+        F.col("emb"), lambda x: F.round(x / F.col("raw_scale"), 0).cast("long")
+    )
+    q = s.select("vec_id", "raw_scale", qvec.alias("qvec"), "emb")
+    err = F.array_max(
+        F.zip_with(
+            F.col("emb"), F.col("qvec"), lambda x, qv: F.abs(x - qv * F.col("raw_scale"))
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round("raw_scale", 9).alias("scale"),
+        F.array_min("qvec").cast("long").alias("q_min"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+        F.round(err, 9).alias("max_abs_err"),
+    )
+
+
+@register(
     "q_ext_dedup_incremental",
     oracle="""
 WITH old AS (
