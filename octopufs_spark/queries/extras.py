@@ -44,6 +44,36 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_text",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(len(text)) AS BIGINT) AS min_len,
+       CAST(MAX(len(text)) AS BIGINT) AS max_len
+FROM documents
+""",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text (line-per-record) ingestion round-trip: dump the
+    documents' text column to .txt files, re-read with
+    ``spark.read.text``, aggregate line stats. The fixture texts
+    contain no newlines, so one doc = one line and the re-read stats
+    must equal the oracle computed straight from parquet — proving the
+    text source/sink is lossless. The raw-lines source is the entry
+    point for every non-structured corpus (crawl dumps, logs)."""
+    out = tempfile.mkdtemp(prefix="octopufs_text_")
+    docs = load(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
+
+
+@register(
     "q_scan_json",
     oracle=f"""
 SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -24,7 +24,7 @@ def test_oracles_subset_of_queries():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 144  # inventory floor: don't silently lose queries
+    assert len(q) >= 145  # inventory floor: don't silently lose queries
     # weak (rows-only) set stays small and intentional — r3 upgraded
     # approx_distinct (tolerance), stream_session (gap-merge replay)
     # and dedup_minhash (recall contract) to full oracles
