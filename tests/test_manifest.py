@@ -344,3 +344,38 @@ def test_promote_partitions_to_manifest(spark, table, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mfdb2.src_part")
         spark.sql("DROP DATABASE IF EXISTS mfdb2")
+
+
+def test_merge_scd2_chained_batches(spark):
+    """Two successive SCD2 batches produce a 3-version history for the
+    twice-changed key: each prior current row closes at the next
+    change time, exactly one open row per key remains."""
+    from octopufs_spark.merge import merge_scd2
+
+    def ts(s):
+        return f"CAST('{s}' AS TIMESTAMP)"
+
+    t0 = spark.createDataFrame(
+        [(1, "v1"), (2, "w1")], "k long, attr string"
+    ).selectExpr("k", "attr", f"{ts('2020-01-01')} AS valid_from",
+                 "CAST(NULL AS TIMESTAMP) AS valid_to")
+    b1 = spark.createDataFrame([(1, "v2")], "k long, attr string").selectExpr(
+        "k", "attr", f"{ts('2021-01-01')} AS valid_from"
+    )
+    b2 = spark.createDataFrame([(1, "v3")], "k long, attr string").selectExpr(
+        "k", "attr", f"{ts('2022-01-01')} AS valid_from"
+    )
+    out = merge_scd2(merge_scd2(t0, b1, ["k"]), b2, ["k"])
+    rows = {(r.k, r.attr): (str(r.valid_from)[:10], str(r.valid_to)[:10] if r.valid_to else None)
+            for r in out.collect()}
+    assert rows == {
+        (1, "v1"): ("2020-01-01", "2021-01-01"),
+        (1, "v2"): ("2021-01-01", "2022-01-01"),
+        (1, "v3"): ("2022-01-01", None),
+        (2, "w1"): ("2020-01-01", None),
+    }
+    # invariant: exactly one open version per key
+    open_per_key = {}
+    for (k, _), (_, vt) in rows.items():
+        open_per_key[k] = open_per_key.get(k, 0) + (vt is None)
+    assert all(v == 1 for v in open_per_key.values())

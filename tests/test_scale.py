@@ -133,3 +133,18 @@ def test_zorder_bounds_both_dimensions(spark, tmp_path):
     x_band = files_hit(lb, "x", 100, 139), files_hit(zb, "x", 100, 139)
     assert x_band[0] <= 4
     assert x_band[1] <= 10, x_band
+
+
+def test_zorder_degenerate_dimension(spark, tmp_path):
+    """A constant column (span 0) must not divide by zero or crash —
+    the curve degrades to a 1-D sort on the varying column."""
+    from octopufs_spark.scale import write_zordered
+
+    df = spark.range(10_000).selectExpr("id AS x", "CAST(7 AS LONG) AS y")
+    path = str(tmp_path / "degen")
+    write_zordered(df, path, "x", "y", n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("min(x)", "max(x)", "min(y)", "max(y)").collect()[0] == (
+        0, 9_999, 7, 7,
+    )
