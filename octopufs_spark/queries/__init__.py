@@ -6,6 +6,7 @@ Importing this package registers every query into
 
 from octopufs_spark.queries import (  # noqa: F401
     aggs,
+    analytics,
     extras,
     filters,
     joins,

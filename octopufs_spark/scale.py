@@ -75,6 +75,81 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Distributed global running sum — the scale-safe replacement for
+    ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY, whose Spark plan
+    funnels every row through ONE task.
+
+    Three bounded steps instead:
+
+    1. ``repartitionByRange`` on the sort keys — each of ``n_parts``
+       tasks holds a contiguous key range (one shuffle, same cost as
+       the sort the window needs anyway).
+    2. A per-partition running sum via a window PARTITIONED by
+       ``spark_partition_id()`` — fully parallel.
+    3. Per-partition totals (``n_parts`` rows) are collected, turned
+       into exclusive prefix offsets on the driver, and joined back
+       broadcast. ``cum = local_cum + offset``.
+
+    Exactness: sums are computed in the value column's own type, so
+    pass a DECIMAL column when cross-engine bit-equality matters —
+    the result is then independent of partitioning and matches a
+    single-partition window or any other engine exactly.
+
+    ``order_cols`` are Column objects (e.g. ``F.col("r").desc()``) or
+    names; they must be a total order (include a tiebreak key) for the
+    running sum to be well-defined.
+    """
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(n_parts, *order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Pin the partitioning: repartitionByRange picks boundaries by
+    # SAMPLING, which may differ between executions — the totals
+    # collect below and the caller's final action must see the SAME
+    # partition assignment or the offsets are wrong. localCheckpoint
+    # materializes one assignment (and truncates lineage, so the sort
+    # isn't recomputed either).
+    local = with_pid.withColumn(
+        "_local_cum", F.sum(F.col(value_col)).over(local_w)
+    ).localCheckpoint()
+    totals = (
+        local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_total")).collect()
+    )
+    # Exclusive prefix offsets over partition ids (range partitions are
+    # already in key order: pid k holds keys sorted before pid k+1).
+    totals.sort(key=lambda r: r["_pid"])
+    offsets, acc = [], None
+    for row in totals:
+        offsets.append((row["_pid"], acc))
+        acc = row["_total"] if acc is None else acc + row["_total"]
+    value_type = dict(local.dtypes)["_local_cum"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, f"_pid int, _offset {value_type}")
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col,
+            F.when(F.col("_offset").isNull(), F.col("_local_cum")).otherwise(
+                F.col("_local_cum") + F.col("_offset")
+            ),
+        )
+        .drop("_pid", "_local_cum", "_offset")
+    )
+    return out
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_key: str, n_buckets: int = 8, path: str | None = None
 ) -> None:

@@ -148,3 +148,38 @@ def test_zorder_degenerate_dimension(spark, tmp_path):
     assert back.selectExpr("min(x)", "max(x)", "min(y)", "max(y)").collect()[0] == (
         0, 9_999, 7, 7,
     )
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Distributed prefix sum == the single-partition window, exactly
+    (decimal values), across repeated actions (partitioning must be
+    pinned so offsets stay consistent — regression for the
+    repartitionByRange re-sampling hazard)."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, SF_DIR, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    order = [F.col("r").desc(), F.col("l_partkey")]
+    dist = scale.global_cumsum(rev, order, "r", out_col="cum", n_parts=8)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = rev.withColumn("cum", F.sum("r").over(w))
+    a = {r.l_partkey: r.cum for r in dist.collect()}
+    # Second action over the same frame: results must not shift.
+    a2 = {r.l_partkey: r.cum for r in dist.collect()}
+    b = {r.l_partkey: r.cum for r in ref.collect()}
+    assert a == b
+    assert a2 == b
+
+
+def test_global_cumsum_parallel_plan(spark):
+    """The distributed prefix sum never moves all rows to one task:
+    its window is partitioned by _pid (no empty PARTITION BY)."""
+    li = load(spark, SF_DIR, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    out = scale.global_cumsum(rev, [F.col("r").desc(), F.col("l_partkey")], "r")
+    plan = _plan(out)
+    assert "_pid" in plan  # window keyed on partition id, not global
