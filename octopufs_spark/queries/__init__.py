@@ -9,6 +9,7 @@ from octopufs_spark.queries import (  # noqa: F401
     analytics,
     extras,
     filters,
+    graph,
     joins,
     llm_ext,
     pipeline,

@@ -372,3 +372,459 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rnk") <= 3)
+
+
+@register(
+    "q_ext_profile",
+    oracle="""
+SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr, CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+       printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice)) FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+       CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR), CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+""",
+)
+def q_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over orders: per column null count,
+    exact distinct count, and min/max rendered through EXPLICIT
+    formatters (printf for doubles, ISO date) so the text
+    representation is engine-independent. One aggregate computes all
+    24 statistics (Spark expands the multi-distinct into one exchange);
+    at 100 TB the same shape switches countDistinct ->
+    approx_count_distinct and loses nothing else. The stack() pivot to
+    one-row-per-column is metadata-sized."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        *[F.count(c).alias(f"cnt_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")],
+        F.min("o_orderkey").alias("min_o_orderkey"), F.max("o_orderkey").alias("max_o_orderkey"),
+        F.min("o_custkey").alias("min_o_custkey"), F.max("o_custkey").alias("max_o_custkey"),
+        F.min("o_orderstatus").alias("min_o_orderstatus"), F.max("o_orderstatus").alias("max_o_orderstatus"),
+        F.min("o_totalprice").alias("min_o_totalprice"), F.max("o_totalprice").alias("max_o_totalprice"),
+        F.min("o_orderdate").alias("min_o_orderdate"), F.max("o_orderdate").alias("max_o_orderdate"),
+        F.min("o_orderpriority").alias("min_o_orderpriority"), F.max("o_orderpriority").alias("max_o_orderpriority"),
+    )
+    rows = []
+    for c, fmt in (
+        ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+        ("o_totalprice", "money"), ("o_orderdate", "date"), ("o_orderpriority", "str"),
+    ):
+        if fmt == "money":
+            mn = F.format_string("%.2f", F.col(f"min_{c}"))
+            mx = F.format_string("%.2f", F.col(f"max_{c}"))
+        elif fmt == "date":
+            mn = F.col(f"min_{c}").cast("date").cast("string")
+            mx = F.col(f"max_{c}").cast("date").cast("string")
+        else:
+            mn = F.col(f"min_{c}").cast("string")
+            mx = F.col(f"max_{c}").cast("string")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n").alias("n_rows"),
+                (F.col("n") - F.col(f"cnt_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                mn.alias("min_repr"),
+                mx.alias("max_repr"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register(
+    "q_ext_ref_integrity",
+    oracle="""
+WITH checks AS (
+  SELECT 'orders.custkey->customer' AS constraint_name,
+         CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders o LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0) c
+    ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem.partkey->part',
+         CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT p_partkey FROM part WHERE p_partkey % 89 <> 0) p
+    ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.suppkey->supplier',
+         CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 83 <> 0) s
+    ON l.l_suppkey = s.s_suppkey
+)
+SELECT constraint_name, n_orphans, n_rows,
+       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_frac
+FROM checks
+""",
+)
+def q_ext_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: count fact rows whose foreign key
+    has no match in the dimension (dimensions are deliberately
+    punctured — every 97th/89th/83rd key dropped — so the check has a
+    non-trivial answer on clean TPC-H data). Each check is one left
+    join against a BROADCAST dimension + a conditional count: the fact
+    table is scanned once per constraint and never shuffled. At 100 TB
+    the three checks share one scan via a multi-way conditional
+    aggregate; they are kept separate here for clarity."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 != 0
+    ).select("c_custkey")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 89 != 0
+    ).select("p_partkey")
+    supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 83 != 0
+    ).select("s_suppkey")
+
+    def check(name, fact, key, dim, dkey):
+        joined = fact.join(F.broadcast(dim), fact[key] == dim[dkey], "left")
+        return joined.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.when(F.col(dkey).isNull(), 1)).alias("n_orphans"),
+            F.count("*").alias("n_rows"),
+        )
+
+    out = (
+        check("orders.custkey->customer", o, "o_custkey", cust, "c_custkey")
+        .unionAll(check("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"))
+        .unionAll(check("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"))
+    )
+    return out.withColumn(
+        "orphan_frac",
+        F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"),
+    )
+
+
+@register(
+    "q_ts_interp_linear",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+), cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+), joined AS (
+  SELECT c.day, d.v FROM cal c LEFT JOIN daily d ON c.day = d.day
+), ctx AS (
+  SELECT day, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+         FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+  FROM joined
+)
+SELECT day, v AS v_raw,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              prev_v + (next_v - prev_v)
+                * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                   / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+       END AS v_interp,
+       v IS NULL AS is_interpolated
+FROM ctx
+""",
+)
+def q_ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over calendar gaps in a daily series (the
+    step up from q_ts_gapfill's forward-fill): missing days get
+    prev + (next − prev)·Δt/T between their nearest observed
+    neighbors, found with IGNORE NULLS window fills in both engines.
+
+    The calendar spine is sequence(min,max) exploded — one row per
+    DAY, so the global-ordered window runs on a bounded series (the
+    raw events were already reduced by the groupBy). The daily mean
+    goes through DECIMAL(18,6) so both engines interpolate from
+    bit-identical anchors."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = cal.join(daily, "day", "left")
+    w_back = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    marked_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(marked_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(marked_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (
+            F.datediff("day", "prev_day").cast("double")
+            / F.datediff("next_day", "prev_day").cast("double")
+        ),
+    )
+    return ctx.select(
+        "day",
+        F.col("v").alias("v_raw"),
+        interp.alias("v_interp"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
+
+
+@register(
+    "q_window_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), rolled AS (
+  SELECT day, rev,
+         list_sort(list(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily
+)
+SELECT day, rev,
+       CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+            ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+       END AS rolling_median
+FROM rolled
+""",
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median of daily order revenue. Neither engine has
+    an exact median window aggregate with identical interpolation, so
+    BOTH sides materialize the frame (collect_list / list window),
+    sort it, and apply the same (a+b)/2 midpoint expression — the
+    arithmetic is shared, so results hash-match. The frame is 7
+    elements over a per-day aggregate: bounded state, safe at any
+    corpus size (this is also exactly the shape Spark streaming's
+    windowed dedup/rank state keeps)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    rolled = daily.withColumn("arr", F.array_sort(F.collect_list("rev").over(w)))
+    n = F.size("arr")
+    med = F.when(
+        n % 2 == 1, F.element_at("arr", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("arr", (n / 2).cast("int"))
+            + F.element_at("arr", (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return rolled.select("day", "rev", med.alias("rolling_median"))
+
+
+_BM25_TERMS = ("scan", "join", "vector")
+
+
+@register(
+    "q_ext_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), toks3 AS (
+  SELECT doc_id, term FROM toks WHERE len(term) >= 3
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks3 GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks3 GROUP BY 1
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(dl) AS avgdl
+  FROM dl
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks3 GROUP BY 1
+), scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         round(round(ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5)), 6)
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)), 6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats
+  WHERE tf.term IN {_BM25_TERMS!r}
+)
+SELECT term, doc_id, tf, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""".replace('(\'scan\', \'join\', \'vector\')', "('scan', 'join', 'vector')"),
+)
+def q_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) retrieval: top-10 documents for each of
+    three query terms. Pure JVM string ops (split/explode) feed
+    map-side-combinable aggregates: tf is one shuffle on (doc, term),
+    df one on term, doc length one on doc; the per-term ranking window
+    is partitioned by TERM so top-k never funnels the corpus through
+    one task. Cross-engine: idf's ln() is quantized at 6 decimals
+    BEFORE entering the score product (libm-vs-JVM ulp spread — see
+    q_ext_surprisal), and the tiebreak (score desc, doc_id) makes
+    top-k deterministic."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks3 = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+    )
+    tf = toks3.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks3.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.count()
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
+    ).withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+    df = toks3.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.round(
+        F.log(
+            1
+            + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        ),
+        6,
+    )
+    score = F.round(
+        idf
+        * (F.col("tf").cast("double") * (1.2 + 1))
+        / (
+            F.col("tf").cast("double")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.filter(F.col("term").isin(*_BM25_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", "tf", score.alias("score"))
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 10)
+
+
+@register(
+    "q_ext_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), toks3 AS (
+  SELECT doc_id, term FROM toks WHERE len(term) >= 3
+), vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks3 GROUP BY 1
+  ORDER BY df DESC, term LIMIT 100
+), vt AS (
+  SELECT t.doc_id, t.term, v.df FROM toks3 t JOIN vocab v USING (term)
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_cnt,
+         CAST(ANY_VALUE(a.df) AS BIGINT) AS cnt_a,
+         CAST(ANY_VALUE(b.df) AS BIGINT) AS cnt_b
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, pair_cnt, cnt_a, cnt_b,
+       round(ln((CAST(pair_cnt AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE))), 6) AS pmi
+FROM pairs CROSS JOIN n
+WHERE pair_cnt >= 5
+""",
+)
+def q_ext_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in a
+    document, over the top-100 vocabulary. The vocabulary cap is the
+    scale valve: the per-doc pair product is bounded by C(|vocab ∩
+    doc|, 2) regardless of corpus size, and vocab selection is itself
+    a bounded top-k (df desc, term) off one token aggregate. Counts
+    are exact ints; pmi = ln of a pure-int ratio, quantized at 6
+    decimals for cross-engine libm parity."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks3 = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    vocab = (
+        toks3.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )
+    vt = toks3.join(F.broadcast(vocab), "term")
+    n_docs = docs.count()
+    a = vt.alias("a")
+    b = vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(
+            F.count("*").alias("pair_cnt"),
+            F.first(F.col("a.df")).alias("cnt_a"),
+            F.first(F.col("b.df")).alias("cnt_b"),
+        )
+        .filter(F.col("pair_cnt") >= 5)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_cnt").cast("double") * F.lit(float(n_docs)))
+            / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+        ),
+        6,
+    )
+    return pairs.select("term_a", "term_b", "pair_cnt", "cnt_a", "cnt_b", pmi.alias("pmi"))
