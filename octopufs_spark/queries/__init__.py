@@ -17,6 +17,7 @@ from octopufs_spark.queries import (  # noqa: F401
     scans,
     setops,
     sorts,
+    spark4,
     streaming_batch,
     tpch,
     tsq,

@@ -1,0 +1,268 @@
+"""Spark 4 engine-surface pack: VARIANT, recursive CTEs, LATERAL
+joins, SQL-defined UDFs/UDTFs, DataSketches cardinality, approx top-k,
+and error-safe ``try_*`` arithmetic.
+
+These are capabilities the reference's consumers get for free from a
+modern engine (the reference itself delegates all relational work to
+Spark SQL, reference: src/main/scala/.../Coalesce.scala:25 runs plain
+``spark.read``/SQL) — a complete rebuild surface has to cover them.
+Every entry here is a full-oracle query: the seed-free constructs
+(VARIANT paths, recursion, LATERAL, SQL UDFs, try_*) compare values
+exactly; the sketch estimators use the tolerance-contract pattern
+(emit the exact value plus an in-query accuracy assertion, both
+deterministic) established by q_agg_approx_distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+
+@register(
+    "q_scalar_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CAST(value AS DOUBLE) AS v_roundtrip,
+       'OBJECT<k: BIGINT>' AS v_schema
+FROM events WHERE event_id < 10000
+""",
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse the JSON props
+    payload once into a variant, extract a typed path, and prove the
+    JSON round-trip of a double is lossless (shortest-repr JSON
+    printing is value-preserving). ``schema_of_variant`` documents the
+    inferred shape; the fixture payload is uniformly {"k": <int>}, so
+    the oracle pins it as a constant — a payload drift would flip it.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 10000)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr(
+            "variant_get(parse_json(to_json(named_struct('v', value))), '$.v', 'double')"
+        ).alias("v_roundtrip"),
+        F.expr("schema_of_variant(parse_json(props))").alias("v_schema"),
+    )
+
+
+@register(
+    "q_scalar_try",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / NULLIF(o_custkey % 3, 0) AS safe_div,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_num,
+       TRY_CAST(o_orderstatus AS INT) AS not_a_number
+FROM orders
+""",
+)
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: ``try_divide`` (NULL on /0 instead of an
+    ANSI error) and ``try_cast`` (NULL on malformed input). IEEE double
+    division is bit-deterministic, so raw quotients compare exactly."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias("safe_div"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_num"),
+        F.col("o_orderstatus").try_cast("int").alias("not_a_number"),
+    )
+
+
+@register(
+    "q_join_lateral_topn",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+""",
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation, expressed as a lateral per-row subquery instead of a
+    window. Catalyst decorrelates this into a ranked join — same
+    physical shape as the window formulation, but the declarative
+    surface is the SQL-standard LATERAL."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM _lat_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM _lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+_RECURSIVE_HIER_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_regionkey AS BIGINT) AS parent,
+         1000 + CAST(n_nationkey AS BIGINT) AS child
+  FROM {nation}
+  UNION ALL
+  SELECT 1000 + CAST(c_nationkey AS BIGINT) AS parent,
+         1000000 + c_custkey AS child
+  FROM {customer}
+), walk(root, node, depth) AS (
+  SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT), 0 FROM {region}
+  UNION ALL
+  SELECT w.root, e.child, w.depth + 1
+  FROM walk w JOIN edges e ON e.parent = w.node
+)
+SELECT r.r_name, w.depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM walk w JOIN {region} r ON r.r_regionkey = w.root
+GROUP BY r.r_name, w.depth
+"""
+
+
+@register(
+    "q_sql_recursive_hierarchy",
+    oracle=_RECURSIVE_HIER_SQL.format(nation="nation", customer="customer", region="region"),
+)
+def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): flatten the geo hierarchy (region →
+    nation → customer) by walking an edge list from the region roots,
+    then count reachable nodes per (region, depth). Spark executes one
+    iteration per recursion level, so depth — not corpus size — bounds
+    the job count: this hierarchy terminates after 3 levels whether the
+    customer table has 2 k or 2 B rows (each level is one distributed
+    hash join). Identical SQL runs as the DuckDB oracle."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("_rec_region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_rec_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_rec_customer")
+    return spark.sql(
+        _RECURSIVE_HIER_SQL.format(
+            nation="_rec_nation", customer="_rec_customer", region="_rec_region"
+        )
+    )
+
+
+@register(
+    "q_udf_sql_scalar",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1
+""",
+)
+def q_udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (CREATE FUNCTION ... RETURN, Spark 4):
+    the function body is inlined by Catalyst into the plan — zero
+    Python, full codegen — unlike a Python UDF with the same logic."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_udf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_tier(p DOUBLE) RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'small'
+                    WHEN p < 150000 THEN 'medium'
+                    ELSE 'large' END
+        """
+    )
+    return spark.sql(
+        "SELECT order_tier(o_totalprice) AS tier, CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM _udf_orders GROUP BY 1"
+    )
+
+
+@register(
+    "q_udf_sql_table",
+    oracle="""
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 9000
+""",
+)
+def q_udf_sql_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined table function (CREATE FUNCTION ... RETURNS TABLE,
+    Spark 4): a parameterized relational view invoked in FROM position.
+    Parameters feed predicates (not LIMIT — Spark requires foldable
+    limits), so the body stays a single pushdown-friendly scan."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_udtf_customer")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION rich_segment(seg STRING, floor DOUBLE)
+        RETURNS TABLE(c_custkey BIGINT, c_acctbal DOUBLE)
+        RETURN SELECT c_custkey, c_acctbal FROM _udtf_customer
+               WHERE c_mktsegment = seg AND c_acctbal >= floor
+        """
+    )
+    return spark.sql("SELECT * FROM rich_segment('BUILDING', 9000.0)")
+
+
+@register(
+    "q_agg_sketch_cardinality",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS hll_ok, TRUE AS theta_ok
+FROM orders
+""",
+)
+def q_agg_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches cardinality, the mergeable path a 100 TB count runs:
+    per-priority partial HLL and Theta sketches, merged with
+    ``hll_union_agg``/``theta_union_agg`` — one map-side sketch per
+    partition, a few-KB shuffle regardless of row count. Tolerance
+    contract: the estimates are deterministic (fixed hash, fixed lgK)
+    but engine-specific, so the registered output is the exact
+    cardinality plus in-query assertions that each estimate lands
+    within 5 % of it."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("hsk"),
+        F.expr("theta_sketch_agg(o_custkey)").alias("tsk"),
+        F.expr("approx_count_distinct(o_custkey)").alias("_unused"),
+    )
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(hsk))").alias("hll_est"),
+        F.expr("theta_sketch_estimate(theta_union_agg(tsk))").alias("theta_est"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact_customers"))
+    return exact.crossJoin(merged).select(
+        "exact_customers",
+        (
+            F.abs(F.col("hll_est") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            < 0.05
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("theta_est") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            < 0.05
+        ).alias("theta_ok"),
+    )
+
+
+@register(
+    "q_agg_approx_top_k",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` frequent-items sketch (Spark 4). With k set
+    above the fixture's distinct-type count the sketch degenerates to
+    exact counts (no eviction ever happens), so the exploded (item,
+    count) rows hash-match the exact group-by — while the plan still
+    exercises the sketch build/merge path a skewed 100 TB top-k uses."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 16)").alias("tk"))
+        .select(F.explode("tk").alias("t"))
+        .select(
+            F.col("t.item").alias("event_type"),
+            F.col("t.count").cast("long").alias("cnt"),
+        )
+    )
