@@ -266,3 +266,30 @@ def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.count").cast("long").alias("cnt"),
         )
     )
+
+
+@register(
+    "q_scan_python_ds",
+    oracle="""
+SELECT CAST(i % 50 AS BIGINT) AS device,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(CAST((i * 2654435761) % 1000000 AS DOUBLE) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_reading
+FROM (SELECT range AS i FROM range(0, 20000))
+GROUP BY 1
+""",
+)
+def q_scan_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python Data Source API
+    (octopufs_spark/sources.py): a deterministic synthetic-telemetry
+    source whose batch reader emits Arrow RecordBatches per
+    InputPartition. Because generation is pure integer arithmetic on
+    the row id, DuckDB recomputes the identical table from range() —
+    a full value-level oracle for a from-scratch connector."""
+    from octopufs_spark.sources import register_synthgen
+
+    register_synthgen(spark)
+    df = spark.read.format("synthgen").option("total", 20000).option("partitions", 8).load()
+    return df.groupBy("device").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("reading").cast("decimal(18,2)")).cast("double").alias("sum_reading"),
+    )

@@ -1,0 +1,179 @@
+"""Custom connectors via the Spark 4 Python Data Source API.
+
+The reference's connector surface is filesystem-level (ADLS/DBFS copy,
+reference: src/main/scala/.../fs/package.scala:23); a Spark-native
+rebuild additionally gets to plug *logical* sources straight into the
+scan planner. This module implements one end-to-end:
+
+``synthgen`` — a deterministic synthetic-telemetry source
+  * batch reader: N `InputPartition`s, each generating its id range as
+    Arrow RecordBatches (vectorized numpy, zero Python-per-row work);
+  * stream reader: offset-tracked micro-batches over the same row
+    space (exactly-once replayable: offsets are row indices);
+  * writer: partitioned JSON-lines sink with task-level commit
+    messages (the two-phase commit shape real sinks use).
+
+Generation is pure integer arithmetic on the row id, so any slice of
+the stream is reproducible from its offsets alone — the property that
+makes the source usable as a correctness fixture: a SQL engine can
+recompute the identical rows from a `range()` table (see
+queries/spark4.py::q_scan_python_ds).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+# Row-id → value formulas (Knuth multiplicative hash; all-integer, so
+# every engine computes identical values — the double division by 100
+# is a single IEEE op, bit-identical everywhere).
+MULT = 2654435761
+MOD = 1_000_000
+N_DEVICES = 50
+
+
+def _batch_for_range(start: int, end: int):
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.arange(start, end, dtype=np.int64)
+    device = ids % N_DEVICES
+    reading = ((ids * MULT) % MOD) / 100.0
+    return pa.RecordBatch.from_arrays(
+        [pa.array(ids), pa.array(device), pa.array(reading)],
+        names=["id", "device", "reading"],
+    )
+
+
+class RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.total = int(options.get("total", 10_000))
+        self.numparts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = max(1, math.ceil(self.total / self.numparts))
+        return [
+            RangePartition(s, min(s + step, self.total)) for s in range(0, self.total, step)
+        ]
+
+    def read(self, partition: RangePartition) -> Iterator:
+        yield _batch_for_range(partition.start, partition.end)
+
+
+class SynthStreamReader(DataSourceStreamReader):
+    """Micro-batches of ``rows_per_batch`` ids, capped at ``total``.
+
+    Offsets are plain row indices, so restarts replay exactly the rows
+    of the failed batch — the at-least-once/exactly-once contract falls
+    out of determinism rather than a write-ahead log.
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("total", 10_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.rows_per_batch, self.total)
+        return {"offset": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        return [RangePartition(start["offset"], end["offset"])]
+
+    def read(self, partition: RangePartition) -> Iterator:
+        # Stream readers must yield tuples (Arrow batches are a
+        # batch-reader-only optimization in the current API).
+        for i in range(partition.start, partition.end):
+            yield (i, i % N_DEVICES, ((i * MULT) % MOD) / 100.0)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class SynthJsonWriter(DataSourceWriter):
+    """JSON-lines sink: one file per task + driver-side _SUCCESS commit
+    (the standard two-phase commit: tasks stage files and report them
+    in commit messages; the driver publishes the manifest)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("synthgen writer requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, rows: Iterator) -> _Committed:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.json"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _Committed(name, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.filename for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class SyntheticTelemetrySource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthgen"
+
+    def schema(self) -> str:
+        return "id bigint, device bigint, reading double"
+
+    def reader(self, schema) -> SynthBatchReader:
+        return SynthBatchReader(self.options)
+
+    def streamReader(self, schema) -> SynthStreamReader:
+        return SynthStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> SynthJsonWriter:
+        return SynthJsonWriter(self.options, overwrite)
+
+
+def register_synthgen(spark) -> None:
+    """Idempotently register the synthgen source on a session."""
+    spark.dataSource.register(SyntheticTelemetrySource)

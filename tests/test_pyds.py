@@ -1,0 +1,86 @@
+"""Python Data Source API (Spark 4) connector tests: batch read,
+streaming micro-batches, and the two-phase-commit JSON writer
+(octopufs_spark/sources.py). The registered query q_scan_python_ds
+covers the batch value contract against DuckDB; these tests cover the
+connector behaviors the oracle can't see (partition counts, stream
+offsets, commit manifest)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from octopufs_spark.sources import MOD, MULT, N_DEVICES, register_synthgen
+
+
+def _read(spark, total=1000, partitions=4):
+    register_synthgen(spark)
+    return (
+        spark.read.format("synthgen")
+        .option("total", total)
+        .option("partitions", partitions)
+        .load()
+    )
+
+
+def test_batch_values_and_partitioning(spark):
+    df = _read(spark, total=1000, partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    rows = {r["id"]: r for r in df.collect()}
+    for i in (0, 1, 999):
+        assert rows[i]["device"] == i % N_DEVICES
+        assert rows[i]["reading"] == ((i * MULT) % MOD) / 100.0
+
+
+def test_batch_uneven_split_covers_all_rows(spark):
+    df = _read(spark, total=1003, partitions=7)
+    agg = df.agg(
+        F.count("*").alias("n"), F.countDistinct("id").alias("d"), F.max("id").alias("mx")
+    ).collect()[0]
+    assert (agg["n"], agg["d"], agg["mx"]) == (1003, 1003, 1002)
+
+
+def test_stream_reads_all_rows_in_order(spark, tmp_path):
+    register_synthgen(spark)
+    stream = (
+        spark.readStream.format("synthgen")
+        .option("total", 500)
+        .option("rows_per_batch", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # latestOffset advances rows_per_batch per micro-batch, so the full
+    # 500 rows arrive over (at least) 3 batches — poll until drained.
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT COUNT(*) FROM synth_stream").collect()[0][0] >= 500:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("SELECT * FROM synth_stream").collect()
+    assert len(got) == 500
+    by_id = {r["id"]: r for r in got}
+    assert by_id[123]["reading"] == ((123 * MULT) % MOD) / 100.0
+
+
+def test_writer_two_phase_commit_roundtrip(spark, tmp_path):
+    out = tmp_path / "json_sink"
+    df = _read(spark, total=300, partitions=3)
+    df.write.format("synthgen").mode("append").option("path", str(out)).save()
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    assert manifest["rows"] == 300
+    assert len(manifest["files"]) == 3
+    back = spark.read.schema("id bigint, device bigint, reading double").json(
+        str(out) + "/part-*.json"
+    )
+    assert back.count() == 300
+    assert back.agg(F.countDistinct("id")).collect()[0][0] == 300
