@@ -1,0 +1,115 @@
+"""Distributed k-means (Lloyd's) over embedding columns, built to be
+bit-deterministic across engines.
+
+Floating-point k-means is not reproducible across engines (sum order
+changes centroid low bits, which can flip assignments near Voronoi
+boundaries), so this implementation runs ENTIRELY in integer space:
+
+* embeddings are quantized once: ``round(x * scale)`` per element
+  (ties round away from zero in both Spark and DuckDB);
+* distances are exact integer sums of squared differences (JVM
+  ``zip_with``/``aggregate`` fold — no Python, no doubles);
+* centroid updates are ``floor(sum / count)`` where the division is a
+  single IEEE double op on exactly-representable integers — identical
+  in Spark, DuckDB, and Python;
+* ties in the argmin break to the lowest cluster id.
+
+The same algorithm is therefore expressible as unrolled SQL (see
+queries/spark4.py::q_ext_cluster_kmeans's oracle), giving a FULL
+value-level correctness gate for an iterative ML operator — rare for
+clustering, which is usually only checkable by weak invariants.
+
+Scale shape: each iteration is one scan + one (cluster, position)
+aggregation; centroids live driver-side as k*dim ints (k=4, dim=64 →
+256 values, independent of corpus size) and are pushed back in as
+literals, so the per-iteration shuffle is k*dim rows regardless of
+row count. The quantized table is localCheckpointed once and reused
+by all iterations. The reference has no clustering operator; this is
+beyond-reference surface for training-data pipelines (corpus
+bucketing before per-cluster dedup/sampling).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(df: DataFrame, col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """(vec_id, qv): embedding quantized to array<bigint> at ``scale``."""
+    return df.select(
+        "vec_id",
+        F.transform(F.col(col), lambda x: F.round(x * scale).cast("long")).alias("qv"),
+    )
+
+
+def _sq_dist(qv: Column, centroid: list[int]) -> Column:
+    """Exact integer squared L2 distance to a literal centroid."""
+    cen = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(qv, cen, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Adds ``cluster``: argmin of exact distances, ties to lowest id."""
+    dists = [_sq_dist(F.col("qv"), c).alias(f"_d{i}") for i, c in enumerate(centroids)]
+    with_d = q.select("vec_id", "qv", *dists)
+    m = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    # Ties break to the lowest cluster id: coalesce returns the first
+    # (lowest-index) matching when(), mirroring the oracle's
+    # ROW_NUMBER() OVER (ORDER BY dist, cluster).
+    cluster = F.coalesce(
+        *[
+            F.when(F.col(f"_d{i}") == m, F.lit(i).cast("long"))
+            for i in range(len(centroids))
+        ]
+    )
+    return with_d.select("vec_id", "qv", cluster.alias("cluster"))
+
+
+def kmeans_int(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic Lloyd's iterations; returns (vec_id, cluster).
+
+    Init: the quantized vectors of the k lowest vec_ids (seed-free and
+    SQL-reproducible). An emptied cluster keeps its previous centroid.
+    """
+    q = quantize(df, col=col, scale=scale).localCheckpoint()
+    init_rows = q.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need at least {k} vectors with vec_id < {k}")
+    centroids = [list(r["qv"]) for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(q, centroids)
+        stats = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()  # bounded: k * dim rows, independent of corpus size
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+        centroids = [
+            [
+                # floor(s/n) with one IEEE division — matches the SQL
+                # oracle's FLOOR(CAST(s AS DOUBLE)/n) bit-for-bit.
+                math.floor(by_cluster[c][p][0] / by_cluster[c][p][1])
+                for p in range(dim)
+            ]
+            if c in by_cluster
+            else centroids[c]
+            for c in range(k)
+        ]
+    return assign_clusters(q, centroids).select("vec_id", "cluster")

@@ -293,3 +293,86 @@ def q_scan_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(F.col("reading").cast("decimal(18,2)")).cast("double").alias("sum_reading"),
     )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1000, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as DuckDB SQL — the full value-level
+    oracle for the integer-arithmetic k-means (llm/clustering.py). All
+    arithmetic is exact (quantized ints; doubles only hold
+    exactly-representable integers), so assignment and update rounds
+    replay bit-identically to the Spark implementation."""
+    dv = "list_transform(v, x -> CAST(x AS DOUBLE))"
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, v, {dv} AS vd FROM q
+), qdd AS (
+  SELECT vec_id, v, vd, list_inner_product(vd, vd) AS vv FROM qd
+), c0 AS (
+  SELECT vec_id AS cluster, v, {dv} AS vd FROM q WHERE vec_id < {k}
+), c0d AS (
+  SELECT cluster, v, vd, list_inner_product(vd, vd) AS cc FROM c0
+)"""
+    ]
+    prev = "c0d"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY q.vv - 2 * list_inner_product(q.vd, c.vd) + c.cc, c.cluster
+           ) AS rn
+    FROM qdd q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), u{i} AS (
+  SELECT a.cluster, gs.pos,
+         CAST(FLOOR(CAST(SUM(q.v[gs.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{i} a JOIN q USING (vec_id)
+  CROSS JOIN generate_series(1, {dim}) AS gs(pos)
+  GROUP BY 1, 2
+), ul{i} AS (
+  SELECT cluster, list(m ORDER BY pos) AS v FROM u{i} GROUP BY cluster
+), c{i} AS (
+  SELECT c.cluster, COALESCE(u.v, c.v) AS v
+  FROM c0d c LEFT JOIN ul{i} u USING (cluster)
+), c{i}d AS (
+  SELECT cluster, v, {dv} AS vd,
+         list_inner_product({dv}, {dv}) AS cc
+  FROM c{i}
+)"""
+        )
+        prev = f"c{i}d"
+    parts.append(
+        f"""
+SELECT vec_id, cluster FROM (
+  SELECT q.vec_id, c.cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY q.vv - 2 * list_inner_product(q.vd, c.vd) + c.cc, c.cluster
+         ) AS rn
+  FROM qdd q CROSS JOIN {prev} c
+) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+@register("q_ext_cluster_kmeans", oracle=_kmeans_oracle())
+def q_ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering: deterministic integer-arithmetic k-means
+    (k=4, 3 Lloyd's iterations, init = lowest vec_ids) over the
+    embeddings table — the bucketing step a training pipeline runs
+    before per-cluster dedup/sampling. Fully value-checked against an
+    unrolled recursive SQL replay (see llm/clustering.py for why the
+    integer formulation makes an iterative ML op exactly oracle-able).
+    Per iteration: one scan + a k*dim-row aggregate; centroids are
+    driver-side literals (k*dim ints), so the plan scales linearly in
+    corpus size with no pairwise joins."""
+    from octopufs_spark.llm import clustering
+
+    return clustering.kmeans_int(load(spark, sf_dir, "embeddings"), k=4, iters=3)
