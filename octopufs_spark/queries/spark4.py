@@ -376,3 +376,75 @@ def q_ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from octopufs_spark.llm import clustering
 
     return clustering.kmeans_int(load(spark, sf_dir, "embeddings"), k=4, iters=3)
+
+
+@register(
+    "q_udaf_grouped_arrow",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via ``applyInArrow`` (Spark 4): the
+    whole group arrives as ONE Arrow table (no pandas conversion, no
+    per-row Python), and the aggregate runs as vectorized pyarrow
+    kernels. Summing integer cents keeps the result exact, so the
+    Python-side fold is order-independent and hash-matches SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table.column("c_acctbal"), 100)), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": pa.array([table.column("c_mktsegment")[0].as_py()]),
+                "cnt": pa.array([table.num_rows], pa.int64()),
+                "bal_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            }
+        )
+
+    cust = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return cust.groupBy("c_mktsegment").applyInArrow(
+        agg, "c_mktsegment string, cnt bigint, bal_cents bigint"
+    )
+
+
+@register(
+    "q_udtf_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars_obs,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents WHERE doc_id < 300
+""",
+)
+def q_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PyArrow-native UDTF (``arrow_udtf``, Spark 4.1): eval receives
+    whole RecordBatches and emits Arrow tables — the zero-copy
+    batch-vectorized UDTF path (vs the row-yielding Python UDTF in
+    q_udtf_python). Token counting runs as pyarrow compute kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="doc_id bigint, n_chars_obs bigint, n_tokens bigint")
+    class TextStats:
+        def eval(self, batch: pa.RecordBatch):
+            text = batch.column("text")
+            yield pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_chars_obs": pc.cast(pc.utf8_length(text), pa.int64()),
+                    "n_tokens": pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int64()
+                    ),
+                }
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    )
+    return TextStats(docs.asTable())

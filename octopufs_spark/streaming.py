@@ -238,3 +238,50 @@ def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "appen
         .outputMode(mode)
         .start()
     )
+
+
+def has_transform_with_state_deps() -> bool:
+    """transformWithState needs protobuf Python-side (absent in some
+    sandboxes) plus the RocksDB state store provider."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_running_counts(events: DataFrame) -> DataFrame:
+    """Per-user running event counts via ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState): typed state
+    variables (`getValueState`) on a RocksDB-backed store, per-key
+    timers, and schema'd state evolution. Env-gated: requires the
+    ``protobuf`` package (state protocol is proto-encoded between the
+    JVM and the Python worker); callers should check
+    ``has_transform_with_state_deps()`` first. Caller must set
+    spark.sql.streaming.stateStore.providerClass to the RocksDB
+    provider before starting the query.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "cnt bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self.count.get()[0] if self.count.exists() else 0
+            total = prev + n
+            self.count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user_id bigint, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -232,3 +232,43 @@ def test_stream_stream_interval_join(spark, event_files):
     }
     assert got == want
     assert len(want) > 0
+
+
+@pytest.mark.skipif(
+    not streaming.has_transform_with_state_deps(),
+    reason="transformWithStateInPandas needs the protobuf package (absent here)",
+)
+def test_transform_with_state_running_counts(spark, tmp_path):
+    """Final per-user counts from the TWS processor == batch groupBy."""
+    src = tmp_path / "tws_src"
+    ev = load(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
+    ev.write.mode("overwrite").parquet(str(src))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            streaming.tws_running_counts(stream)
+            .writeStream.format("memory")
+            .queryName("tws_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["user_id"]: r["n_events"]
+            for r in spark.sql(
+                "SELECT user_id, MAX(n_events) AS n_events FROM tws_counts GROUP BY user_id"
+            ).collect()
+        }
+        exact = {
+            r["user_id"]: r["n"]
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == exact
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
