@@ -448,3 +448,115 @@ def q_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
     )
     return TextStats(docs.asTable())
+
+
+@register(
+    "q_scan_xml",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion round-trip (XML became a built-in source in Spark
+    4): dump customer to row-tagged XML, re-read with an explicit
+    schema, aggregate through the decimal-exact path — proving the XML
+    codec is lossless for this data, same contract as q_scan_csv/json.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="octopufs_xml_")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    cust.write.mode("overwrite").format("xml").option("rowTag", "customer").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .load(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+@register(
+    "q_scalar_collation",
+    oracle="""
+SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer GROUP BY 1
+""",
+)
+def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): half the keys are
+    lower-cased, then grouped under UTF8_LCASE so case variants merge
+    without rewriting the data — the engine-level answer to
+    `GROUP BY lower(x)`. The oracle IS `GROUP BY lower(x)`: identical
+    partitions prove the collation semantics."""
+    cust = load(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+    ).otherwise(F.col("c_mktsegment"))
+    keyed = cust.select(F.collate(mixed, "UTF8_LCASE").alias("seg"))
+    return keyed.groupBy("seg").agg(F.count("*").alias("cnt")).select(
+        F.lower(F.col("seg")).cast("string").alias("segment"), "cnt"
+    )
+
+
+_REGR_SQL = """
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
+@register("q_agg_regression", oracle=_REGR_SQL)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression aggregates (regr_slope / regr_intercept
+    / regr_r2 semantics) from first principles: exact decimal moment
+    sums combined with an identical double formula on both engines —
+    the native regr_* implementations accumulate doubles in engine-
+    specific order and drift in the last bits (same rationale as
+    q_agg_corr). Predicting price from quantity per returnflag."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return base.select(
+        "l_returnflag",
+        # Per-column rounding keeps each value at <= ~10 significant
+        # digits (intercept is ~5e4, so 12 decimals would demand 16 sig
+        # digits — past double precision, where engine ROUND impls
+        # disagree; caught by the sf0.01 sweep).
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("r2"),
+    )
