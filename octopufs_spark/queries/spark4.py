@@ -560,3 +560,41 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     )
+
+
+@register(
+    "q_ext_incremental_agg",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance via partial-aggregate merge: a
+    materialized base aggregate (90 % of orders) is updated with a CDC
+    delta batch (the remaining 10 %) by merging algebraic partials
+    (count → sum of counts, decimal sum → sum of sums) instead of
+    rescanning the base fact. The oracle is the full recompute — equal
+    results prove the merge algebra. At 100 TB this is the difference
+    between touching one day's partition and rescanning the table; the
+    same shape maintains rollups under manifest-table MERGE commits
+    (octopufs_spark/merge.py)."""
+    o = load(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+
+    base = partial(o.where(F.col("o_orderkey") % 10 != 0))
+    delta = partial(o.where(F.col("o_orderkey") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_orders"),
+            F.sum("s").cast("double").alias("total"),
+        )
+    )

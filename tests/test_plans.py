@@ -146,3 +146,74 @@ def test_exact_similarity_has_no_pair_join(plans, qname):
                  "BroadcastHashJoin", "ShuffledHashJoin"):
         assert node not in p, f"{qname}: pair-materializing {node} in plan"
     assert "MapInPandas" in p  # one Arrow matmul per batch is the scorer
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning — the AQE-era runtime filter
+    that cuts probe-side shuffle bytes when the build side is
+    selective. Default size thresholds (10 GB probe scan) keep it off
+    at fixture scale, so lower them per-query to pin that the rewrite
+    itself still engages: on a 100 TB fact join this is the difference
+    between shuffling the full fact table and shuffling only rows whose
+    key might match."""
+    from pyspark.sql import functions as F
+
+    from octopufs_spark.tables import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_lateral_topn_decorrelates_to_window(plans):
+    """The LATERAL top-n must decorrelate into a ranked window join —
+    no per-outer-row subquery re-execution (which would be O(nations)
+    scans of customer at scale)."""
+    plan = plans("q_join_lateral_topn")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_python_ds_partition_count(spark):
+    """The custom Python data source must honor its partitions option —
+    reader parallelism is the connector's scale contract."""
+    from octopufs_spark.sources import register_synthgen
+
+    register_synthgen(spark)
+    df = (
+        spark.read.format("synthgen")
+        .option("total", 1000)
+        .option("partitions", 6)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 6
+
+
+def test_kmeans_plan_has_no_join(plans):
+    """Centroids enter the k-means assignment as literals (driver-side
+    k*dim ints), so the per-iteration plan must contain no join at all
+    — corpus-linear, no pair product, no shuffle besides the stats
+    aggregation."""
+    plan = plans("q_ext_cluster_kmeans")
+    assert "Join" not in plan
