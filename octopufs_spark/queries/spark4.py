@@ -598,3 +598,37 @@ def q_ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("double").alias("total"),
         )
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join as a registered query: the fact side is
+    salted into n_salts sub-keys and the dim side replicated per salt
+    (octopufs_spark/scale.py:27), so one hot order key spreads over 8
+    reducers instead of stalling a single task. Salting is plan-level
+    only — the oracle is the plain join, proving row-identical results.
+    """
+    from octopufs_spark.scale import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
