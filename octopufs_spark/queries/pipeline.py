@@ -374,3 +374,116 @@ def q_ext_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).cast("long").alias("edit_dist"),
     )
     return pairs.where(F.col("edit_dist") <= 20)
+
+
+@register(
+    "q_ext_dedup_lines",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, '. ') AS parts FROM documents WHERE doc_id < 300
+), l AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(parts))) AS pos,
+         unnest(parts) AS line
+  FROM d
+), f AS (
+  SELECT line, MIN(ROW(doc_id, pos)) AS first_occ FROM l GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l JOIN f ON l.line = f.line
+  WHERE ROW(l.doc_id, l.pos) = f.first_occ
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(kept.line, '. ' ORDER BY kept.pos), '') AS clean_text,
+       CAST(COUNT(kept.pos) AS BIGINT) AS n_kept,
+       CAST(len(d.parts) - COUNT(kept.pos) AS BIGINT) AS n_dropped
+FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+GROUP BY d.doc_id, len(d.parts)
+""",
+)
+def q_ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: split documents into sentences, drop
+    every sentence already seen earlier in the corpus (first occurrence
+    = lowest (doc_id, pos) wins — deterministic), and reassemble the
+    surviving text in original order. Unlike whole-document dedup this
+    kills boilerplate (headers, navigation, license blurbs) embedded in
+    otherwise-unique pages — the C4/RefinedWeb recipe. One explode +
+    one line-hash aggregation + one re-group: every step shuffles on
+    bounded keys, corpus-linear at 100 TB."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\\. ")).alias("pos0", "line"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    firsts = lines.groupBy("line").agg(F.min(F.struct("doc_id", "pos")).alias("first_occ"))
+    kept = (
+        lines.join(firsts, "line")
+        .where(F.struct("doc_id", "pos") == F.col("first_occ"))
+        .select("doc_id", "pos", "line")
+    )
+    n_parts = docs.select("doc_id", F.size(F.split("text", "\\. ")).alias("n_parts"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            ". ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        n_parts.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_parts") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+@register(
+    "q_ext_seq_pack",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_tok
+  FROM t
+)
+SELECT lang,
+       CAST(FLOOR(COALESCE(before_tok, 0) / 512) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM c GROUP BY 1, 2
+""",
+)
+def q_ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are packed
+    contiguously (per language, in doc_id order) into 512-token bins —
+    bin id = floor(cumulative tokens before doc / 512), the
+    deterministic contiguous-fill strategy. Output is the per-bin
+    manifest (doc count, token load) a dataloader consumes. The window
+    partitions by lang, so no global sort: each language packs
+    independently — at 100 TB the partition key becomes (lang, shard)
+    with identical semantics per shard."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("before_tok", F.sum("n_tok").over(w))
+    return (
+        c.groupBy(
+            "lang",
+            F.floor(F.coalesce(F.col("before_tok"), F.lit(0)) / 512).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+    )

@@ -217,3 +217,35 @@ def test_kmeans_plan_has_no_join(plans):
     aggregation."""
     plan = plans("q_ext_cluster_kmeans")
     assert "Join" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — at 100 TB one hot key stalls a single
+    reducer for hours; AQE must split the oversized partition into
+    parallel sub-joins. Thresholds are lowered so fixture-scale skew
+    (one key carrying 100× the others) trips the same rewrite, and the
+    executed plan must carry the skew=true marker."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        tail = spark.range(2000).select((F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v"))
+        right = spark.range(100).select(F.col("id").alias("k"), F.rand(7).alias("w"))
+        j = hot.union(tail).join(right, "k").groupBy().count()
+        j.collect()
+        assert "skew=true" in j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

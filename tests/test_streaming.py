@@ -272,3 +272,34 @@ def test_transform_with_state_running_counts(spark, tmp_path):
         assert got == exact
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup by key with state that
+    EXPIRES after the watermark delay — the bounded-state form of
+    streaming dedup (plain dropDuplicates keeps every key forever,
+    which leaks at 100 TB). Events duplicated within the delay must
+    collapse; the total must equal the distinct event_id count."""
+    src = tmp_path / "ddww_src"
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        .where(F.col("event_id") < 1000)
+    )
+    doubled = ev.union(ev)  # exact duplicates, same timestamp
+    doubled.repartition(2).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(doubled.schema).parquet(str(src))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ddww_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM ddww_out").collect()[0]
+    assert got["n"] == got["d"] == ev.count()
