@@ -482,3 +482,93 @@ def cosine_topk_ann(
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (SQL-replayable) LSH ANN
+# ---------------------------------------------------------------------------
+
+DET_MULT = 2654435761
+DET_MOD = 2001
+DET_SHIFT = 1000
+DET_SCALE = 1000
+
+
+def deterministic_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Integer hyperplanes from a multiplicative hash of the index —
+    reproducible in any engine: h[j][i] = ((j*dim+i) * 2654435761) %
+    2001 - 1000. Pseudo-random enough to cut space into balanced
+    half-spaces; crucially not seed-state-dependent, so a SQL oracle
+    regenerates the identical matrix."""
+    return [
+        [((j * dim + i) * DET_MULT) % DET_MOD - DET_SHIFT for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def cosine_topk_ann_deterministic(
+    vecs: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully deterministic LSH approximate cosine top-k.
+
+    Same bucket-join shape as :func:`cosine_topk_ann` (shuffle on
+    bucket, per-bucket scoring, never all-pairs), but every arithmetic
+    step is exact: embeddings quantized to ints (×1000), projections
+    and dot products are exact integer folds, and the cosine is formed
+    from exactly-representable integers with single IEEE sqrt/divide
+    ops — so ranks and ties are bit-reproducible across engines and
+    the result hash-verifies against a DuckDB replay (the production
+    seeded-Gaussian path stays in cosine_topk_ann; this variant trades
+    a bit of bucket quality for verifiability)."""
+    from pyspark.sql.window import Window
+
+    planes = deterministic_planes(n_planes, dim)
+    q = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: F.round(x * DET_SCALE).cast("long")).alias("qv"),
+    )
+
+    def fold_dot(a, b_literal: list[int]):
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in b_literal])
+        return F.aggregate(
+            F.zip_with(a, lit, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    bucket = None
+    for j, plane in enumerate(planes):
+        bit = F.when(fold_dot(F.col("qv"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = q.select(
+        "vec_id",
+        "qv",
+        bucket.cast("long").alias("bucket"),
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = lhs.join(
+        rhs,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            dot_ab.cast("double")
+            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return pairs.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)

@@ -632,3 +632,59 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+def _lsh_det_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """DuckDB replay of the deterministic LSH ANN: regenerate the
+    integer hash-planes from the same index formula, re-derive buckets
+    from exact integer projections, score same-bucket pairs with exact
+    integer dots, and rank. Every number is exactly representable, so
+    the top-k hash-matches the Spark plan bit-for-bit."""
+    proj = lambda j: (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> v[i] * (((({j} * {dim}) + i - 1) * 2654435761) % 2001 - 1000)))"
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), qb AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) AS nn,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM q
+)
+SELECT vec_a, vec_b, cos_sim, rn FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i])) AS DOUBLE)
+           / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY CAST(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i])) AS DOUBLE)
+                    / (sqrt(a.nn) * sqrt(b.nn)) DESC, b.vec_id
+         ) AS BIGINT) AS rn
+  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+) WHERE rn <= {k}
+"""
+
+
+@register("q_ext_ann_lsh_det", oracle=_lsh_det_oracle())
+def q_ext_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH approximate cosine top-5 with FULL value-level verification:
+    hyperplanes come from an index-hash formula (not a seeded RNG) and
+    all projections/dots are exact integer folds, so the entire ANN
+    pipeline — bucketing, candidate join, scoring, ranking — replays
+    bit-identically in SQL (llm/similarity.py::
+    cosine_topk_ann_deterministic). Upgrades the ANN family from
+    weak/rows-only to hash-verified; the seeded-Gaussian production
+    variant remains q_ext_ann_lsh. Plan shape is unchanged: shuffle on
+    bucket, per-bucket scoring, no all-pairs product."""
+    from octopufs_spark.llm import similarity
+
+    return similarity.cosine_topk_ann_deterministic(
+        load(spark, sf_dir, "embeddings"), dim=64, k=5, n_planes=8
+    )
