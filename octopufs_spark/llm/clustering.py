@@ -55,21 +55,41 @@ def _sq_dist(qv: Column, centroid: list[int]) -> Column:
     )
 
 
+def centroid_df(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Literal centroids as a broadcastable (cluster, cv) table."""
+    spark = q.sparkSession
+    return spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster bigint, cv array<bigint>",
+    )
+
+
+def rank_cells(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, qv, cluster, crn): every centroid ranked per vector by
+    exact integer distance, ties to the lowest cluster id — the shared
+    primitive behind k-means assignment (crn=1) and IVF cell probing
+    (crn<=n_probe). Centroids join as a broadcast k-row table with ONE
+    small fold expression — k separate literal-array distance columns
+    make Catalyst analyze k*dim-literal trees, which dominates wall
+    time long before the data does."""
+    from pyspark.sql.window import Window
+
+    cdf = centroid_df(q, centroids)
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    joined = q.crossJoin(F.broadcast(cdf)).select("vec_id", "qv", "cluster", d.alias("d"))
+    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+    return joined.withColumn("crn", F.row_number().over(w))
+
+
 def assign_clusters(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Adds ``cluster``: argmin of exact distances, ties to lowest id."""
-    dists = [_sq_dist(F.col("qv"), c).alias(f"_d{i}") for i, c in enumerate(centroids)]
-    with_d = q.select("vec_id", "qv", *dists)
-    m = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
-    # Ties break to the lowest cluster id: coalesce returns the first
-    # (lowest-index) matching when(), mirroring the oracle's
-    # ROW_NUMBER() OVER (ORDER BY dist, cluster).
-    cluster = F.coalesce(
-        *[
-            F.when(F.col(f"_d{i}") == m, F.lit(i).cast("long"))
-            for i in range(len(centroids))
-        ]
+    return rank_cells(q, centroids).where(F.col("crn") == 1).select(
+        "vec_id", "qv", "cluster"
     )
-    return with_d.select("vec_id", "qv", cluster.alias("cluster"))
 
 
 def kmeans_int(
@@ -85,6 +105,15 @@ def kmeans_int(
     SQL-reproducible). An emptied cluster keeps its previous centroid.
     """
     q = quantize(df, col=col, scale=scale).localCheckpoint()
+    centroids = kmeans_centroids(q, k=k, iters=iters)
+    return assign_clusters(q, centroids).select("vec_id", "cluster")
+
+
+def kmeans_centroids(q: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """Run the Lloyd's update loop on an already-quantized (vec_id, qv)
+    table and return the final integer centroids (k * dim ints,
+    driver-side). Shared by the clustering query and the deterministic
+    IVF coarse quantizer."""
     init_rows = q.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     if len(init_rows) < k:
         raise ValueError(f"need at least {k} vectors with vec_id < {k}")
@@ -112,4 +141,4 @@ def kmeans_int(
             else centroids[c]
             for c in range(k)
         ]
-    return assign_clusters(q, centroids).select("vec_id", "cluster")
+    return centroids

@@ -572,3 +572,64 @@ def cosine_topk_ann_deterministic(
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return pairs.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
+
+
+def cosine_topk_ivf_deterministic(
+    vecs: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    k: int = 5,
+    query_limit: int = 300,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully deterministic IVF approximate cosine top-k.
+
+    Coarse quantizer = the integer-arithmetic k-means
+    (llm/clustering.py), so the cell layout itself is SQL-replayable;
+    probing ranks cells by exact integer distance (ties to the lower
+    cell id) and scoring uses exact integer dots — the complete IVF
+    pipeline (train → assign → probe → score → rank) hash-verifies
+    against a DuckDB replay. Queries are the vec_id < query_limit
+    block; candidates come from the whole corpus. Scale shape: one
+    bounded driver k-means, per-vector cell assignment from literal
+    centroids (no join), candidate join shuffles on cell — bytes ∝
+    n·(n_probe/n_cells), never all pairs."""
+    from pyspark.sql.window import Window
+
+    from octopufs_spark.llm import clustering
+
+    q = clustering.quantize(vecs, col=vec_col).localCheckpoint()
+    cents = clustering.kmeans_centroids(q, k=n_cells, iters=iters)
+
+    ranked = clustering.rank_cells(q, cents).withColumn(
+        "nn",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).select("vec_id", "qv", "nn", F.col("cluster").alias("cell"), "crn").localCheckpoint()
+    home = ranked.where(F.col("crn") == 1).drop("crn")
+    probe = ranked.where(
+        (F.col("crn") <= n_probe) & (F.col("vec_id") < query_limit)
+    ).drop("crn")
+    a, b = probe.alias("a"), home.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            dot_ab.cast("double")
+            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return pairs.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)

@@ -295,12 +295,11 @@ def q_scan_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1000, dim: int = 64) -> str:
-    """Unrolled Lloyd's iterations as DuckDB SQL — the full value-level
-    oracle for the integer-arithmetic k-means (llm/clustering.py). All
-    arithmetic is exact (quantized ints; doubles only hold
-    exactly-representable integers), so assignment and update rounds
-    replay bit-identically to the Spark implementation."""
+def _kmeans_cte_prefix(k: int, iters: int, scale: int, dim: int) -> tuple[str, str]:
+    """Shared CTE chain: quantized vectors + unrolled Lloyd's updates.
+    Returns (cte_sql, final_centroid_cte_name); used by the k-means
+    oracle and the deterministic-IVF oracle (which trains the same
+    coarse quantizer before probing)."""
     dv = "list_transform(v, x -> CAST(x AS DOUBLE))"
     parts = [
         f"""
@@ -348,18 +347,28 @@ WITH q AS (
 )"""
         )
         prev = f"c{i}d"
-    parts.append(
-        f"""
+    return "".join(parts), prev
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1000, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as DuckDB SQL — the full value-level
+    oracle for the integer-arithmetic k-means (llm/clustering.py). All
+    arithmetic is exact (quantized ints; doubles only hold
+    exactly-representable integers), so assignment and update rounds
+    replay bit-identically to the Spark implementation."""
+    prefix, cents = _kmeans_cte_prefix(k, iters, scale, dim)
+    return (
+        prefix
+        + f"""
 SELECT vec_id, cluster FROM (
   SELECT q.vec_id, c.cluster,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
            ORDER BY q.vv - 2 * list_inner_product(q.vd, c.vd) + c.cc, c.cluster
          ) AS rn
-  FROM qdd q CROSS JOIN {prev} c
+  FROM qdd q CROSS JOIN {cents} c
 ) WHERE rn = 1"""
     )
-    return "".join(parts)
 
 
 @register("q_ext_cluster_kmeans", oracle=_kmeans_oracle())
@@ -687,4 +696,66 @@ def q_ext_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return similarity.cosine_topk_ann_deterministic(
         load(spark, sf_dir, "embeddings"), dim=64, k=5, n_planes=8
+    )
+
+
+def _ivf_det_oracle(
+    n_cells: int = 8, iters: int = 2, n_probe: int = 2, k: int = 5, query_limit: int = 300
+) -> str:
+    """DuckDB replay of the deterministic IVF ANN: retrain the same
+    integer k-means coarse quantizer (shared CTE prefix), rank cells by
+    exact distance per vector (ties to the lower cell id), probe the
+    top n_probe cells for each query vector, score candidates with
+    exact integer dots, and rank."""
+    prefix, cents = _kmeans_cte_prefix(n_cells, iters, 1000, 64)
+    return (
+        prefix
+        + f""", rankcell AS (
+  SELECT q.vec_id, c.cluster AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY q.vv - 2 * list_inner_product(q.vd, c.vd) + c.cc, c.cluster
+         ) AS crn
+  FROM qdd q CROSS JOIN {cents} c
+), home AS (
+  SELECT vec_id, cell FROM rankcell WHERE crn = 1
+), probe AS (
+  SELECT vec_id, cell FROM rankcell WHERE crn <= {n_probe} AND vec_id < {query_limit}
+)
+SELECT vec_a, vec_b, cos_sim, rn FROM (
+  SELECT p.vec_id AS vec_a, h.vec_id AS vec_b,
+         list_inner_product(qa.vd, qb.vd) / (sqrt(qa.vv) * sqrt(qb.vv)) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_inner_product(qa.vd, qb.vd) / (sqrt(qa.vv) * sqrt(qb.vv)) DESC,
+                    h.vec_id
+         ) AS BIGINT) AS rn
+  FROM probe p
+  JOIN home h ON p.cell = h.cell AND p.vec_id <> h.vec_id
+  JOIN qdd qa ON qa.vec_id = p.vec_id
+  JOIN qdd qb ON qb.vec_id = h.vec_id
+) WHERE rn <= {k}
+"""
+    )
+
+
+@register("q_ext_ann_ivf_det", oracle=_ivf_det_oracle())
+def q_ext_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-5 with FULL value-level verification:
+    the coarse quantizer is the deterministic integer k-means, cell
+    probing ranks by exact integer distances, and scoring uses exact
+    integer dots — train, assign, probe, score, and rank all replay
+    bit-identically in SQL (llm/similarity.py::
+    cosine_topk_ivf_deterministic). Together with q_ext_ann_lsh_det
+    this makes both major ANN families hash-verified; the
+    seeded-sampling production variant remains q_ext_ann_ivf."""
+    from octopufs_spark.llm import similarity
+
+    return similarity.cosine_topk_ivf_deterministic(
+        load(spark, sf_dir, "embeddings"),
+        n_cells=8,
+        iters=2,
+        n_probe=2,
+        k=5,
+        query_limit=300,
     )

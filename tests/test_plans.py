@@ -210,13 +210,15 @@ def test_python_ds_partition_count(spark):
     assert df.rdd.getNumPartitions() == 6
 
 
-def test_kmeans_plan_has_no_join(plans):
-    """Centroids enter the k-means assignment as literals (driver-side
-    k*dim ints), so the per-iteration plan must contain no join at all
-    — corpus-linear, no pair product, no shuffle besides the stats
-    aggregation."""
+def test_kmeans_join_is_broadcast_only(plans):
+    """Centroids enter the k-means assignment as a broadcast k-row
+    table (driver-side k*dim ints — one small fold expression instead
+    of k literal-array columns, which bloat Catalyst analysis), so the
+    plan may contain ONLY broadcast joins: a shuffle join against the
+    corpus would mean the centroid side stopped being broadcast."""
     plan = plans("q_ext_cluster_kmeans")
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Broadcast" in plan
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
