@@ -506,6 +506,45 @@ def deterministic_planes(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def det_lsh_index(
+    vecs: DataFrame,
+    dim: int,
+    n_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, qv, bucket, nn): quantized vectors with their
+    deterministic-plane LSH bucket and exact integer squared norm —
+    the shared index behind the verifiable top-k and near-dup pair
+    paths."""
+    planes = deterministic_planes(n_planes, dim)
+    q = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: F.round(x * DET_SCALE).cast("long")).alias("qv"),
+    )
+
+    def fold_dot(a, b_literal: list[int]):
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in b_literal])
+        return F.aggregate(
+            F.zip_with(a, lit, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    bucket = None
+    for j, plane in enumerate(planes):
+        bit = F.when(fold_dot(F.col("qv"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return q.select(
+        "vec_id",
+        "qv",
+        bucket.cast("long").alias("bucket"),
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+
+
 def cosine_topk_ann_deterministic(
     vecs: DataFrame,
     dim: int,
@@ -527,32 +566,7 @@ def cosine_topk_ann_deterministic(
     a bit of bucket quality for verifiability)."""
     from pyspark.sql.window import Window
 
-    planes = deterministic_planes(n_planes, dim)
-    q = vecs.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: F.round(x * DET_SCALE).cast("long")).alias("qv"),
-    )
-
-    def fold_dot(a, b_literal: list[int]):
-        lit = F.array(*[F.lit(int(c)).cast("long") for c in b_literal])
-        return F.aggregate(
-            F.zip_with(a, lit, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
-
-    bucket = None
-    for j, plane in enumerate(planes):
-        bit = F.when(fold_dot(F.col("qv"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    b = q.select(
-        "vec_id",
-        "qv",
-        bucket.cast("long").alias("bucket"),
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("nn"),
-    )
+    b = det_lsh_index(vecs, dim, n_planes, id_col, vec_col)
     lhs, rhs = b.alias("a"), b.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
@@ -633,3 +647,41 @@ def cosine_topk_ivf_deterministic(
     )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return pairs.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
+
+
+def cosine_near_dup_pairs_deterministic(
+    vecs: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate candidate pairs (vec_a < vec_b, cos >= threshold)
+    from the deterministic LSH index — exact integer rescoring makes
+    the pair set itself hash-verifiable; fewer planes than the top-k
+    path because near-dup recall wants bigger buckets."""
+    b = det_lsh_index(vecs, dim, n_planes, id_col, vec_col)
+    lhs, rhs = b.alias("a"), b.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            (
+                dot_ab.cast("double")
+                / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double")))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b")
+    )

@@ -759,3 +759,63 @@ def q_ext_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         query_limit=300,
     )
+
+
+def _semantic_det_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
+    """DuckDB replay of the deterministic semantic-dedup composition:
+    regenerate LSH buckets, rescore same-bucket pairs with exact
+    integer dots, then close the pair graph transitively with a
+    recursive CTE and label every node with its min reachable id —
+    the same contract as q_ext_dedup_cluster's oracle, but over
+    embedding-similarity edges instead of prefix collisions."""
+    proj = lambda j: (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> v[i] * (((({j} * {dim}) + i - 1) * 2654435761) % 2001 - 1000)))"
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+    )
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), qb AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) AS nn,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM q
+), pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / (sqrt(a.nn) * sqrt(b.nn)) >= {threshold}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), walk AS (
+  SELECT src AS id, src AS reach FROM edges
+  UNION SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT id AS doc_id, MIN(reach) AS cluster_id FROM (
+  SELECT id, reach FROM walk UNION SELECT src, src FROM edges
+) GROUP BY id
+"""
+
+
+@register("q_ext_dedup_semantic_det", oracle=_semantic_det_oracle())
+def q_ext_dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with FULL value-level verification end-to-end:
+    deterministic-plane LSH candidates, exact integer cosine rescoring
+    (threshold 0.4), distributed connected components, min-id cluster
+    labels — every stage SQL-replayable, so the entire composition
+    hash-verifies (the oracle recomputes the pair graph and closes it
+    with a recursive CTE). Completes the verifiable twins: exact
+    (q_ext_dedup_semantic), production-seeded LSH
+    (q_ext_dedup_semantic_ann), and this hash-checked path."""
+    from octopufs_spark.llm import dedup, similarity
+
+    pairs = similarity.cosine_near_dup_pairs_deterministic(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, dim=64, n_planes=4
+    )
+    return dedup.connected_components(pairs, partitions=4)
