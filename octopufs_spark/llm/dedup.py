@@ -452,3 +452,118 @@ def simhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     for i in range(4):
         out = out.withColumn(f"band{i}", F.substring("simhash", 1 + 4 * i, 4))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (SQL-replayable) MinHash
+# ---------------------------------------------------------------------------
+
+MH_P = 1_000_000_007  # prime modulus: (h%P)*a + b stays < 2^63
+
+
+def minhash_det_params(num_perm: int = 32) -> list[tuple[int, int]]:
+    """(a_k, b_k) per permutation from an index-hash formula — shared
+    verbatim by the Spark plan and the DuckDB oracle."""
+    return [
+        (((k * 2654435761) % (MH_P - 1)) + 1, (k * 40503 * 2654435761) % MH_P)
+        for k in range(num_perm)
+    ]
+
+
+def minhash_near_dup_pairs_deterministic(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.2,
+    num_perm: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with every stage hash-verifiable.
+
+    The per-shingle base hash is the first 15 hex chars of md5 (both
+    engines parse it to the same 60-bit int), permutations are the
+    affine family ((h%P)*a_k + b_k) % P with index-derived constants,
+    band keys are md5 over r-row signature slices, and candidates are
+    rescored with EXACT n-gram Jaccard — so the final pair set is
+    deterministic and replays in SQL, unlike the xxhash64/ml paths
+    (minhash_signature_col, minhash_near_dup_pairs) whose hashes exist
+    only JVM-side. Plan shape is the standard banded LSH: explode →
+    per-doc signature aggregate → band-key equi-join → bounded
+    rescore; no all-pairs product."""
+    r = num_perm // bands
+    params = minhash_det_params(num_perm)
+
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.when(
+                F.size(F.split(F.col(text_col), " ")) >= n,
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size(F.split(F.col(text_col), " ")) - n
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split(F.col(text_col), " "), i + 1, n), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngrams"),
+    ).localCheckpoint()  # reused by banding AND exact rescoring
+    e = g.select("doc_id", F.explode("ngrams").alias("ng"))
+    h0 = (
+        F.expr("CAST(conv(substr(md5(ng), 1, 15), 16, 10) AS BIGINT)") % MH_P
+    ).alias("h")
+    he = e.select("doc_id", h0)
+    sig = he.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * a + b) % MH_P).alias(f"s{k}")
+            for k, (a, b) in enumerate(params)
+        ]
+    )
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"s{i * r + j}") for j in range(r)])).alias(
+            f"band{i}"
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).cast("long").alias("band_no"), F.col(f"band{i}").alias("key"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+    a_side, b_side = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a_side.join(
+            b_side,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = g.select("doc_id", F.size("ngrams").alias("n_ng"))
+    inter = (
+        cand.join(e.select(F.col("doc_id").alias("doc_a"), "ng"), "doc_a")
+        .join(e.select(F.col("doc_id").alias("doc_b"), "ng"), ["doc_b", "ng"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_ng").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_ng").alias("nb")), "doc_b")
+        .where(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )

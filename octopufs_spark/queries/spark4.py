@@ -819,3 +819,92 @@ def q_ext_dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), threshold=0.4, dim=64, n_planes=4
     )
     return dedup.connected_components(pairs, partitions=4)
+
+
+def _minhash_det_oracle(
+    n: int = 5, threshold: float = 0.2, num_perm: int = 32, bands: int = 8
+) -> str:
+    """DuckDB replay of the deterministic MinHash pipeline: identical
+    md5-hex base hashes, affine permutations (shared (a,b) constants
+    from llm/dedup.py::minhash_det_params), band keys, candidate join,
+    and exact Jaccard rescoring — the complete MinHash dedup verified
+    value-level, not just by a recall floor."""
+    from octopufs_spark.llm.dedup import MH_P, minhash_det_params
+
+    r = num_perm // bands
+    params = minhash_det_params(num_perm)
+    mins = ",\n         ".join(
+        f"MIN(((h * {a}) + {b}) % {MH_P}) AS s{k}" for k, (a, b) in enumerate(params)
+    )
+    band_cols = ",\n         ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"s{i * r + j}" for j in range(r))
+        + f")) AS band{i}"
+        for i in range(bands)
+    )
+    band_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS key FROM banded" for i in range(bands)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= {n}
+           THEN list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))
+           ELSE [] END) AS ngrams
+  FROM d
+), e AS (
+  SELECT doc_id, unnest(ngrams) AS ng FROM g
+), he AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(ng), 1, 15)) AS BIGINT) % {MH_P} AS h,
+         ng
+  FROM e
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM he GROUP BY doc_id
+), banded AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM sig
+), stacked AS (
+  {band_union}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.band_no = b.band_no AND a.key = b.key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.doc_a
+  JOIN e eb ON eb.doc_id = c.doc_b AND eb.ng = ea.ng
+  GROUP BY c.doc_a, c.doc_b
+), sizes AS (
+  SELECT doc_id, len(ngrams) AS n_ng FROM g
+)
+SELECT i.doc_a, i.doc_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.n_ng + sb.n_ng - i.inter) >= {threshold}
+"""
+
+
+@register("q_ext_dedup_minhash_det", oracle=_minhash_det_oracle())
+def q_ext_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with FULL value-level verification:
+    md5-derived base hashes (identical ints in both engines), affine
+    permutation family, banded candidate join, exact n-gram Jaccard
+    rescoring — every stage replays in SQL, upgrading the MinHash
+    family beyond the recall-contract check of q_ext_dedup_minhash
+    (the xxhash64/ml production paths remain for throughput). Exact
+    rescoring makes precision 1.0 by construction, so the output is
+    exactly the deterministic pair set."""
+    from octopufs_spark.llm import dedup
+
+    return dedup.minhash_near_dup_pairs_deterministic(
+        load(spark, sf_dir, "documents"), n=5, threshold=0.2, num_perm=32, bands=8
+    )

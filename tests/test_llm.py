@@ -311,3 +311,24 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert 0.2 < got[2] <= 1.1    # varied tokens
     assert got[3] == 1.0
     assert got[1] < got[2] / 4    # clear separation
+
+
+def test_minhash_det_recall_vs_exact(spark):
+    """The deterministic MinHash pair set must cover >=90% of the exact
+    5-gram Jaccard >= 0.2 pairs (banding can miss boundary pairs, but a
+    hash-family regression would crater recall), and every emitted pair
+    must BE an exact pair (precision 1.0 by construction: candidates
+    are rescored with exact Jaccard)."""
+    docs = load(spark, SF_DIR, "documents")
+    det = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_dup_pairs_deterministic(docs).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.2, max_doc_freq=1 << 30
+        ).select("doc_a", "doc_b").collect()
+    }
+    assert det <= exact
+    assert len(det) >= 0.9 * len(exact)
