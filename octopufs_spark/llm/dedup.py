@@ -567,3 +567,52 @@ def minhash_near_dup_pairs_deterministic(
         )
         .select("doc_a", "doc_b")
     )
+
+
+def simhash_bands_deterministic(
+    docs: DataFrame,
+    n_bits: int = 48,
+    band_bits: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash with every bit SQL-replayable: token hash = md5-hex int
+    (cross-engine identical), signature bit b = sign of the sum over
+    token occurrences of ±1 by token-hash bit b, bands = fixed-width
+    signature slices. 48 bits (of the 60 the hex prefix yields) in 4
+    12-bit bands. Exact integer votes ⇒ deterministic signature —
+    unlike the xxhash64/Pandas-UDF paths (simhash_bands), this one
+    hash-verifies against a DuckDB replay. Same plan shape: one explode
+    + one grouped aggregation, no Python."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id", F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    sig_terms = None
+    agg = h.groupBy("doc_id").agg(*votes)
+    for b in range(n_bits):
+        t = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_terms = t if sig_terms is None else sig_terms + t
+    sig = agg.select("doc_id", sig_terms.alias("simhash"))
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    return sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), i * band_bits)
+            .bitwiseAND(mask)
+            .cast("long")
+            .alias(f"band{i}")
+            for i in range(n_bands)
+        ],
+    )

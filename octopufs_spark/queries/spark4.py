@@ -908,3 +908,50 @@ def q_ext_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_pairs_deterministic(
         load(spark, sf_dir, "documents"), n=5, threshold=0.2, num_perm=32, bands=8
     )
+
+
+def _simhash_det_oracle(n_bits: int = 48, band_bits: int = 12) -> str:
+    """DuckDB replay of the deterministic SimHash: same md5-hex token
+    hashes, same ±1 bit votes, same band slicing."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = ",\n       ".join(
+        f"CAST((simhash >> {i * band_bits}) & {mask} AS BIGINT) AS band{i}"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), s AS (
+  SELECT doc_id, {sig} AS simhash FROM v
+)
+SELECT doc_id, simhash,
+       {bands}
+FROM s
+"""
+
+
+@register("q_ext_simhash_det", oracle=_simhash_det_oracle())
+def q_ext_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash + 12-bit bands with FULL value-level verification
+    (md5-derived token hashes, exact integer bit votes) — the
+    hash-verified twin of q_ext_simhash, completing the set: every
+    dedup/ANN family (exact, MinHash, SimHash, LSH, IVF, semantic
+    composition) now has a deterministic SQL-replayable variant."""
+    from octopufs_spark.llm import dedup
+
+    return dedup.simhash_bands_deterministic(load(spark, sf_dir, "documents"))
