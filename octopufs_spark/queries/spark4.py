@@ -955,3 +955,47 @@ def q_ext_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from octopufs_spark.llm import dedup
 
     return dedup.simhash_bands_deterministic(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ext_time_travel",
+    oracle="""
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 10 <> 0
+UNION ALL
+SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+""",
+)
+def q_ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse time travel as a registered query: build a manifest
+    table at version 1 (90 % of orders), MERGE the missing decile to
+    produce version 2, then aggregate BOTH pinned snapshots — the
+    oracle recomputes each version's expected content directly, so
+    snapshot isolation itself is value-checked (a reader at v1 must
+    not see v2's rows). Uses the same atomic-commit machinery as
+    Promotor-style table swaps (octopufs_spark/manifest.py)."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_tt_")
+    table = ManifestTable(root)
+    o.where(F.col("o_orderkey") % 10 != 0).write.mode("overwrite").parquet(f"{root}/base")
+    table.commit_overwrite("base", operation="seed")
+    merge_upsert_manifest(
+        spark, table, o.where(F.col("o_orderkey") % 10 == 0), keys=["o_orderkey"]
+    )
+
+    def snap(version: int) -> DataFrame:
+        return table.read(spark, version=version).agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        ).select("version", "n_orders", "total")
+
+    return snap(1).unionByName(snap(2))
