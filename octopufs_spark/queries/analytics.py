@@ -163,6 +163,9 @@ def q_ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        # referenced by the marginals, the order total, AND both sides
+        # of the pair self-join — materialize once instead of 4 scans
+        .localCheckpoint()
     )
     brand_cnt = ob.groupBy("p_brand").agg(F.count("*").alias("cnt"))
     total = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
