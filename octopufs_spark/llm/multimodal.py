@@ -205,3 +205,163 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         F.lit("text/plain").alias("media_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (pure stdlib: struct + zlib — no PIL required)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb_rows: list[bytes], filters: list[int] | None = None) -> bytes:
+    """Minimal 8-bit RGB PNG encoder. ``filters`` optionally picks the
+    per-scanline filter type (0=None, 1=Sub, 2=Up) so tests can
+    exercise the decoder's un-filtering paths with spec-correct data."""
+    import struct
+    import zlib
+
+    stride = width * 3
+    filters = filters or [0] * height
+    out = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rgb_rows):
+        if len(row) != stride:
+            raise ValueError(f"row {y}: expected {stride} bytes, got {len(row)}")
+        f = filters[y]
+        out.append(f)
+        if f == 0:
+            out += row
+        elif f == 1:  # Sub: delta vs pixel to the left
+            out += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF for i in range(stride))
+        elif f == 2:  # Up: delta vs pixel above
+            out += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        else:
+            raise ValueError(f"encoder supports filters 0/1/2, got {f}")
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Real PNG decode: parse chunks, inflate IDAT, undo scanline
+    filters (all five spec filter types incl. Paeth). Supports 8-bit
+    gray/RGB/RGBA/gray+alpha, no interlace. Returns (width, height,
+    channels, raw_pixels)."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = 8, None
+    idat = bytearray()
+    height = channels = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )[0]:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"supported: 8-bit gray/RGB/RGBA non-interlaced; got depth={depth} ctype={ctype} interlace={interlace}"
+                )
+            channels = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    bpp = channels
+    recon = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter {f} on line {y}")
+        recon += line
+        prev = line
+    return width, height, channels, bytes(recon)
+
+
+def decode_images_png(media: DataFrame, target_partitions: int | None = None) -> DataFrame:
+    """REAL image decode over a binary PNG column — the non-stub path
+    (mirrors the WAV codec): parse + inflate + un-filter per payload in
+    an Arrow-batched ``mapInPandas``, emitting dimensions and exact
+    integer channel means. Same memory discipline as decode_media:
+    repartition so blob batches stay bounded per task."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                n = w * h
+                means = [sum(px[c::ch]) // n for c in range(ch)]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "mean_r": means[0],
+                        "mean_g": means[1] if ch >= 3 else means[0],
+                        "mean_b": means[2] if ch >= 3 else means[0],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    if target_partitions:
+        media = media.repartition(target_partitions)
+    return media.mapInPandas(
+        fn,
+        "doc_id bigint, width bigint, height bigint, channels bigint,"
+        " mean_r bigint, mean_g bigint, mean_b bigint",
+    )

@@ -91,3 +91,77 @@ def test_decode_audio_real_wav(spark):
     assert got[1].duration_ms == 1000 and got[1].n_channels == 1
     assert got[1].peak_amplitude == 1000
     assert got[2].duration_ms == 250 and got[2].peak_amplitude == 30000
+
+
+def test_decode_png_real_distributed(spark):
+    """Real PNG decode path (pure stdlib, no PIL): synthesize spec-
+    correct PNGs with varied scanline filters, decode them distributed
+    via mapInPandas, and check exact dimensions and integer channel
+    means against the known pixel data."""
+    from octopufs_spark.llm.multimodal import decode_images_png, encode_png
+
+    imgs = []
+    expected = {}
+    for doc_id, (w, h) in enumerate([(16, 9), (7, 5), (32, 2)]):
+        rows = [
+            bytes(((x * 31 + y * 17 + c * 11 + doc_id) % 256) for x in range(w) for c in range(3))
+            for y in range(h)
+        ]
+        filters = [(y % 3) for y in range(h)]  # cycle None/Sub/Up
+        imgs.append((doc_id, bytearray(encode_png(w, h, rows, filters))))
+        px = b"".join(rows)
+        n = w * h
+        expected[doc_id] = (w, h, tuple(sum(px[c::3]) // n for c in range(3)))
+    df = spark.createDataFrame(imgs, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in decode_images_png(df).collect()}
+    assert len(got) == 3
+    for doc_id, (w, h, means) in expected.items():
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == means
+
+
+def test_decode_png_paeth_and_average_filters(spark):
+    """Filters 3 (Average) and 4 (Paeth) aren't produced by our
+    encoder, so craft them directly per the PNG spec and confirm the
+    un-filter reconstruction."""
+    import struct
+    import zlib
+
+    from octopufs_spark.llm.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    w, h, bpp = 4, 3, 3
+    stride = w * bpp
+    rows = [bytes(((x * 23 + y * 41) % 256) for x in range(stride)) for y in range(h)]
+
+    def filt_avg(row, prev):
+        return bytes(
+            (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)) & 0xFF
+            for i in range(stride)
+        )
+
+    def filt_paeth(row, prev):
+        out = bytearray()
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b"\x00" + rows[0]
+    raw += b"\x03" + filt_avg(rows[1], rows[0])
+    raw += b"\x04" + filt_paeth(rows[2], rows[1])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    dw, dh, ch, px = decode_png(png)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert px == b"".join(rows)
