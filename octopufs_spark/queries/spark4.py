@@ -999,3 +999,39 @@ def q_ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_orders", "total")
 
     return snap(1).unionByName(snap(2))
+
+
+@register(
+    "q_scalar_url",
+    oracle="""
+SELECT c_custkey,
+       'shop.example.com' AS host,
+       CONCAT('/seg/', lower(c_mktsegment)) AS path,
+       CAST(c_custkey AS VARCHAR) AS cust_param,
+       lower(c_mktsegment) AS seg_from_path
+FROM customer
+""",
+)
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: build canonical URLs from row data, then
+    extract host / path / a query parameter with ``parse_url`` — the
+    log-processing primitive (the oracle recomputes each component
+    from the construction, so a parser regression shows as a value
+    mismatch)."""
+    cust = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop.example.com/seg/"),
+        F.lower("c_mktsegment"),
+        F.lit("?cust="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&x=1"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+        F.regexp_extract(F.parse_url(url, F.lit("PATH")), r"/seg/(.+)", 1).alias(
+            "seg_from_path"
+        ),
+    )

@@ -142,3 +142,25 @@ def test_merge_upsert_properties(spark, target_kv, source_kv, delete_keys):
     once = merge_upsert(target, source, ["k"])
     twice = merge_upsert(once, source, ["k"])
     assert {(r.k, r.v) for r in twice.collect()} == {(r.k, r.v) for r in once.collect()}
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=1 << 30),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, seed, data):
+    """encode_png -> decode_png is the identity on pixels for any
+    dimensions and any supported per-row filter choice."""
+    import random as _random
+
+    from octopufs_spark.llm.multimodal import decode_png, encode_png
+
+    rng = _random.Random(seed)
+    rows = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+    filters = data.draw(st.lists(st.integers(0, 2), min_size=h, max_size=h))
+    dw, dh, ch, px = decode_png(encode_png(w, h, rows, filters))
+    assert (dw, dh, ch) == (w, h, 3)
+    assert px == b"".join(rows)
