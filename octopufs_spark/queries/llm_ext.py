@@ -1268,3 +1268,139 @@ def q_ext_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.array_min("emb")), 6).alias("min_component"),
         F.round(F.max(F.array_max("emb")), 6).alias("max_component"),
     )
+
+
+@register(
+    "q_ext_vocab",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w
+)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE c >= 5) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(c) FILTER (WHERE c < 5), 0) AS BIGINT) AS oov_tokens
+FROM freq GROUP BY lang
+""",
+)
+def q_ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary statistics per language: type counts, a
+    min-frequency-5 vocabulary size, and the OOV token mass a tokenizer
+    trained at that cutoff would map to UNK — the sizing pass before
+    training a vocab. One explode + two hash aggregations, map-side
+    combinable, corpus-linear."""
+    toks = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    return freq.groupBy("lang").agg(
+        F.count(F.when(F.col("c") >= 5, 1)).alias("vocab_size"),
+        F.count("*").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("c") < 5, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+
+
+@register(
+    "q_ext_dataset_card",
+    oracle="""
+WITH d AS (
+  SELECT source, lang, len(string_split(text, ' ')) AS n_tok, n_chars FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok
+FROM d GROUP BY source
+""",
+)
+def q_ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source summary block (docs,
+    token/char mass, language coverage, length range) that documents a
+    training mixture — one pass, one aggregation."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(F.split("text", " ")).alias("n_tok"), "n_chars"
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
+
+
+@register(
+    "q_ext_embed_pq",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), e AS (
+  SELECT vec_id, CAST(FLOOR((p - 1) / 8) AS BIGINT) AS subspace, p, val FROM pos
+), cent AS (
+  SELECT vec_id AS code, subspace, p, val AS cval
+  FROM e WHERE vec_id < 4
+), dist AS (
+  SELECT e.vec_id, e.subspace, c.code,
+         SUM((e.val - c.cval) * (e.val - c.cval)) AS d
+  FROM e JOIN cent c ON c.subspace = e.subspace AND c.p = e.p
+  GROUP BY e.vec_id, e.subspace, c.code
+)
+SELECT vec_id, subspace, code, CAST(d AS BIGINT) AS sq_err FROM (
+  SELECT vec_id, subspace, code, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, code) AS rn
+  FROM dist
+) WHERE rn = 1
+""",
+)
+def q_ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim embeddings split into 8 subspaces,
+    each encoded as the nearest of 4 fixed sub-codebook entries (the
+    sub-vectors of the 4 lowest vec_ids) with its exact integer
+    residual — the 8-byte-per-vector compression IVF-PQ indexes use at
+    billion scale. Deterministic integer arithmetic end-to-end, so
+    codes AND residuals hash-verify. Plan: one posexplode, a broadcast
+    join on (subspace, position) against the 2048-row codebook, one
+    aggregation, one argmin window — corpus-linear."""
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
+    )
+    e = q.select(
+        "vec_id", F.posexplode("v").alias("p0", "val")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("p"),
+        F.floor(F.col("p0") / 8).cast("long").alias("subspace"),
+        "val",
+    )
+    cent = (
+        e.where(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval"))
+    )
+    dist = (
+        e.join(F.broadcast(cent), ["subspace", "p"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code", F.col("d").cast("long").alias("sq_err"))
+    )
