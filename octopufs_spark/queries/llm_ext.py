@@ -1404,3 +1404,97 @@ def q_ext_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "subspace", "code", F.col("d").cast("long").alias("sq_err"))
     )
+
+
+@register(
+    "q_ext_ann_pq_adc",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), e AS (
+  SELECT vec_id, CAST(FLOOR((p - 1) / 8) AS BIGINT) AS subspace, p, val FROM pos
+), cent AS (
+  SELECT vec_id AS code, subspace, p, val AS cval FROM e WHERE vec_id < 4
+), codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT e.vec_id, e.subspace, c.code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.subspace
+                              ORDER BY SUM((e.val - c.cval) * (e.val - c.cval)), c.code) AS rn
+    FROM e JOIN cent c ON c.subspace = e.subspace AND c.p = e.p
+    GROUP BY e.vec_id, e.subspace, c.code
+  ) WHERE rn = 1
+), lut AS (
+  SELECT e.vec_id AS qid, e.subspace, c.code,
+         SUM((e.val - c.cval) * (e.val - c.cval)) AS d
+  FROM e JOIN cent c ON c.subspace = e.subspace AND c.p = e.p
+  WHERE e.vec_id < 50
+  GROUP BY e.vec_id, e.subspace, c.code
+), adc AS (
+  SELECT l.qid, x.vec_id AS xid, SUM(l.d) AS adist
+  FROM codes x JOIN lut l ON l.subspace = x.subspace AND l.code = x.code
+  WHERE l.qid <> x.vec_id
+  GROUP BY l.qid, x.vec_id
+)
+SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn FROM (
+  SELECT qid, xid, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, xid) AS BIGINT) AS rn
+  FROM adc
+) WHERE rn <= 5
+""",
+)
+def q_ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN search: each query builds an 8x4
+    lookup table of exact integer distances to the sub-codebooks, and
+    every database vector is scored by summing 8 table lookups selected
+    by its PQ codes — never touching the raw vectors. This is the
+    IVF-PQ scoring kernel at billion scale (8 adds per candidate vs 64
+    multiplies); all-integer arithmetic makes codes, LUT, and ranks
+    hash-verifiable. Plan: codes and LUT are two bounded aggregations;
+    scoring is an equi-join on (subspace, code) + per-query top-5."""
+    from pyspark.sql.window import Window
+
+    qv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
+    )
+    e = qv.select("vec_id", F.posexplode("v").alias("p0", "val")).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("p"),
+        F.floor(F.col("p0") / 8).cast("long").alias("subspace"),
+        "val",
+    ).localCheckpoint()  # feeds codes AND the query LUT
+    cent = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval")
+    )
+    sq = F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+    ranked = (
+        e.join(F.broadcast(cent), ["subspace", "p"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(sq.alias("d"))
+    )
+    w_code = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    codes = (
+        ranked.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    lut = ranked.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), "subspace", "code", "d"
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "xid")
+        .join(lut, ["subspace", "code"])
+        .where(F.col("qid") != F.col("xid"))
+        .groupBy("qid", "xid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_top = Window.partitionBy("qid").orderBy("adist", "xid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
+    )

@@ -139,3 +139,45 @@ def q_window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@register(
+    "q_window_ignore_nulls",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS px
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       LAST_VALUE(px IGNORE NULLS) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_known_price
+FROM base
+""",
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: carry the last known (non-null)
+    price forward per customer — the gap-fill primitive for sparse
+    observations (a third of prices nulled deterministically). One
+    customer-key exchange, one sort."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("px"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.last("px", ignorenulls=True).over(w).alias("last_known_price"),
+    )
