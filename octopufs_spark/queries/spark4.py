@@ -643,12 +643,9 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_det_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
-    """DuckDB replay of the deterministic LSH ANN: regenerate the
-    integer hash-planes from the same index formula, re-derive buckets
-    from exact integer projections, score same-bucket pairs with exact
-    integer dots, and rank. Every number is exactly representable, so
-    the top-k hash-matches the Spark plan bit-for-bit."""
+def _det_qb_cte(n_planes: int, dim: int) -> str:
+    """Shared CTE fragment: quantized vectors with deterministic LSH
+    bucket + exact squared norm (mirrors similarity.det_lsh_index)."""
     proj = lambda j: (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> v[i] * (((({j} * {dim}) + i - 1) * 2654435761) % 2001 - 1000)))"
@@ -656,8 +653,7 @@ def _lsh_det_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
     bucket_terms = " + ".join(
         f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
     )
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
   FROM embeddings
@@ -666,7 +662,17 @@ WITH q AS (
          CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) AS nn,
          CAST({bucket_terms} AS BIGINT) AS bucket
   FROM q
-)
+)"""
+
+
+def _lsh_det_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """DuckDB replay of the deterministic LSH ANN: regenerate the
+    integer hash-planes from the same index formula, re-derive buckets
+    from exact integer projections, score same-bucket pairs with exact
+    integer dots, and rank. Every number is exactly representable, so
+    the top-k hash-matches the Spark plan bit-for-bit."""
+    return f"""
+WITH {_det_qb_cte(n_planes, dim)}
 SELECT vec_a, vec_b, cos_sim, rn FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          CAST(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i])) AS DOUBLE)
@@ -1034,4 +1040,113 @@ def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.parse_url(url, F.lit("PATH")), r"/seg/(.+)", 1).alias(
             "seg_from_path"
         ),
+    )
+
+
+def _ann_eval_oracle(n_planes: int = 8, dim: int = 64, k: int = 5, qlimit: int = 50) -> str:
+    """DuckDB replay of the ANN evaluation harness: exact top-k by
+    brute force over the quantized vectors, ANN top-k via the
+    deterministic LSH, then recall@k and MRR (scaled by 60 = lcm(1..5)
+    so the sum is exactly integral)."""
+    cos = (
+        "CAST(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i])) AS DOUBLE)"
+        " / (sqrt(a.nn) * sqrt(b.nn))"
+    ).format(dim=dim)
+    return f"""
+WITH {_det_qb_cte(n_planes, dim)}, exact AS (
+  SELECT qid, xid, rn FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS xid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM qb a JOIN qb b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {qlimit}
+  ) WHERE rn <= {k}
+), ann AS (
+  SELECT qid, xid, rn FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS xid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id) AS rn
+    FROM qb a JOIN qb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < {qlimit}
+  ) WHERE rn <= {k}
+), hits AS (
+  SELECT COUNT(*) AS h
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.xid = a.xid
+), rr AS (
+  SELECT COALESCE(SUM(CAST(60 AS BIGINT) // a.rn), 0) AS mrr60
+  FROM exact e JOIN ann a ON e.qid = a.qid AND e.xid = a.xid
+  WHERE e.rn = 1
+)
+SELECT CAST((SELECT COUNT(DISTINCT qid) FROM exact) AS BIGINT) AS n_queries,
+       CAST(hits.h AS BIGINT) AS hits_at_5,
+       CAST(rr.mrr60 AS BIGINT) AS mrr_x60
+FROM hits, rr
+"""
+
+
+@register("q_ext_ann_eval", oracle=_ann_eval_oracle())
+def q_ext_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: recall@5 hit count and MRR of the
+    deterministic LSH ANN against brute-force exact ground truth, for a
+    50-query block — the quality report every ANN deployment needs,
+    here computed entirely in-engine and hash-verified (MRR is scaled
+    by 60 = lcm(1..5) so every reciprocal rank is an exact integer).
+    The exact side joins a broadcast 50-row query block against the
+    corpus — bounded work, never an n-squared product."""
+    from pyspark.sql.window import Window
+
+    from octopufs_spark.llm import similarity
+
+    b = similarity.det_lsh_index(load(spark, sf_dir, "embeddings"), 64, 8).localCheckpoint()
+    qs = b.where(F.col("vec_id") < 50)
+
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("xid"))
+
+    def topk(pairs):
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("qid", "xid", "rn")
+        )
+
+    exact = topk(
+        F.broadcast(qs).alias("a")
+        .join(b.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("xid"), cos.alias("cos_sim")
+        )
+    )
+    ann = topk(
+        qs.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("xid"), cos.alias("cos_sim")
+        )
+    )
+    matched = exact.alias("e").join(
+        ann.alias("n"), (F.col("e.qid") == F.col("n.qid")) & (F.col("e.xid") == F.col("n.xid"))
+    )
+    hits = matched.agg(F.count("*").alias("hits_at_5"))
+    rr = matched.where(F.col("e.rn") == 1).agg(
+        F.coalesce(F.sum(F.expr("60 div n.rn")), F.lit(0)).alias("mrr_x60")
+    )
+    nq = exact.agg(F.countDistinct("qid").alias("n_queries"))
+    return (
+        nq.crossJoin(hits)
+        .crossJoin(rr)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("hits_at_5").cast("long").alias("hits_at_5"),
+            F.col("mrr_x60").cast("long").alias("mrr_x60"),
+        )
     )
