@@ -1150,3 +1150,123 @@ def q_ext_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mrr_x60").cast("long").alias("mrr_x60"),
         )
     )
+
+
+def _ivfpq_oracle(
+    n_cells: int = 8, iters: int = 1, n_probe: int = 2, k: int = 5, qlimit: int = 50
+) -> str:
+    """DuckDB replay of the IVF-PQ composite: integer k-means coarse
+    cells (shared prefix), PQ codes + per-query LUTs (as in
+    q_ext_embed_pq / q_ext_ann_pq_adc), candidates restricted to
+    probed cells, ADC scores ranked."""
+    prefix, cents = _kmeans_cte_prefix(n_cells, iters, 1000, 64)
+    return (
+        prefix
+        + f""", rankcell AS (
+  SELECT q.vec_id, c.cluster AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY q.vv - 2 * list_inner_product(q.vd, c.vd) + c.cc, c.cluster
+         ) AS crn
+  FROM qdd q CROSS JOIN {cents} c
+), home AS (
+  SELECT vec_id, cell FROM rankcell WHERE crn = 1
+), probe AS (
+  SELECT vec_id, cell FROM rankcell WHERE crn <= {n_probe} AND vec_id < {qlimit}
+), pos AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), el AS (
+  SELECT vec_id, CAST(FLOOR((p - 1) / 8) AS BIGINT) AS subspace, p, val FROM pos
+), centpq AS (
+  SELECT vec_id AS code, subspace, p, val AS cval FROM el WHERE vec_id < 4
+), dists AS (
+  SELECT el.vec_id, el.subspace, c.code,
+         SUM((el.val - c.cval) * (el.val - c.cval)) AS d
+  FROM el JOIN centpq c ON c.subspace = el.subspace AND c.p = el.p
+  GROUP BY el.vec_id, el.subspace, c.code
+), codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), cand AS (
+  SELECT p.vec_id AS qid, h.vec_id AS xid
+  FROM probe p JOIN home h ON p.cell = h.cell AND p.vec_id <> h.vec_id
+), adc AS (
+  SELECT cand.qid, cand.xid, SUM(l.d) AS adist
+  FROM cand
+  JOIN codes x ON x.vec_id = cand.xid
+  JOIN dists l ON l.vec_id = cand.qid AND l.subspace = x.subspace AND l.code = x.code
+  GROUP BY cand.qid, cand.xid
+)
+SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn FROM (
+  SELECT qid, xid, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, xid) AS BIGINT) AS rn
+  FROM adc
+) WHERE rn <= {k}
+"""
+    )
+
+
+@register("q_ext_ann_ivfpq", oracle=_ivfpq_oracle())
+def q_ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the composition billion-scale vector stores
+    actually run: integer k-means coarse cells prune the corpus to
+    n_probe/n_cells, and candidates are scored by PQ asymmetric
+    distance (8 LUT lookups, no raw vectors touched). Every stage is
+    exact integer arithmetic, so the ENTIRE index pipeline — train,
+    assign, encode, probe, score, rank — hash-verifies against the SQL
+    replay. Candidate bytes ∝ n·(n_probe/n_cells); scoring bytes ∝
+    candidates·8 lookups."""
+    from pyspark.sql.window import Window
+
+    from octopufs_spark.llm import clustering
+
+    qv = clustering.quantize(load(spark, sf_dir, "embeddings")).localCheckpoint()
+    cents = clustering.kmeans_centroids(qv, k=8, iters=1)
+    ranked = clustering.rank_cells(qv, cents)
+    home = ranked.where(F.col("crn") == 1).select("vec_id", F.col("cluster").alias("cell"))
+    probe = ranked.where((F.col("crn") <= 2) & (F.col("vec_id") < 50)).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    e = qv.select("vec_id", F.posexplode("qv").alias("p0", "val")).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("p"),
+        F.floor(F.col("p0") / 8).cast("long").alias("subspace"),
+        "val",
+    ).localCheckpoint()
+    cent = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval")
+    )
+    dists = (
+        e.join(F.broadcast(cent), ["subspace", "p"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d")
+        )
+        .localCheckpoint()  # feeds codes AND query LUTs
+    )
+    w_code = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("xid"), "subspace", "code")
+    )
+    lut = dists.select(F.col("vec_id").alias("qid"), "subspace", "code", "d")
+    cand = probe.alias("p").join(
+        home.alias("h"),
+        (F.col("p.cell") == F.col("h.cell")) & (F.col("p.vec_id") != F.col("h.vec_id")),
+    ).select(F.col("p.vec_id").alias("qid"), F.col("h.vec_id").alias("xid"))
+    adc = (
+        cand.join(codes, "xid")
+        .join(lut, ["qid", "subspace", "code"])
+        .groupBy("qid", "xid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_top = Window.partitionBy("qid").orderBy("adist", "xid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
+    )
