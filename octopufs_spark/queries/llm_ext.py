@@ -1498,3 +1498,173 @@ def q_ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
     )
+
+
+@register(
+    "q_ext_ann_binary",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), code AS (
+  SELECT vec_id,
+         SUM(CASE WHEN val > 0 AND p <= 32 THEN CAST(1 AS BIGINT) << (p - 1) ELSE 0 END) AS lo,
+         SUM(CASE WHEN val > 0 AND p > 32 THEN CAST(1 AS BIGINT) << (p - 33) ELSE 0 END) AS hi
+  FROM pos GROUP BY vec_id
+)
+SELECT qid, xid, hd, rn FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS xid,
+         CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hd,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)), b.vec_id
+         ) AS BIGINT) AS rn
+  FROM code a JOIN code b ON a.vec_id < 50 AND b.vec_id <> a.vec_id
+) WHERE rn <= 5
+""",
+)
+def q_ext_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization search: each 64-dim embedding collapses to a
+    single 64-bit sign code (32× smaller than float32), and neighbors
+    rank by Hamming distance — ONE xor + popcount per candidate, the
+    cheapest rerank-stage filter modern vector stores run before exact
+    rescoring. Codes and distances are pure integer ops, so the top-5
+    hash-verifies. Plan: one explode+agg builds codes; the 50-query
+    block broadcasts against the code table (8 bytes/vector — a
+    billion vectors is 8 GB, broadcastable shard-wise)."""
+    from pyspark.sql.window import Window
+
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
+    )
+    code = (
+        q.select("vec_id", F.posexplode("v").alias("p0", "val"))
+        .groupBy("vec_id")
+        .agg(
+            # two 32-bit words: DuckDB's bigint << errors at bit 63, so
+            # the shared code layout stays within shift-by-31 per word
+            F.sum(
+                F.when(
+                    (F.col("val") > 0) & (F.col("p0") < 32), F.expr("shiftleft(1L, p0)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("lo"),
+            F.sum(
+                F.when(
+                    (F.col("val") > 0) & (F.col("p0") >= 32),
+                    F.expr("shiftleft(1L, p0 - 32)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("hi"),
+        )
+        .localCheckpoint()
+    )
+    hd = (
+        F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+        + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    ).cast("long")
+    pairs = (
+        F.broadcast(code.where(F.col("vec_id") < 50)).alias("a")
+        .join(code.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("xid"),
+            hd.alias("hd"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("hd", "xid")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "q_ext_simhash_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), s AS (
+  SELECT doc_id, {sig} AS simhash FROM v
+), stacked AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.band_no = b.band_no AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN s sa ON sa.doc_id = c.doc_a
+JOIN s sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+""".format(
+        votes=",\n         ".join(
+            f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+            for b in range(48)
+        ),
+        sig=" + ".join(
+            f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+            for b in range(48)
+        ),
+        bands="\n  UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band_no,"
+            f" CAST((simhash >> {i * 12}) & {(1 << 12) - 1} AS BIGINT) AS key FROM s"
+            for i in range(4)
+        ),
+    ),
+)
+def q_ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (completing SimHash as a dedup operator,
+    not just a fingerprinter): banded candidates from the deterministic
+    48-bit signatures, verified by exact Hamming distance <= 6 — by the
+    pigeonhole principle any pair within 3 bit-flips shares at least
+    one of the 4 bands, so the banding loses nothing below that radius.
+    One xor+popcount per candidate; fully hash-verified."""
+    from octopufs_spark.llm import dedup
+
+    sig = dedup.simhash_bands_deterministic(load(spark, sf_dir, "documents")).localCheckpoint()
+    stacked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("band_no"), F.col(f"band{i}").alias("key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_no", "bk.key")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sigs = sig.select("doc_id", "simhash")
+    return (
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+    )
