@@ -1270,3 +1270,154 @@ def q_ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
     )
+
+
+def _ivfpq_residual_oracle(
+    n_cells: int = 8, iters: int = 1, n_probe: int = 2, k: int = 5, qlimit: int = 50
+) -> str:
+    """DuckDB replay of RESIDUAL IVF-PQ (the textbook formulation):
+    database vectors are PQ-encoded as residuals from their home-cell
+    centroid, and each query builds a separate LUT per probed cell from
+    ITS residual in that cell — so quantization error tracks the local
+    cell geometry instead of absolute position."""
+    prefix, cents = _kmeans_cte_prefix(n_cells, iters, 1000, 64)
+    final_c = cents[:-1]  # cNd's underlying cN CTE holds (cluster, v)
+    return (
+        prefix
+        + f""", rankcell AS (
+  SELECT q.vec_id, c.cluster AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY q.vv - 2 * list_inner_product(q.vd, c.vd) + c.cc, c.cluster
+         ) AS crn
+  FROM qdd q CROSS JOIN {cents} c
+), home AS (
+  SELECT vec_id, cell FROM rankcell WHERE crn = 1
+), probe AS (
+  SELECT vec_id, cell FROM rankcell WHERE crn <= {n_probe} AND vec_id < {qlimit}
+), cent_pos AS (
+  SELECT cluster AS cell, unnest(generate_series(1, 64)) AS p, unnest(v) AS cval
+  FROM {final_c}
+), el AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), rx AS (
+  SELECT e.vec_id, e.p, CAST(FLOOR((e.p - 1) / 8) AS BIGINT) AS subspace,
+         e.val - cp.cval AS rval
+  FROM el e JOIN home h ON h.vec_id = e.vec_id
+  JOIN cent_pos cp ON cp.cell = h.cell AND cp.p = e.p
+), centpq AS (
+  SELECT vec_id AS code, subspace, p, rval AS cval FROM rx WHERE vec_id < 4
+), codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT r.vec_id, r.subspace, c.code,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.subspace
+                              ORDER BY SUM((r.rval - c.cval) * (r.rval - c.cval)), c.code) AS rn
+    FROM rx r JOIN centpq c ON c.subspace = r.subspace AND c.p = r.p
+    GROUP BY r.vec_id, r.subspace, c.code
+  ) WHERE rn = 1
+), rq AS (
+  SELECT pr.vec_id AS qid, pr.cell, e.p,
+         CAST(FLOOR((e.p - 1) / 8) AS BIGINT) AS subspace,
+         e.val - cp.cval AS rval
+  FROM probe pr JOIN el e ON e.vec_id = pr.vec_id
+  JOIN cent_pos cp ON cp.cell = pr.cell AND cp.p = e.p
+), lut AS (
+  SELECT r.qid, r.cell, r.subspace, c.code,
+         SUM((r.rval - c.cval) * (r.rval - c.cval)) AS d
+  FROM rq r JOIN centpq c ON c.subspace = r.subspace AND c.p = r.p
+  GROUP BY r.qid, r.cell, r.subspace, c.code
+), cand AS (
+  SELECT p.vec_id AS qid, h.vec_id AS xid, p.cell
+  FROM probe p JOIN home h ON p.cell = h.cell AND p.vec_id <> h.vec_id
+), adc AS (
+  SELECT cand.qid, cand.xid, SUM(l.d) AS adist
+  FROM cand
+  JOIN codes x ON x.vec_id = cand.xid
+  JOIN lut l ON l.qid = cand.qid AND l.cell = cand.cell
+            AND l.subspace = x.subspace AND l.code = x.code
+  GROUP BY cand.qid, cand.xid
+)
+SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn FROM (
+  SELECT qid, xid, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, xid) AS BIGINT) AS rn
+  FROM adc
+) WHERE rn <= {k}
+"""
+    )
+
+
+@register("q_ext_ann_ivfpq_residual", oracle=_ivfpq_residual_oracle())
+def q_ext_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the formulation production indexes (FAISS
+    IVFPQ) actually use: PQ encodes each vector's RESIDUAL from its
+    coarse centroid, and queries build a per-probed-cell LUT from their
+    own residual, so code error follows local cell geometry. All
+    integer arithmetic → the full train/encode/probe/score pipeline
+    hash-verifies. Compare q_ext_ann_ivfpq (absolute-position PQ) for
+    the accuracy delta on the same fixture."""
+    from pyspark.sql.window import Window
+
+    from octopufs_spark.llm import clustering
+
+    qv = clustering.quantize(load(spark, sf_dir, "embeddings")).localCheckpoint()
+    cents = clustering.kmeans_centroids(qv, k=8, iters=1)
+    ranked = clustering.rank_cells(qv, cents)
+    home = ranked.where(F.col("crn") == 1).select("vec_id", F.col("cluster").alias("cell"))
+    probe = ranked.where((F.col("crn") <= 2) & (F.col("vec_id") < 50)).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    cent_pos = clustering.centroid_df(qv, cents).select(
+        F.col("cluster").alias("cell"), F.posexplode("cv").alias("p0", "cval")
+    ).select("cell", (F.col("p0") + 1).alias("p"), "cval")
+    el = qv.select("vec_id", F.posexplode("qv").alias("p0", "val")).select(
+        "vec_id", (F.col("p0") + 1).alias("p"), "val"
+    )
+    sub = F.floor((F.col("p") - 1) / 8).cast("long").alias("subspace")
+    rx = (
+        el.join(home, "vec_id")
+        .join(F.broadcast(cent_pos), ["cell", "p"])
+        .select("vec_id", "p", sub, (F.col("val") - F.col("cval")).alias("rval"))
+        .localCheckpoint()
+    )
+    centpq = rx.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code"), "subspace", "p", F.col("rval").alias("cval")
+    )
+    sq = F.sum((F.col("rval") - F.col("cval")) * (F.col("rval") - F.col("cval")))
+    w_code = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    codes = (
+        rx.join(F.broadcast(centpq), ["subspace", "p"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(sq.alias("d"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("xid"), "subspace", "code")
+    )
+    rq = (
+        probe.withColumnRenamed("vec_id", "qid")
+        .join(el.withColumnRenamed("vec_id", "qid"), "qid")
+        .join(F.broadcast(cent_pos), ["cell", "p"])
+        .select("qid", "cell", "p", sub, (F.col("val") - F.col("cval")).alias("rval"))
+    )
+    lut = (
+        rq.join(F.broadcast(centpq), ["subspace", "p"])
+        .groupBy("qid", "cell", "subspace", "code")
+        .agg(sq.alias("d"))
+    )
+    cand = probe.alias("p").join(
+        home.alias("h"),
+        (F.col("p.cell") == F.col("h.cell")) & (F.col("p.vec_id") != F.col("h.vec_id")),
+    ).select(
+        F.col("p.vec_id").alias("qid"), F.col("h.vec_id").alias("xid"), F.col("p.cell").alias("cell")
+    )
+    adc = (
+        cand.join(codes, "xid")
+        .join(lut, ["qid", "cell", "subspace", "code"])
+        .groupBy("qid", "xid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_top = Window.partitionBy("qid").orderBy("adist", "xid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
+    )
