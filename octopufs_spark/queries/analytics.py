@@ -831,3 +831,112 @@ def q_ext_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return pairs.select("term_a", "term_b", "pair_cnt", "cnt_a", "cnt_b", pmi.alias("pmi"))
+
+
+@register(
+    "q_ext_expectations",
+    oracle="""
+SELECT 'orderkey_unique' AS constraint_name,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+FROM orders
+UNION ALL
+SELECT 'orderkey_not_null',
+       CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+       COUNT(*) FILTER (WHERE o_orderkey IS NULL) = 0
+FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+       COUNT(*) FILTER (WHERE o_totalprice <= 0) = 0
+FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+       COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+FROM orders
+UNION ALL
+SELECT 'custkey_fk_valid',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+""",
+)
+def q_ext_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (Great-Expectations-style)
+    evaluated in-engine: uniqueness, not-null, range, domain membership
+    in ONE scan (conditional aggregates), plus referential integrity as
+    a broadcast anti-join — each constraint reports its violation count
+    and a pass flag, the contract a pipeline gates a publish on. At
+    100 TB the single-scan shape matters: five rules cost one pass,
+    not five."""
+    o = load(spark, sf_dir, "orders")
+    single = o.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("nd"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("nulls"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("baddom"),
+    ).collect()[0]
+    orphans = (
+        o.join(
+            F.broadcast(load(spark, sf_dir, "customer").select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).count()
+    )
+    rows = [
+        ("orderkey_unique", single["n"] - single["nd"]),
+        ("orderkey_not_null", single["nulls"]),
+        ("totalprice_positive", single["nonpos"]),
+        ("status_in_domain", single["baddom"]),
+        ("custkey_fk_valid", orphans),
+    ]
+    return spark.createDataFrame(
+        [(name, int(v), v == 0) for name, v in rows],
+        "constraint_name string, violations bigint, passed boolean",
+    )
+
+
+@register(
+    "q_ext_dp_release",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1
+), u AS (
+  SELECT o_orderpriority, n,
+         (CAST(CAST(CONCAT('0x', substr(md5(o_orderpriority), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+  FROM g
+)
+SELECT o_orderpriority,
+       ROUND(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ROUND(ln(1.0 - 2.0 * abs(u - 0.5)), 6), 2) AS released_count,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM u
+""",
+)
+def q_ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    epsilon=1, sensitivity 1) with REPRODUCIBLE noise: the uniform
+    draw comes from the md5 hash of the group key (the seeded-noise
+    pattern DP data-release pipelines use so re-runs publish identical
+    tables), pushed through the Laplace inverse CDF. The transcendental
+    ln() is quantized at 6 decimals before use (JVM vs libm last-ulp
+    spread — the verify-skill rule), so the released values
+    hash-verify. The true counts never appear in the output."""
+    g = load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    u = (
+        (F.expr("CAST(conv(substr(md5(o_orderpriority), 1, 15), 16, 10) AS BIGINT)")
+         % 1000000).cast("double")
+        + 0.5
+    ) / 1000000.0
+    noise_mag = F.round(F.log(1.0 - 2.0 * F.abs(u - 0.5)), 6)
+    sign = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return g.select(
+        "o_orderpriority",
+        F.round(F.col("n") + sign * noise_mag, 2).alias("released_count"),
+        F.lit(1.0).alias("epsilon"),
+    )

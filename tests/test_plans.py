@@ -251,3 +251,28 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_ext_ann_lsh_det",
+        "q_ext_ann_ivf_det",
+        "q_ext_dedup_minhash_det",
+        "q_ext_dedup_semantic_det",
+        "q_ext_ann_pq_adc",
+        "q_ext_ann_ivfpq",
+        "q_ext_ann_ivfpq_residual",
+        "q_ext_ann_binary",
+        "q_ext_simhash_pairs",
+    ],
+)
+def test_det_similarity_no_pair_product(plans, qname):
+    """Every deterministic similarity/dedup/index query must get its
+    candidates from equi-joins (bucket, band, cell, code) — an
+    unconstrained pair product in any of these plans is the
+    scale-killer the det variants were designed to avoid. The only
+    sanctioned nested-loop is a broadcast against a bounded side
+    (query block, centroid/codebook table)."""
+    plan = plans(qname)
+    assert "CartesianProduct" not in plan
