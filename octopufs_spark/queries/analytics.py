@@ -940,3 +940,135 @@ def q_ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + sign * noise_mag, 2).alias("released_count"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+@register(
+    "q_ext_k_anonymity",
+    oracle="""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(group_size) AS BIGINT) AS min_class,
+       CAST(COUNT(*) FILTER (WHERE group_size < 5) AS BIGINT) AS classes_below_k,
+       CAST(COALESCE(SUM(group_size) FILTER (WHERE group_size < 5), 0) AS BIGINT) AS rows_to_suppress,
+       MIN(group_size) >= 5 AS k_anonymous
+FROM qi
+""",
+)
+def q_ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, segment):
+    equivalence-class sizes, how many classes fall below k=5, and the
+    row mass that would need suppression before release — the
+    re-identification check run before publishing microdata. One
+    grouped count + one summary aggregate."""
+    qi = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+    )
+    return qi.agg(
+        F.count("*").alias("n_classes"),
+        F.min("group_size").cast("long").alias("min_class"),
+        F.count(F.when(F.col("group_size") < 5, 1)).alias("classes_below_k"),
+        F.coalesce(F.sum(F.when(F.col("group_size") < 5, F.col("group_size"))), F.lit(0))
+        .cast("long")
+        .alias("rows_to_suppress"),
+        (F.min("group_size") >= 5).alias("k_anonymous"),
+    )
+
+
+@register(
+    "q_ext_attribution",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(last_click) AS BIGINT) AS attributed,
+       CAST(COUNT(*) - COUNT(last_click) AS BIGINT) AS organic
+FROM ordered WHERE event_type = 'purchase'
+""",
+)
+def q_ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRECEDING click (IGNORE NULLS carry-forward over the
+    per-user timeline, excluding the current row); purchases with no
+    prior click count as organic. One user-key exchange + one sort —
+    the funnel-credit primitive marketing pipelines run daily."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_click"),
+    )
+    return ordered.where(F.col("event_type") == "purchase").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("last_click").alias("attributed"),
+        (F.count("*") - F.count("last_click")).cast("long").alias("organic"),
+    )
+
+
+@register(
+    "q_ext_ab_test",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), s AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS conversions
+  FROM assigned GROUP BY variant
+)
+SELECT variant, n_users, conversions,
+       ROUND(CAST(conversions AS DOUBLE) / n_users, 6) AS rate
+FROM s
+""",
+)
+def q_ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC assignment: the
+    variant comes from a hash of the user id (the bucketing every
+    experimentation platform uses so assignment is sticky and
+    re-computable), conversion = any purchase event. Rates are exact
+    integer ratios in one IEEE division. Deterministic assignment is
+    what makes the experiment itself auditable — any engine can replay
+    who was in which arm."""
+    ev = load(spark, sf_dir, "events")
+    variant = F.when(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    ).select("user_id", variant.alias("variant"), "converted")
+    s = assigned.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("conversions"),
+    )
+    return s.select(
+        "variant",
+        "n_users",
+        "conversions",
+        F.round(F.col("conversions").cast("double") / F.col("n_users"), 6).alias("rate"),
+    )
