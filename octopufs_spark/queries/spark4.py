@@ -1421,3 +1421,40 @@ def q_ext_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
     )
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS with_price,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT) AS with_status,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+FROM orders
+""",
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT column sets (an old writer without o_orderstatus, a new
+    writer without o_totalprice) unified by ``mergeSchema`` — missing
+    columns backfill as NULL, so counts-per-column reconstruct exactly
+    which writer produced each row. The lakehouse reality check: a
+    table's files rarely share one schema forever."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="octopufs_ms_")
+    o = load(spark, sf_dir, "orders")
+    o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=a")
+    o.where(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_orderstatus").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=b")
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("with_price"),
+        F.count("o_orderstatus").alias("with_status"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
