@@ -1458,3 +1458,53 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderstatus").alias("with_status"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "q_ext_gdpr_erasure",
+    oracle="""
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (WHERE user_id % 97 = 0) AS BIGINT) AS erased_user_rows
+FROM events
+UNION ALL
+SELECT 2,
+       CAST(COUNT(*) FILTER (WHERE user_id % 97 <> 0) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) FILTER (WHERE user_id % 97 <> 0) AS BIGINT),
+       0
+FROM events
+""",
+)
+def q_ext_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as an atomic table operation: a manifest
+    table holds the event log at v1; a MERGE with a deletes-only
+    changeset (every user_id % 97 == 0 — the erasure request batch)
+    publishes v2 in one commit. The output aggregates BOTH snapshots
+    and counts surviving rows for the erased users — v2 must show zero
+    while v1 (the pre-erasure snapshot, retained until vacuum) still
+    holds them, proving the deletion is complete AND atomic rather
+    than an in-place scrub."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="octopufs_gdpr_")
+    table = ManifestTable(root)
+    ev.write.mode("overwrite").parquet(f"{root}/base")
+    table.commit_overwrite("base", operation="seed")
+    erase_keys = ev.where(F.col("user_id") % 97 == 0).select("event_id").distinct()
+    empty_source = spark.createDataFrame([], ev.schema)
+    merge_upsert_manifest(spark, table, empty_source, keys=["event_id"], deletes=erase_keys)
+
+    def snap(version: int) -> DataFrame:
+        return table.read(spark, version=version).agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.when(F.col("user_id") % 97 == 0, 1)).alias("erased_user_rows"),
+        ).select("version", "n_events", "n_users", "erased_user_rows")
+
+    return snap(1).unionByName(snap(2))

@@ -165,3 +165,39 @@ def test_decode_png_paeth_and_average_filters(spark):
     dw, dh, ch, px = decode_png(png)
     assert (dw, dh, ch) == (w, h, 3)
     assert px == b"".join(rows)
+
+
+def test_decode_png_gray_and_rgba():
+    """Gray (ctype 0) and RGBA (ctype 6) decode paths: craft minimal
+    spec-correct files and check exact reconstruction."""
+    import struct
+    import zlib
+
+    from octopufs_spark.llm.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    # 3x2 grayscale, filter 0
+    gray_rows = [bytes([10, 200, 30]), bytes([0, 255, 128])]
+    raw = b"".join(b"\x00" + r for r in gray_rows)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    png = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    w, h, ch, px = decode_png(png)
+    assert (w, h, ch) == (3, 2, 1) and px == b"".join(gray_rows)
+
+    # 2x2 RGBA with a Sub-filtered second row
+    rgba_rows = [bytes(range(8)), bytes(range(100, 108))]
+    bpp = 4
+    sub = bytes((rgba_rows[1][i] - (rgba_rows[1][i - bpp] if i >= bpp else 0)) & 0xFF for i in range(8))
+    raw = b"\x00" + rgba_rows[0] + b"\x01" + sub
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    png = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    w, h, ch, px = decode_png(png)
+    assert (w, h, ch) == (2, 2, 4) and px == b"".join(rgba_rows)
+
+
+def test_decode_png_rejects_garbage():
+    import pytest as _pytest
+
+    from octopufs_spark.llm.multimodal import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")

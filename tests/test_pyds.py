@@ -84,3 +84,30 @@ def test_writer_two_phase_commit_roundtrip(spark, tmp_path):
     )
     assert back.count() == 300
     assert back.agg(F.countDistinct("id")).collect()[0][0] == 300
+
+
+def test_writer_abort_removes_staged_files(spark, tmp_path):
+    """A failing write job must abort cleanly: staged part files from
+    completed tasks are removed and no _SUCCESS manifest appears."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "abort_sink"
+    df = _read(spark, total=100, partitions=2).withColumn(
+        "boom", F.expr("CASE WHEN id = 99 THEN raise_error('fail late') ELSE 'ok' END")
+    )
+    with _pytest.raises(Exception):
+        df.write.format("synthgen").mode("append").option("path", str(out)).save()
+    assert not (out / "_SUCCESS").exists()
+
+
+def test_kmeans_requires_init_vectors(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from octopufs_spark.llm import clustering
+    from octopufs_spark.tables import load
+
+    vecs = load(spark, "/root/testdata/sf0.001", "embeddings").where(F.col("vec_id") >= 10)
+    with _pytest.raises(ValueError, match="vec_id"):
+        clustering.kmeans_int(vecs, k=4, iters=1)
