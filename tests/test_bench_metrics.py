@@ -1,0 +1,44 @@
+"""Shuffle-metric regression gate (NEXT item: make tools/bench_diff.py
+automatic): compare the latest BENCH_FULL.json plan metrics against
+the committed baseline (tools/bench_baseline.json). Wall-clock is
+noise; shuffle bytes and peak-task shuffle write are deterministic
+plan properties — a new exchange or a fattened shuffle fails here even
+when timings look fine. After an INTENTIONAL plan change, re-run
+bench.py and refresh the baseline copy in the same commit."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+RATIO = 2.0
+ABS_FLOOR = 256 * 1024  # ignore growth below 256 KiB
+
+WATCHED = ("shuffle_write_bytes", "peak_task_shuffle_write_bytes")
+
+
+def test_shuffle_metrics_vs_baseline():
+    base_p = REPO / "tools" / "bench_baseline.json"
+    cur_p = REPO / "BENCH_FULL.json"
+    if not base_p.exists() or not cur_p.exists():
+        pytest.skip("bench files missing")
+    base = json.loads(base_p.read_text()).get("plan_metrics", {})
+    cur = json.loads(cur_p.read_text()).get("plan_metrics", {})
+    if not base or not cur:
+        pytest.skip("no plan metrics recorded")
+    regressions = []
+    for name, b in base.items():
+        c = cur.get(name)
+        if c is None:
+            continue  # query removed/renamed — baseline refresh handles it
+        for metric in WATCHED:
+            old, new = b.get(metric, 0), c.get(metric, 0)
+            if new > ABS_FLOOR and old > 0 and new / old > RATIO:
+                regressions.append(f"{name}.{metric}: {old} -> {new}")
+    assert not regressions, (
+        "shuffle plan regressions vs tools/bench_baseline.json "
+        "(refresh the baseline if intentional):\n" + "\n".join(regressions)
+    )
