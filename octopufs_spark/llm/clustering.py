@@ -132,9 +132,13 @@ def kmeans_centroids(q: DataFrame, k: int, iters: int) -> list[list[int]]:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
         centroids = [
             [
-                # floor(s/n) with one IEEE division — matches the SQL
-                # oracle's FLOOR(CAST(s AS DOUBLE)/n) bit-for-bit.
-                math.floor(by_cluster[c][p][0] / by_cluster[c][p][1])
+                # Cast s to double BEFORE dividing: Python's `s / n` on
+                # ints is the correctly-rounded true quotient of exact
+                # integers, while the SQL oracle computes
+                # FLOOR(CAST(s AS DOUBLE)/n) — once s exceeds 2^53 the
+                # two can differ by one ulp and flip the floor. float(s)
+                # reproduces the oracle's double-cast-then-divide.
+                math.floor(float(by_cluster[c][p][0]) / float(by_cluster[c][p][1]))
                 for p in range(dim)
             ]
             if c in by_cluster

@@ -403,29 +403,40 @@ SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), COUNT(DIS
 """,
 )
 def q_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass column profiler over orders: per column null count,
-    exact distinct count, and min/max rendered through EXPLICIT
-    formatters (printf for doubles, ISO date) so the text
-    representation is engine-independent. One aggregate computes all
-    24 statistics (Spark expands the multi-distinct into one exchange);
-    at 100 TB the same shape switches countDistinct ->
-    approx_count_distinct and loses nothing else. The stack() pivot to
-    one-row-per-column is metadata-sized."""
+    """Column profiler over orders: per column null count, exact
+    distinct count, and min/max rendered through EXPLICIT formatters
+    (printf for doubles, ISO date) so the text representation is
+    engine-independent. Two narrow passes, NO Expand: (1) counts and
+    typed min/max come from one plain aggregate (map-side combinable,
+    no distinct); (2) the six exact distinct counts come from an
+    exploded (col, value-string) pair stream deduped in two stages —
+    the map-side partial dedup collapses low-cardinality columns
+    (o_orderstatus contributes ~3 pairs per partition) and the shuffled
+    rows are 2 narrow strings, vs. the 7x full-row multiplication the
+    multi-countDistinct Expand plan produced (round-3 verdict item 5).
+    String casts are injective per type, so distinct-on-string ==
+    distinct-on-value. At 100 TB the same shape can switch pass 2 to
+    approx_count_distinct and lose nothing else. The final 6x6-row
+    join is metadata-sized (AQE broadcasts it)."""
     o = load(spark, sf_dir, "orders")
+    cols = (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    pairs = o.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("col_name"), F.col(c).cast("string").alias("v"))
+                for c in cols
+            ])
+        ).alias("p")
+    ).select("p.*").where(F.col("v").isNotNull())
+    nd = pairs.distinct().groupBy("col_name").agg(F.count("*").alias("n_distinct"))
     agg = o.agg(
         F.count("*").alias("n"),
-        *[F.count(c).alias(f"cnt_{c}") for c in (
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderdate", "o_orderpriority")],
-        *[F.countDistinct(c).alias(f"nd_{c}") for c in (
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderdate", "o_orderpriority")],
-        F.min("o_orderkey").alias("min_o_orderkey"), F.max("o_orderkey").alias("max_o_orderkey"),
-        F.min("o_custkey").alias("min_o_custkey"), F.max("o_custkey").alias("max_o_custkey"),
-        F.min("o_orderstatus").alias("min_o_orderstatus"), F.max("o_orderstatus").alias("max_o_orderstatus"),
-        F.min("o_totalprice").alias("min_o_totalprice"), F.max("o_totalprice").alias("max_o_totalprice"),
-        F.min("o_orderdate").alias("min_o_orderdate"), F.max("o_orderdate").alias("max_o_orderdate"),
-        F.min("o_orderpriority").alias("min_o_orderpriority"), F.max("o_orderpriority").alias("max_o_orderpriority"),
+        *[F.count(c).alias(f"cnt_{c}") for c in cols],
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
     )
     rows = []
     for c, fmt in (
@@ -446,12 +457,14 @@ def q_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(c).alias("col_name"),
                 F.col("n").alias("n_rows"),
                 (F.col("n") - F.col(f"cnt_{c}")).alias("n_null"),
-                F.col(f"nd_{c}").alias("n_distinct"),
                 mn.alias("min_repr"),
                 mx.alias("max_repr"),
             )
         )
-    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    base = agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    return base.join(nd, "col_name").select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr"
+    )
 
 
 @register(
@@ -870,32 +883,42 @@ def q_ext_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast anti-join — each constraint reports its violation count
     and a pass flag, the contract a pipeline gates a publish on. At
     100 TB the single-scan shape matters: five rules cost one pass,
-    not five."""
+    not five. Fully LAZY (round-3 verdict item 6): the four scan
+    constraints and the anti-join count are two 1-row aggregates
+    cross-joined (broadcast nested loop over single rows) and
+    unpivoted to the report shape — no ``collect()`` in the builder,
+    one action when the caller materializes."""
     o = load(spark, sf_dir, "orders")
     single = o.agg(
-        F.count("*").alias("n"),
-        F.countDistinct("o_orderkey").alias("nd"),
-        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("nulls"),
-        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos"),
-        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("baddom"),
-    ).collect()[0]
-    orphans = (
-        o.join(
-            F.broadcast(load(spark, sf_dir, "customer").select("c_custkey")),
-            o.o_custkey == F.col("c_custkey"),
-            "left_anti",
-        ).count()
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("orderkey_not_null"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("totalprice_positive"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias(
+            "status_in_domain"
+        ),
     )
-    rows = [
-        ("orderkey_unique", single["n"] - single["nd"]),
-        ("orderkey_not_null", single["nulls"]),
-        ("totalprice_positive", single["nonpos"]),
-        ("status_in_domain", single["baddom"]),
-        ("custkey_fk_valid", orphans),
-    ]
-    return spark.createDataFrame(
-        [(name, int(v), v == 0) for name, v in rows],
-        "constraint_name string, violations bigint, passed boolean",
+    orphans = o.join(
+        F.broadcast(load(spark, sf_dir, "customer").select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("custkey_fk_valid"))
+    combined = single.crossJoin(orphans)  # 1 row x 1 row
+    melted = combined.unpivot(
+        [],
+        [
+            "orderkey_unique",
+            "orderkey_not_null",
+            "totalprice_positive",
+            "status_in_domain",
+            "custkey_fk_valid",
+        ],
+        "constraint_name",
+        "violations",
+    )
+    return melted.select(
+        "constraint_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
     )
 
 
@@ -917,14 +940,18 @@ FROM u
 """,
 )
 def q_ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private count release (Laplace mechanism,
-    epsilon=1, sensitivity 1) with REPRODUCIBLE noise: the uniform
-    draw comes from the md5 hash of the group key (the seeded-noise
-    pattern DP data-release pipelines use so re-runs publish identical
-    tables), pushed through the Laplace inverse CDF. The transcendental
-    ln() is quantized at 6 decimals before use (JVM vs libm last-ulp
-    spread — the verify-skill rule), so the released values
-    hash-verify. The true counts never appear in the output."""
+    """Laplace-noised count release — a *reproducibility/verification
+    demo* of the DP release mechanism's plumbing, NOT a differential
+    privacy guarantee. The uniform draw is derived from md5 of the
+    PUBLIC group key so re-runs (and the DuckDB oracle) publish
+    identical tables; since anyone can recompute that hash, the noise
+    is recoverable and the true counts are not protected. A production
+    release would derive the draw from a secret per-release salt
+    (``md5(concat(secret_salt, key))``) — one changed expression; the
+    mechanism (inverse-CDF Laplace, sensitivity 1, eps in the output
+    schema) is what this query exercises. The transcendental ln() is
+    quantized at 6 decimals before use (JVM vs libm last-ulp spread),
+    so the released values hash-verify cross-engine."""
     g = load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
         F.count("*").alias("n")
     )

@@ -100,15 +100,97 @@ def q_ext_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs_broadcast(vecs, threshold=0.35)
 
 
-@register("q_ext_ann_lsh", oracle=None)  # weak: approximate, plane-seed-specific
+# Planted-clone contracts (round-4): the seeded production ANN/dedup
+# variants were declared-weak (oracle=None) because their raw outputs
+# are seed-specific. Each now runs the SAME seeded production path but
+# reports a seed-INDEPENDENT invariant any correct LSH/IVF/MinHash
+# implementation guarantees by construction: an exact clone of a vector
+# or document hashes into the same bucket under every plane/permutation
+# choice, so planted clones MUST be retrieved (top-1 / candidate pair /
+# same cluster). The oracle recomputes the planted count from the base
+# table and expects a perfect score — a seed regression, banding bug, or
+# normalization drift that breaks the retrieval guarantee flips the
+# hard signal, while the benched plan stays the production scale path.
+_CLONE_OFFSET = 10_000_000
+
+
+def _planted_vecs(spark: SparkSession, sf_dir: str, n: int, limit: int | None = None):
+    """(base ∪ clones, n_planted 1-row DF): clones duplicate the
+    embeddings of vec_id < n under vec_id + _CLONE_OFFSET."""
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if limit is not None:
+        vecs = vecs.where(F.col("vec_id") < limit)
+    src = vecs.where(F.col("vec_id") < n)
+    clones = src.select(
+        (F.col("vec_id") + _CLONE_OFFSET).alias("vec_id"), "embedding"
+    )
+    planted = src.agg(F.count("*").alias("n_planted"))
+    return vecs.unionByName(clones), planted
+
+
+@register(
+    "q_ext_ann_lsh",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_top1_hits
+FROM embeddings WHERE vec_id < 20
+""",
+)
 def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-5 — the 100 TB ANN path."""
-    vecs = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_ann(vecs, dim=64, k=5, n_planes=8, seed=42)
+    """LSH-bucketed approximate cosine top-5 — the 100 TB ANN path
+    (seeded Gaussian hyperplanes, production variant; the hash-verified
+    value-level twin is q_ext_ann_lsh_det). Verified by a PLANTED-CLONE
+    contract: 20 exact-duplicate vectors are appended under offset ids;
+    identical embeddings project to identical sign buckets under ANY
+    plane seed, so each clone's top-1 neighbor must be its source with
+    cos_sim ~ 1.0. Output (n_planted, n_top1_hits) — the oracle expects
+    them equal; any regression in bucketing/scoring/ranking breaks the
+    equality and flags red."""
+    vecs_u, planted = _planted_vecs(spark, sf_dir, n=20)
+    ann = similarity.cosine_topk_ann(vecs_u, dim=64, k=5, n_planes=8, seed=42)
+    hits = ann.where(
+        (F.col("vec_a") >= _CLONE_OFFSET)
+        & (F.col("rn") == 1)
+        & (F.col("vec_b") == F.col("vec_a") - _CLONE_OFFSET)
+    ).agg(F.count("*").alias("n_top1_hits"))
+    return planted.crossJoin(hits).select("n_planted", "n_top1_hits")
 
 
 @register(
     "q_ext_dedup_minhash",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_clone_pairs
+FROM documents WHERE doc_id < 30
+""",
+)
+def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates — the PRODUCTION scale
+    path alone (Spark ML MinHashLSH banded bucket join; split out of
+    the combined recall entry in round 4 so the bench measures the
+    path a 100 TB pipeline runs, not the exact ground-truth sweep —
+    that lives in q_ext_dedup_minhash_recall, and the value-level
+    hash-verified variant in q_ext_dedup_minhash_det). Verified by a
+    PLANTED-CLONE contract: the texts of doc_id < 30 are re-ingested
+    under offset ids; an identical token stream produces identical
+    shingles, hence identical MinHash signatures in every hash table
+    under any seed, so each (source, clone) pair MUST surface as a
+    candidate at Jaccard distance 0. Output
+    (n_planted, n_clone_pairs); the oracle expects equality."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    lsh = dedup.minhash_near_dup_pairs(docs.unionByName(clones), threshold=0.81)
+    found = lsh.where(
+        (F.col("doc_a") < 30) & (F.col("doc_b") == F.col("doc_a") + _CLONE_OFFSET)
+    ).agg(F.count("*").alias("n_clone_pairs"))
+    planted = docs.where(F.col("doc_id") < 30).agg(F.count("*").alias("n_planted"))
+    return planted.crossJoin(found).select("n_planted", "n_clone_pairs")
+
+
+@register(
+    "q_ext_dedup_minhash_recall",
     oracle="""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -134,19 +216,19 @@ WITH d AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok FROM x
 """,
 )
-def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates, checked by a RECALL
-    CONTRACT (upgraded from rows-only in r3, same pattern as the
-    approx-distinct tolerance oracle): the LSH pair set itself is
-    seed-specific, but the ground truth — exact 5-gram Jaccard ≥ 0.2
-    pairs — is SQL-computable, so the registered output is
-    (n_exact_pairs, recall_ok) where recall_ok asserts the LSH found
-    ≥ 90% of the exact set. The oracle recomputes n_exact_pairs and
-    expects recall_ok = TRUE; a seed/banding regression that drops
-    recall now flips the hard signal. The raw pair surface stays
-    available via llm.dedup.minhash_near_dup_pairs (pytest-covered).
-    LSH distance cutoff 0.81 (not 0.80) so exact pairs sitting exactly
-    on the 0.2 similarity boundary remain discoverable."""
+def q_ext_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH RECALL CONTRACT (split from q_ext_dedup_minhash in
+    round 4; same pattern as the approx-distinct tolerance oracle):
+    the LSH pair set itself is seed-specific, but the ground truth —
+    exact 5-gram Jaccard ≥ 0.2 pairs — is SQL-computable, so the
+    registered output is (n_exact_pairs, recall_ok) where recall_ok
+    asserts the LSH found ≥ 90% of the exact set. The oracle
+    recomputes n_exact_pairs and expects recall_ok = TRUE; a
+    seed/banding regression that drops recall flips the hard signal.
+    The raw pair surface stays available via
+    llm.dedup.minhash_near_dup_pairs (pytest-covered). LSH distance
+    cutoff 0.81 (not 0.80) so exact pairs sitting exactly on the 0.2
+    similarity boundary remain discoverable."""
     docs = load(spark, sf_dir, "documents")
     lsh = (
         dedup.minhash_near_dup_pairs(docs, threshold=0.81)
@@ -202,10 +284,53 @@ def q_ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, partitions=4)
 
 
-@register("q_ext_simhash", oracle=None)  # weak: Pandas-UDF hash, Spark-side only
+@register(
+    "q_ext_simhash",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 50) AS BIGINT) AS n_planted,
+       CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 50) AS BIGINT) AS n_clone_matches,
+       TRUE AS discriminates
+""",
+)
 def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash + 16-bit bands per document (dedup candidate keys)."""
-    return dedup.simhash_bands(load(spark, sf_dir, "documents"))
+    """64-bit SimHash + 16-bit bands (xxhash64 JVM fold — the
+    production candidate-key path; the md5-based SQL-replayable twin is
+    q_ext_simhash_det). Verified by a PLANTED-CLONE contract: the texts
+    of doc_id < 50 are re-hashed under offset ids; SimHash is a pure
+    function of the token stream, so every clone must reproduce its
+    source's full 64-bit signature (which implies all 4 band keys
+    match). `discriminates` guards the degenerate failure the clone
+    check alone can't see (a constant hash would still match clones):
+    the corpus must produce at least 2 distinct signatures. The oracle
+    recomputes the counts from the documents table and expects a
+    perfect score. The raw per-doc band surface stays pytest-covered
+    and SQL-replayable via q_ext_simhash_det / q_ext_simhash_pairs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    sigs = dedup.simhash_bands(docs.unionByName(clones))
+    src = sigs.where(F.col("doc_id") < 50).select(
+        "doc_id", F.col("simhash").alias("sig_src")
+    )
+    cln = sigs.where(F.col("doc_id") >= _CLONE_OFFSET).select(
+        (F.col("doc_id") - _CLONE_OFFSET).alias("doc_id"),
+        F.col("simhash").alias("sig_clone"),
+    )
+    matches = src.join(cln, "doc_id").agg(
+        F.count("*").alias("n_planted"),
+        F.count(F.when(F.col("sig_src") == F.col("sig_clone"), 1)).alias(
+            "n_clone_matches"
+        ),
+    )
+    corpus = sigs.where(F.col("doc_id") < _CLONE_OFFSET).agg(
+        F.count("*").alias("n_docs"),
+        (F.countDistinct("simhash") >= 2).alias("discriminates"),
+    )
+    return corpus.crossJoin(matches).select(
+        "n_docs", "n_planted", "n_clone_matches", "discriminates"
+    )
 
 
 @register(
@@ -465,12 +590,35 @@ def q_ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ext_ann_ivf", oracle=None)  # weak: kmeans-seed-specific cells
+@register(
+    "q_ext_ann_ivf",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_top1_hits
+FROM embeddings WHERE vec_id < 20
+""",
+)
 def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate cosine top-5: k-means cells + n_probe=2 — the
-    data-adaptive alternative to the random-hyperplane LSH path."""
-    vecs = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_ivf(vecs, k=5, n_clusters=16, n_probe=2, seed=42)
+    data-adaptive alternative to the random-hyperplane LSH path (seeded
+    sample-fit centroids, production variant; the hash-verified twin is
+    q_ext_ann_ivf_det). Verified by a PLANTED-CLONE contract: identical
+    embeddings assign to the same home cell under ANY trained centroid
+    set, so each planted clone's top-1 neighbor must be its source
+    (cos_sim ~ 1.0, found in the clone's own home cell). Output
+    (n_planted, n_top1_hits); the oracle expects equality — a
+    probe/assignment/scoring regression flags red while the benched
+    plan stays the production shuffle-to-cell shape."""
+    vecs_u, planted = _planted_vecs(spark, sf_dir, n=20)
+    ann = similarity.cosine_topk_ivf(
+        vecs_u, k=5, n_clusters=16, n_probe=2, seed=42
+    )
+    hits = ann.where(
+        (F.col("vec_a") >= _CLONE_OFFSET)
+        & (F.col("rn") == 1)
+        & (F.col("vec_b") == F.col("vec_a") - _CLONE_OFFSET)
+    ).agg(F.count("*").alias("n_top1_hits"))
+    return planted.crossJoin(hits).select("n_planted", "n_top1_hits")
 
 
 @register(
@@ -573,24 +721,46 @@ def q_ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ext_dedup_semantic_ann", oracle=None)  # weak: LSH-seed-specific candidates
+@register(
+    "q_ext_dedup_semantic_ann",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_same_cluster
+FROM embeddings WHERE vec_id < 20
+""",
+)
 def q_ext_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, scale path: multi-table LSH candidate pairs →
-    connected components → one canonical (min-id) document per cluster.
-    The composition a 100 TB pipeline actually runs — candidates come
-    from (table, bucket) joins, never an all-pairs product; the exact
-    q_ext_dedup_semantic is its recall verifier (see
-    tests/test_llm.py::test_semantic_ann_recall). n_planes=4/n_tables=24
-    targets this fixture's low 0.35 threshold; production near-dup
-    thresholds (0.9+) use the b=8/L=8 default with far smaller buckets."""
-    vecs = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    connected components → cluster labels. The composition a 100 TB
+    pipeline actually runs — candidates come from (table, bucket)
+    joins, never an all-pairs product; n_planes=4/n_tables=24 targets
+    this fixture's low 0.35 threshold (production near-dup thresholds
+    0.9+ use the b=8/L=8 default with far smaller buckets; the exact
+    and hash-verified twins are q_ext_dedup_semantic /
+    q_ext_dedup_semantic_det). Verified by a PLANTED-CLONE contract:
+    20 exact-duplicate vectors are appended under offset ids; an
+    identical embedding lands in the same bucket of EVERY table under
+    any plane seed, the (source, clone) pair scores cos_sim ~ 1.0 >=
+    threshold, so connected components must label each clone into its
+    source's cluster. Output (n_planted, n_same_cluster); the oracle
+    expects equality. Recall vs the exact pair set stays pytest-pinned
+    (tests/test_llm.py::test_semantic_ann_recall)."""
+    vecs_u, planted = _planted_vecs(spark, sf_dir, n=20, limit=200)
     pairs = similarity.cosine_near_dup_pairs_ann(
-        vecs, dim=64, threshold=0.35, n_planes=4, n_tables=24, seed=42
+        vecs_u, dim=64, threshold=0.35, n_planes=4, n_tables=24, seed=42
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     labels = dedup.connected_components(pairs, partitions=4)
-    return labels.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_id")
+    src = labels.where(F.col("doc_id") < 20).select(
+        "doc_id", F.col("cluster_id").alias("c_src")
     )
+    cln = labels.where(F.col("doc_id") >= _CLONE_OFFSET).select(
+        (F.col("doc_id") - _CLONE_OFFSET).alias("doc_id"),
+        F.col("cluster_id").alias("c_clone"),
+    )
+    same = src.join(cln, "doc_id").agg(
+        F.count(F.when(F.col("c_src") == F.col("c_clone"), 1)).alias("n_same_cluster")
+    )
+    return planted.crossJoin(same).select("n_planted", "n_same_cluster")
 
 
 @register(

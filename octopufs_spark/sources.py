@@ -100,6 +100,12 @@ class SynthStreamReader(DataSourceStreamReader):
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict):
+        # After a checkpoint restart a fresh reader instance starts at
+        # _current=0 while Spark replans from the committed offset; fold
+        # every offset Spark hands us back into _current so latestOffset
+        # resumes from the committed position instead of stalling through
+        # no-op polls (and so extra planner polls never skip rows).
+        self._current = max(self._current, end["offset"])
         return [RangePartition(start["offset"], end["offset"])]
 
     def read(self, partition: RangePartition) -> Iterator:
@@ -109,7 +115,7 @@ class SynthStreamReader(DataSourceStreamReader):
             yield (i, i % N_DEVICES, ((i * MULT) % MOD) / 100.0)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._current = max(self._current, end["offset"])
 
 
 class _Committed(WriterCommitMessage):
@@ -119,9 +125,18 @@ class _Committed(WriterCommitMessage):
 
 
 class SynthJsonWriter(DataSourceWriter):
-    """JSON-lines sink: one file per task + driver-side _SUCCESS commit
-    (the standard two-phase commit: tasks stage files and report them
-    in commit messages; the driver publishes the manifest)."""
+    """JSON-lines sink with a real two-phase commit.
+
+    Tasks stage their output under attempt-unique *temp* names
+    (``.staged-<uuid>.json.tmp``) and report them in commit messages;
+    the driver's ``commit()`` is the only code that publishes
+    ``part-*.json`` names (rename) and writes the ``_SUCCESS``
+    manifest. A task that dies mid-write (or a speculative duplicate
+    attempt) therefore leaves only a ``.tmp`` orphan that readers never
+    see — read back via :func:`read_committed`, which trusts the
+    manifest file list, not a glob. ``mode("overwrite")`` clears prior
+    committed files atomically-enough at commit time (before any rename
+    of this run's files)."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -131,21 +146,35 @@ class SynthJsonWriter(DataSourceWriter):
 
     def write(self, rows: Iterator) -> _Committed:
         os.makedirs(self.path, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.json"
+        staged = f".staged-{uuid.uuid4().hex}.json.tmp"
         n = 0
-        with open(os.path.join(self.path, name), "w") as f:
+        with open(os.path.join(self.path, staged), "w") as f:
             for row in rows:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        return _Committed(name, n)
+        return _Committed(staged, n)
 
     def commit(self, messages) -> None:
-        manifest = {
-            "files": sorted(m.filename for m in messages if m is not None),
-            "rows": sum(m.rows for m in messages if m is not None),
-        }
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        msgs = [m for m in messages if m is not None]
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.startswith("part-") or old == "_SUCCESS":
+                    try:
+                        os.remove(os.path.join(self.path, old))
+                    except OSError:
+                        pass
+        published = []
+        for i, m in enumerate(sorted(msgs, key=lambda m: m.filename)):
+            final = f"part-{i:05d}-{m.filename[len('.staged-'):-len('.json.tmp')]}.json"
+            os.replace(
+                os.path.join(self.path, m.filename), os.path.join(self.path, final)
+            )
+            published.append(final)
+        manifest = {"files": published, "rows": sum(m.rows for m in msgs)}
+        tmp = os.path.join(self.path, f"._SUCCESS.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -177,3 +206,21 @@ class SyntheticTelemetrySource(DataSource):
 def register_synthgen(spark) -> None:
     """Idempotently register the synthgen source on a session."""
     spark.dataSource.register(SyntheticTelemetrySource)
+
+
+def read_committed(spark, path: str, schema: str = "id bigint, device bigint, reading double"):
+    """Read back a synthgen JSON sink through its commit manifest.
+
+    The manifest (``_SUCCESS``) is the source of truth for what the job
+    committed — globbing ``part-*.json`` would also pick up files from
+    other (possibly concurrent or stale) runs. Raises if the sink was
+    never committed."""
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success):
+        raise FileNotFoundError(f"no committed manifest at {success}")
+    with open(success) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, name) for name in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -36,7 +36,11 @@ def test_shuffle_metrics_vs_baseline():
             continue  # query removed/renamed — baseline refresh handles it
         for metric in WATCHED:
             old, new = b.get(metric, 0), c.get(metric, 0)
-            if new > ABS_FLOOR and old > 0 and new / old > RATIO:
+            if new <= ABS_FLOOR:
+                continue
+            # old == 0 with material new bytes is a brand-new exchange —
+            # exactly the case this gate exists to catch, not a skip.
+            if old == 0 or new / old > RATIO:
                 regressions.append(f"{name}.{metric}: {old} -> {new}")
     assert not regressions, (
         "shuffle plan regressions vs tools/bench_baseline.json "

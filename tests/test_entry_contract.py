@@ -24,17 +24,12 @@ def test_oracles_subset_of_queries():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 145  # inventory floor: don't silently lose queries
-    # weak (rows-only) set stays small and intentional — r3 upgraded
-    # approx_distinct (tolerance), stream_session (gap-merge replay)
-    # and dedup_minhash (recall contract) to full oracles
+    assert len(q) >= 204  # inventory floor: don't silently lose queries
+    # r4: the last 4 declared-weak entries (seeded ANN/dedup production
+    # variants) gained planted-clone contract oracles — every registered
+    # query is now oracle-backed. Keep it that way.
     weak = set(q) - set(o)
-    assert weak == {
-        "q_ext_ann_lsh",
-        "q_ext_ann_ivf",
-        "q_ext_dedup_semantic_ann",
-        "q_ext_simhash",
-    }
+    assert weak == set()
 
 
 def test_every_query_builds(spark):

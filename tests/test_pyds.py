@@ -12,7 +12,13 @@ import time
 
 from pyspark.sql import functions as F
 
-from octopufs_spark.sources import MOD, MULT, N_DEVICES, register_synthgen
+from octopufs_spark.sources import (
+    MOD,
+    MULT,
+    N_DEVICES,
+    read_committed,
+    register_synthgen,
+)
 
 
 def _read(spark, total=1000, partitions=4):
@@ -79,11 +85,43 @@ def test_writer_two_phase_commit_roundtrip(spark, tmp_path):
     manifest = json.loads((out / "_SUCCESS").read_text())
     assert manifest["rows"] == 300
     assert len(manifest["files"]) == 3
-    back = spark.read.schema("id bigint, device bigint, reading double").json(
-        str(out) + "/part-*.json"
-    )
+    # Tasks stage under temp names; only the driver publishes part- names.
+    assert all(name.startswith("part-") for name in manifest["files"])
+    assert not list(out.glob("*.tmp"))
+    back = read_committed(spark, str(out))
     assert back.count() == 300
     assert back.agg(F.countDistinct("id")).collect()[0][0] == 300
+
+
+def test_writer_manifest_ignores_orphan_files(spark, tmp_path):
+    """A partial file left by a dead/speculative task attempt (staged
+    temp name, never committed) must not be double-counted on read."""
+    out = tmp_path / "orphan_sink"
+    df = _read(spark, total=100, partitions=2)
+    df.write.format("synthgen").mode("append").option("path", str(out)).save()
+    (out / ".staged-deadbeef.json.tmp").write_text(
+        '{"id": 999999, "device": 0, "reading": 0.0}\n'
+    )
+    back = read_committed(spark, str(out))
+    assert back.count() == 100
+    assert back.where("id = 999999").count() == 0
+
+
+def test_writer_overwrite_clears_stale_files(spark, tmp_path):
+    """mode('overwrite') must replace, not append next to, prior files."""
+    out = tmp_path / "ow_sink"
+    _read(spark, total=200, partitions=2).write.format("synthgen").mode("append").option(
+        "path", str(out)
+    ).save()
+    _read(spark, total=50, partitions=1).write.format("synthgen").mode("overwrite").option(
+        "path", str(out)
+    ).save()
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    assert manifest["rows"] == 50
+    # Stale part files from the first run are gone from disk too.
+    on_disk = sorted(p.name for p in out.glob("part-*.json"))
+    assert on_disk == sorted(manifest["files"])
+    assert read_committed(spark, str(out)).count() == 50
 
 
 def test_writer_abort_removes_staged_files(spark, tmp_path):
@@ -99,6 +137,8 @@ def test_writer_abort_removes_staged_files(spark, tmp_path):
     with _pytest.raises(Exception):
         df.write.format("synthgen").mode("append").option("path", str(out)).save()
     assert not (out / "_SUCCESS").exists()
+    # Nothing was ever published under a final name.
+    assert not list(out.glob("part-*.json")) if out.exists() else True
 
 
 def test_kmeans_requires_init_vectors(spark):
