@@ -28,8 +28,16 @@ def get_filesystem(uri: str) -> tuple[pafs.FileSystem, str]:
     """Resolve a pyarrow FileSystem + in-fs path for a URI.
 
     (reference: getFileSystem, fs/package.scala:23-25; spaces sanitized
-    there — pyarrow handles percent-encoding itself.)
+    there — pyarrow handles percent-encoding itself.) ``mock://`` URIs
+    resolve to the in-process object-store stand-in (fs/mockfs.py) so
+    the non-``file://`` code paths run without network access;
+    everything else goes through pyarrow's native scheme dispatch
+    (file, s3, gs, hdfs, ...).
     """
+    if uri.startswith("mock://"):
+        from octopufs_spark.fs import mockfs
+
+        return mockfs.resolve(uri)
     return pafs.FileSystem.from_uri(uri)
 
 

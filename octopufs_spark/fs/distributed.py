@@ -30,17 +30,22 @@ MAX_ATTEMPTS = 5
 
 
 def _copy_partition(pairs):
-    """Executor-side: copy each (src, dst) pair; FS resolved once."""
-    from pyarrow import fs as pafs
+    """Executor-side: copy each (src, dst) pair; FS resolved once.
+
+    Resolution goes through ``core.get_filesystem`` (not raw
+    ``pafs.FileSystem.from_uri``) so scheme dispatch — including the
+    in-process ``mock://`` object-store stand-in — behaves identically
+    in executor tasks and on the driver."""
+    from octopufs_spark.fs.core import get_filesystem
 
     pairs = list(pairs)
     if not pairs:
         return
-    src_fs, _ = pafs.FileSystem.from_uri(pairs[0][0])
-    trg_fs, _ = pafs.FileSystem.from_uri(pairs[0][1])
+    src_fs, _ = get_filesystem(pairs[0][0])
+    trg_fs, _ = get_filesystem(pairs[0][1])
 
     def rel(fs_uri: str) -> str:
-        return pafs.FileSystem.from_uri(fs_uri)[1]
+        return get_filesystem(fs_uri)[1]
 
     for src, dst in pairs:
         try:

@@ -160,6 +160,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 20,
     partitions: int | None = None,
+    round_counter: list | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: [doc_id, cluster_id]
     where cluster_id = min doc_id reachable through the pair graph.
@@ -186,13 +187,17 @@ def connected_components(
         # count; AQE coalescing helps but the per-round floor remains.)
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
-        return _connected_components_loop(pairs, a_col, b_col, max_iter)
+        return _connected_components_loop(pairs, a_col, b_col, max_iter, round_counter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _connected_components_loop(
-    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int,
+    round_counter: list | None = None,
 ) -> DataFrame:
     # Materialize the incoming pair list ONCE before mirroring it:
     # the union below reads it twice, and candidate generation
@@ -257,6 +262,8 @@ def _connected_components_loop(
         )
         changed = new_labels.where("_changed").limit(1).count()
         labels = new_labels.drop("_changed")
+        if round_counter is not None:
+            round_counter.append(1)
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")

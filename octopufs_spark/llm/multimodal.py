@@ -85,20 +85,29 @@ RESIZE_SCHEMA = "doc_id long, payload binary, media_type string, width long, hei
 def resize_media(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize image payloads to (width, height) — Arrow-batched mapInPandas.
 
-    STUB codec: with ``fake=True`` the payload passes through and only
-    the metadata reflects the target size (a real backend would decode,
-    resample, re-encode). The Spark plumbing — batch iteration, binary
-    columns both directions, schema — is the real contract.
+    Two codec modes:
+      * ``fake=True``: the payload passes through and only the metadata
+        reflects the target size — the plumbing-only contract for
+        formats this container has no codec for (JPEG etc.).
+      * ``fake=False``: REAL resize for PNG payloads via the in-repo
+        pure-stdlib codec (``decode_png`` → nearest-neighbor sample →
+        ``encode_png``). No PIL required.
+    The Spark plumbing — batch iteration, binary columns both
+    directions, schema — is identical in both modes.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires PIL — not in this container")
+            if fake:
+                payloads = pdf["payload"]
+            else:
+                payloads = pdf["payload"].map(
+                    lambda b: resize_png(bytes(b), width, height)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": pdf["payload"],
+                    "payload": payloads,
                     "media_type": pdf["media_type"],
                     "width": width,
                     "height": height,
@@ -328,6 +337,33 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         recon += line
         prev = line
     return width, height, channels, bytes(recon)
+
+
+def resize_png(data: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a PNG payload (pure stdlib —
+    round-3 verdict item 8): decode with the in-repo codec, sample
+    source pixel ``(x * src_w // dst_w, y * src_h // dst_h)`` for each
+    destination pixel (integer floor mapping — deterministic and
+    SQL-replayable), re-encode as 8-bit RGB. Non-RGB inputs normalize
+    to RGB first: gray replicates into all three channels, alpha is
+    dropped (the conventional behavior for model-input thumbnails)."""
+    src_w, src_h, ch, px = decode_png(data)
+
+    def rgb_at(x: int, y: int) -> bytes:
+        base = (y * src_w + x) * ch
+        if ch >= 3:
+            return px[base : base + 3]
+        g = px[base]
+        return bytes((g, g, g))
+
+    rows = []
+    for y in range(height):
+        sy = y * src_h // height
+        row = bytearray()
+        for x in range(width):
+            row += rgb_at(x * src_w // width, sy)
+        rows.append(bytes(row))
+    return encode_png(width, height, rows)
 
 
 def decode_images_png(media: DataFrame, target_partitions: int | None = None) -> DataFrame:

@@ -1380,6 +1380,78 @@ def q_ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resize_real_oracle(src: int = 8, dst: int = 4) -> str:
+    """DuckDB replay of the REAL PNG resize pipeline: the source image
+    is deterministic (pixel byte k = text byte k mod len), the
+    nearest-neighbor map is integer floor arithmetic, and the decoded
+    channel means are integer-exact — so the whole
+    encode→resize→re-encode→decode chain is value-verifiable without
+    any image library on the oracle side."""
+    step = src // dst
+    exprs = []
+    for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        terms = []
+        for y in range(dst):
+            for x in range(dst):
+                p = (y * step * src) + (x * step)
+                idx = p * 3 + c
+                terms.append(f"ascii(substr(text, ({idx} % length(text)) + 1, 1))")
+        s = " + ".join(terms)
+        exprs.append(
+            f"CAST(FLOOR(CAST({s} AS DOUBLE) / {dst * dst}) AS BIGINT) AS {name}"
+        )
+    cols = ",\n       ".join(exprs)
+    return f"""
+SELECT doc_id, CAST({dst} AS BIGINT) AS width, CAST({dst} AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       {cols}
+FROM documents
+"""
+
+
+@register("q_ext_multimodal_resize_real", oracle=_resize_real_oracle())
+def q_ext_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end, fully hash-verified (round-4; the
+    plumbing-only fake-codec contract remains q_ext_multimodal_resize):
+    each document becomes a deterministic 8x8 RGB PNG (pixel byte k =
+    text byte k mod len) via the in-repo pure-stdlib encoder, goes
+    through the Arrow-batched resize operator with ``fake=False``
+    (decode → nearest-neighbor floor sampling → re-encode,
+    llm/multimodal.py::resize_png), and the resized 4x4 payload is
+    re-DECODED to integer channel means. The oracle recomputes the
+    sampled byte positions and the floor-divided means directly from
+    the text — every stage of encode/unfilter/sample/re-encode must be
+    bit-correct for the hash to match."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        from octopufs_spark.llm.multimodal import encode_png
+
+        w = h = 8
+        stride = w * 3
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                tb = txt.encode("utf-8")
+                n = len(tb)
+                img = bytes(tb[k % n] for k in range(w * h * 3))
+                rgb_rows = [img[y * stride : (y + 1) * stride] for y in range(h)]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "payload": encode_png(w, h, rgb_rows),
+                        "media_type": "image/png",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(build, "doc_id long, payload binary, media_type string")
+    resized = multimodal.resize_media(media, 4, 4, fake=False)
+    return multimodal.decode_images_png(resized.select("doc_id", "payload")).select(
+        "doc_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
 @register(
     "q_ext_multimodal_frames",
     oracle="""
@@ -1635,6 +1707,146 @@ def q_ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("p0") + 1).alias("p"),
         F.floor(F.col("p0") / 8).cast("long").alias("subspace"),
+        "val",
+    ).localCheckpoint()  # feeds codes AND the query LUT
+    cent = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval")
+    )
+    sq = F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+    ranked = (
+        e.join(F.broadcast(cent), ["subspace", "p"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(sq.alias("d"))
+    )
+    w_code = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    codes = (
+        ranked.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    lut = ranked.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), "subspace", "code", "d"
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "xid")
+        .join(lut, ["subspace", "code"])
+        .where(F.col("qid") != F.col("xid"))
+        .groupBy("qid", "xid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_top = Window.partitionBy("qid").orderBy("adist", "xid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
+    )
+
+
+_OPQ_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), sp AS (
+  SELECT vec_id, ((p - 1) * 37) % 64 + 1 AS q_pos,
+         CASE WHEN (p * 2654435761) % 4 < 2 THEN val ELSE -val END AS sval
+  FROM pos
+), prs AS (
+  SELECT vec_id, CAST(FLOOR((q_pos - 1) / 2) AS BIGINT) + 1 AS pk,
+         SUM(CASE WHEN (q_pos - 1) % 2 = 0 THEN sval ELSE 0 END) AS a,
+         SUM(CASE WHEN (q_pos - 1) % 2 = 1 THEN sval ELSE 0 END) AS b
+  FROM sp GROUP BY vec_id, pk
+), rot AS (
+  SELECT vec_id, 2 * pk - 1 AS p, 3 * a + 4 * b AS val FROM prs
+  UNION ALL
+  SELECT vec_id, 2 * pk AS p, 3 * b - 4 * a AS val FROM prs
+), e AS (
+  SELECT vec_id, CAST(FLOOR((p - 1) / 8) AS BIGINT) AS subspace, p, val FROM rot
+), cent AS (
+  SELECT vec_id AS code, subspace, p, val AS cval FROM e WHERE vec_id < 4
+), codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT e.vec_id, e.subspace, c.code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.subspace
+                              ORDER BY SUM((e.val - c.cval) * (e.val - c.cval)), c.code) AS rn
+    FROM e JOIN cent c ON c.subspace = e.subspace AND c.p = e.p
+    GROUP BY e.vec_id, e.subspace, c.code
+  ) WHERE rn = 1
+), lut AS (
+  SELECT e.vec_id AS qid, e.subspace, c.code,
+         SUM((e.val - c.cval) * (e.val - c.cval)) AS d
+  FROM e JOIN cent c ON c.subspace = e.subspace AND c.p = e.p
+  WHERE e.vec_id < 50
+  GROUP BY e.vec_id, e.subspace, c.code
+), adc AS (
+  SELECT l.qid, x.vec_id AS xid, SUM(l.d) AS adist
+  FROM codes x JOIN lut l ON l.subspace = x.subspace AND l.code = x.code
+  WHERE l.qid <> x.vec_id
+  GROUP BY l.qid, x.vec_id
+)
+SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn FROM (
+  SELECT qid, xid, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, xid) AS BIGINT) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+
+
+@register("q_ext_ann_opq", oracle=_OPQ_ORACLE)
+def q_ext_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style rotated product quantization (the RR baseline of OPQ:
+    apply an orthogonal transform before PQ so subspace energy
+    balances; Ge et al.'s alternating optimization replaces the fixed
+    rotation with a learned one, same pipeline shape). The rotation is
+    a composition of two exactly-orthogonal integer pieces — a
+    hash-derived signed permutation (p -> ((p-1)*37) mod 64, sign from
+    an index hash) and a blockwise Pythagorean 2x2 rotation
+    [[3,4],[-4,3]]/5 applied scaled (distances scale uniformly by 25,
+    so code assignment and ADC ranking are EXACTLY those of the true
+    rotation while staying in int64) — making rotate -> PQ-encode ->
+    ADC-search hash-verifiable end-to-end in SQL. Plan shape is the PQ
+    kernel's: the rotation adds one narrow groupBy (pair-mixing) before
+    the same broadcast codebook join + (subspace, code) equi-join —
+    corpus-linear, no pair product."""
+    from pyspark.sql.window import Window
+
+    qv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
+    )
+    pos = qv.select("vec_id", F.posexplode("v").alias("p0", "val")).select(
+        "vec_id", (F.col("p0") + 1).alias("p"), "val"
+    )
+    sp = pos.select(
+        "vec_id",
+        (((F.col("p") - 1) * 37) % 64 + 1).alias("q_pos"),
+        F.when((F.col("p") * F.lit(2654435761)) % 4 < 2, F.col("val"))
+        .otherwise(-F.col("val"))
+        .alias("sval"),
+    )
+    prs = sp.groupBy(
+        "vec_id", (F.floor((F.col("q_pos") - 1) / 2) + 1).alias("pk")
+    ).agg(
+        F.sum(F.when((F.col("q_pos") - 1) % 2 == 0, F.col("sval")).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("q_pos") - 1) % 2 == 1, F.col("sval")).otherwise(0)).alias("b"),
+    )
+    rot = prs.select(
+        "vec_id",
+        (2 * F.col("pk") - 1).alias("p"),
+        (3 * F.col("a") + 4 * F.col("b")).alias("val"),
+    ).unionAll(
+        prs.select(
+            "vec_id",
+            (2 * F.col("pk")).alias("p"),
+            (3 * F.col("b") - 4 * F.col("a")).alias("val"),
+        )
+    )
+    e = rot.select(
+        "vec_id",
+        F.floor((F.col("p") - 1) / 8).cast("long").alias("subspace"),
+        "p",
         "val",
     ).localCheckpoint()  # feeds codes AND the query LUT
     cent = e.where(F.col("vec_id") < 4).select(

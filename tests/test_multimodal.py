@@ -201,3 +201,51 @@ def test_decode_png_rejects_garbage():
 
     with _pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+def test_resize_png_pixel_exact():
+    """Nearest-neighbor resize on a known 4x4 checker: dst pixel (x,y)
+    must equal src pixel (x*src//dst, y*src//dst) exactly."""
+    from octopufs_spark.llm.multimodal import decode_png, encode_png, resize_png
+
+    # 4x4 RGB: pixel (x, y) = (16x, 16y, x+y) — distinct per position
+    rows = [
+        bytes(b for x in range(4) for b in (16 * x, 16 * y, x + y)) for y in range(4)
+    ]
+    png = encode_png(4, 4, rows)
+
+    # Downscale 4->2: samples src (0,0), (2,0), (0,2), (2,2)
+    w, h, ch, px = decode_png(resize_png(png, 2, 2))
+    assert (w, h, ch) == (2, 2, 3)
+    expect = bytes(
+        b for y in (0, 2) for x in (0, 2) for b in (16 * x, 16 * y, x + y)
+    )
+    assert px == expect
+
+    # Upscale 2->4 replicates each pixel into a 2x2 block
+    up_w, up_h, up_ch, up_px = decode_png(resize_png(resize_png(png, 2, 2), 4, 4))
+    assert (up_w, up_h, up_ch) == (4, 4, 3)
+    for y in range(4):
+        for x in range(4):
+            got = up_px[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+            assert got == expect[((y // 2) * 2 + (x // 2)) * 3 :][:3]
+
+
+def test_resize_png_gray_promotes_to_rgb():
+    import struct
+    import zlib
+
+    from octopufs_spark.llm.multimodal import _PNG_SIG, _png_chunk, decode_png, resize_png
+
+    gray_rows = [bytes([10, 200]), bytes([0, 255])]
+    raw = b"".join(b"\x00" + r for r in gray_rows)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, ch, px = decode_png(resize_png(png, 2, 2))
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == bytes(v for g in (10, 200, 0, 255) for v in (g, g, g))

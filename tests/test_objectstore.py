@@ -1,20 +1,25 @@
-"""Env-gated object-store integration suite.
+"""Object-store integration suite — runs on two schemes.
 
-The fs toolkit is pyarrow.fs-generic (octopufs_spark/fs/core.py:27),
-but the regular suite only ever exercises ``file://``. This module
-runs the same operations against a REAL remote filesystem when
+The fs toolkit is pyarrow.fs-generic (octopufs_spark/fs/core.py:27).
+This module runs the same operations against a non-``file://``
+filesystem two ways:
 
-    OCTOPUFS_REMOTE_URI=s3://bucket/prefix   (or gs://, hdfs://)
+  * by DEFAULT against ``mock://`` — the in-process object-store
+    stand-in (octopufs_spark/fs/mockfs.py), a pyarrow
+    ``FileSystemHandler`` with a deterministic path mapping that
+    executor processes resolve without coordination — so the scheme
+    dispatch, handler-mediated streams, and distributed copy/move
+    paths run in every CI pass;
+  * against a REAL remote filesystem when
+    ``OCTOPUFS_REMOTE_URI=s3://bucket/prefix`` (or gs://, hdfs://) is
+    set — mirroring the reference's env-gated ACL/HDFS suites
+    (reference: src/test/scala/AclTest.scala:25, gated on a live
+    hdfs://localhost:8020). Credentials come from the environment the
+    respective pyarrow filesystem reads natively (AWS_*,
+    GOOGLE_APPLICATION_CREDENTIALS, HADOOP_CONF_DIR, ...).
 
-is set — mirroring the reference's env-gated ACL/HDFS suites
-(reference: src/test/scala/AclTest.scala:25, gated on a live
-hdfs://localhost:8020). Without the variable the module skips
-cleanly, so the sandbox (no network) stays green while the code path
-exists and runs where credentials do.
-
-Credentials come from the environment the respective pyarrow
-filesystem reads natively (AWS_*, GOOGLE_APPLICATION_CREDENTIALS,
-HADOOP_CONF_DIR, ...).
+Tests that round-trip through Spark's JVM readers (manifest tables)
+need a scheme Hadoop can open and skip on mock://.
 """
 
 from __future__ import annotations
@@ -24,12 +29,13 @@ import uuid
 
 import pytest
 
-REMOTE_BASE = os.environ.get("OCTOPUFS_REMOTE_URI", "").rstrip("/")
+REMOTE_BASE = os.environ.get("OCTOPUFS_REMOTE_URI", "").rstrip("/") or "mock://octopufs-it"
+IS_MOCK = REMOTE_BASE.startswith("mock://")
 
-pytestmark = pytest.mark.skipif(
-    not REMOTE_BASE,
-    reason="set OCTOPUFS_REMOTE_URI=<scheme://bucket/prefix> to run "
-    "object-store integration tests",
+requires_jvm_scheme = pytest.mark.skipif(
+    IS_MOCK,
+    reason="needs a Hadoop-readable scheme (spark.read.parquet) — set "
+    "OCTOPUFS_REMOTE_URI to a real store to run",
 )
 
 
@@ -131,6 +137,7 @@ def test_delta_synchronize_remote(spark, remote_prefix):
     assert missing == [] and extra == []
 
 
+@requires_jvm_scheme
 def test_manifest_commit_remote(spark, remote_prefix):
     """Manifest tables (atomic publish via no-overwrite rename) work on
     the remote store — the property the whole design exists for."""
@@ -140,3 +147,55 @@ def test_manifest_commit_remote(spark, remote_prefix):
     v = write_and_commit(spark.range(0, 50), table)
     assert v == 1
     assert table.read(spark).count() == 50
+
+
+def test_cross_scheme_move_refused(remote_prefix, tmp_path):
+    """Moves are metadata renames within ONE filesystem; a remote->local
+    move must be refused up front (reference: checkIfFsIsTheSame,
+    fs/package.scala:126-129) — the scheme-boundary check the regular
+    file://-only suite can never exercise."""
+    from octopufs_spark.fs.core import check_if_fs_is_the_same
+
+    with pytest.raises(ValueError, match="same filesystem"):
+        check_if_fs_is_the_same(f"{remote_prefix}/a.bin", f"file://{tmp_path}/a.bin")
+    # same scheme on both sides passes
+    check_if_fs_is_the_same(f"{remote_prefix}/a.bin", f"{remote_prefix}/b.bin")
+
+
+def test_distributed_copy_retry_exhaustion_remote(spark, remote_prefix):
+    """A copy whose source never exists fails all 5 attempts and raises
+    — the retry loop must behave identically on a non-file:// scheme
+    (reference: DistributedExecution.scala:72-83)."""
+    from octopufs_spark.fs.distributed import copy_files
+    from octopufs_spark.fs.model import Paths
+
+    with pytest.raises(RuntimeError, match="distributed copy failed"):
+        copy_files(
+            spark,
+            [Paths(f"{remote_prefix}/nope/missing.bin", f"{remote_prefix}/trg/x.bin")],
+        )
+
+
+def test_mock_partial_failure_merges_with_retry(spark, remote_prefix):
+    """One good file + one missing file: the good copy lands, the bad
+    one exhausts retries and raises — partial results must not mask the
+    failure (reference merges partial successes before retrying)."""
+    from octopufs_spark.fs.core import list_tree
+    from octopufs_spark.fs.distributed import copy_files
+    from octopufs_spark.fs.model import Paths
+
+    _put(f"{remote_prefix}/src/good.bin", b"ok")
+    with pytest.raises(RuntimeError, match="distributed copy failed"):
+        copy_files(
+            spark,
+            [
+                Paths(f"{remote_prefix}/src/good.bin", f"{remote_prefix}/trg/good.bin"),
+                Paths(f"{remote_prefix}/src/gone.bin", f"{remote_prefix}/trg/gone.bin"),
+            ],
+        )
+    copied = {
+        e.path.rsplit("/", 1)[-1]
+        for e in list_tree(f"{remote_prefix}/trg")
+        if not e.is_dir
+    }
+    assert copied == {"good.bin"}

@@ -3,10 +3,21 @@ bench fixture and under deliberate skew, so SCALE.md's claims carry
 measurements instead of assertions.
 
     python tools/scale_probe.py [n_events_millions]
+    python tools/scale_probe.py --deep
 
 Generates data with spark.range (no fixture writes), times each probe
 with one warm-up, and prints a markdown table row per probe. Used to
 refresh the "Measured" notes in SCALE.md per round.
+
+``--deep`` runs the 100x probes for the two superlinear-risk
+operators (round-3 verdict item 10): connected components (round
+count must track log(diameter), never edge count) and the banded
+MinHash join (candidate pairs must grow ~linearly with the corpus —
+bucket-bounded, never n^2). The 20M-edge CC probe materializes the
+edge list in one JVM, which the 8g default driver heap can't hold —
+run it as ``SPARK_GRAFT_DRIVER_MEM=48g python tools/scale_probe.py
+--deep`` (a real cluster spreads the same working set across
+executors).
 """
 
 from __future__ import annotations
@@ -32,7 +43,97 @@ def timed(label, build, execute=None):
     return secs
 
 
+def deep_main() -> None:
+    """100x probes for the two superlinear-risk families."""
+    spark = get_spark("scale_probe_deep")
+    spark.sparkContext.setLogLevel("ERROR")
+    from octopufs_spark.llm.dedup import connected_components, minhash_near_dup_pairs
+
+    print("| probe | result | time |\n|---|---|---|")
+
+    # -- connected components ------------------------------------------------
+    # Claim under test: cost = rounds x per-round shuffles, and rounds
+    # track log2(diameter) via pointer doubling — NOT edge count. Probe
+    # (a) holds diameter at 10 and scales edges 10x (1.8M -> 18M):
+    # rounds must stay put; probe (b) holds edges at 1.8M and deepens
+    # chains 10x (diameter 100): rounds may only grow ~log2.
+    def cc_probe(label, n_ids, chain_len):
+        edges = (
+            spark.range(n_ids)
+            .where((F.col("id") % chain_len) != chain_len - 1)
+            .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+            .localCheckpoint()
+        )
+        n_edges = edges.count()
+        rounds: list = []
+        t0 = time.perf_counter()
+        out = connected_components(edges, partitions=32, round_counter=rounds)
+        n_comp = out.select("cluster_id").distinct().count()
+        secs = time.perf_counter() - t0
+        assert n_comp == n_ids // chain_len, (n_comp, n_ids, chain_len)
+        print(
+            f"| CC {label}: {n_edges:,} edges, diameter {chain_len - 1} "
+            f"| {len(rounds)} rounds, {n_comp:,} components | {secs:.1f} s |",
+            flush=True,
+        )
+        return len(rounds)
+
+    r_base = cc_probe("base", 2_000_000, 10)
+    r_wide = cc_probe("10x edges", 20_000_000, 10)
+    r_deep = cc_probe("10x diameter", 2_000_000, 100)
+    assert r_wide == r_base, "edge growth must not change round count"
+    assert r_deep <= 3 * r_base, "diameter growth must stay ~log2, not linear"
+
+    # -- banded MinHash join -------------------------------------------------
+    # Claim under test: candidate pairs come from per-bucket joins, so
+    # with a fixed near-dup rate the pair count (and cost) grows
+    # ~linearly in docs — a quadratic blow-up here is exactly the
+    # failure the banding exists to prevent. Corpus: distinct word-soup
+    # docs; every 50th doc is an exact clone of its neighbor.
+    def synth_docs(n):
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(
+                F.lit("w"),
+                ((F.xxhash64(F.col("base_id") * 31 + i) % 50_000 + 50_000) % 50_000).cast(
+                    "string"
+                ),
+            ),
+        )
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                # clone plant: doc 50k+1 duplicates doc 50k's text
+                F.when(
+                    (F.col("id") % 50 == 1), (F.col("id") - 1)
+                ).otherwise(F.col("id")).alias("base_id"),
+            )
+            .select("doc_id", F.array_join(words, " ").alias("text"))
+            .localCheckpoint()
+        )
+
+    results = {}
+    for n in (30_000, 120_000):
+        docs = synth_docs(n)
+        t0 = time.perf_counter()
+        n_pairs = minhash_near_dup_pairs(docs, threshold=0.3).count()
+        secs = time.perf_counter() - t0
+        results[n] = n_pairs
+        print(
+            f"| MinHash banded join: {n:,} docs (2% planted clones) "
+            f"| {n_pairs:,} candidate pairs | {secs:.1f} s |",
+            flush=True,
+        )
+    growth = results[120_000] / max(results[30_000], 1)
+    print(f"| MinHash pair growth at 4x docs | {growth:.2f}x (quadratic would be 16x) | — |")
+    assert growth < 8, f"candidate pairs grew {growth:.1f}x at 4x docs — bucket bound broken"
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--deep":
+        deep_main()
+        return
     mm = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(mm * 1_000_000)
     spark = get_spark("scale_probe")
