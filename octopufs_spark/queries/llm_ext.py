@@ -1794,6 +1794,187 @@ SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn FROM (
 """
 
 
+_OPQ_MULTS = (37, 21, 45, 29)  # odd => each is a bijection mod 64
+
+_OPQ_TRAINED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), cand AS (
+  SELECT unnest([0, 1, 2, 3]) AS j, unnest([{", ".join(map(str, _OPQ_MULTS))}]) AS mult
+), sp AS (
+  SELECT c.j, vec_id, ((p - 1) * c.mult) % 64 + 1 AS q_pos,
+         CASE WHEN (p * 2654435761 + c.j * 97) % 4 < 2 THEN val ELSE -val END AS sval
+  FROM pos CROSS JOIN cand c
+), prs AS (
+  SELECT j, vec_id, CAST(FLOOR((q_pos - 1) / 2) AS BIGINT) + 1 AS pk,
+         SUM(CASE WHEN (q_pos - 1) % 2 = 0 THEN sval ELSE 0 END) AS a,
+         SUM(CASE WHEN (q_pos - 1) % 2 = 1 THEN sval ELSE 0 END) AS b
+  FROM sp GROUP BY j, vec_id, pk
+), rot AS (
+  SELECT j, vec_id, 2 * pk - 1 AS p, 3 * a + 4 * b AS val FROM prs
+  UNION ALL
+  SELECT j, vec_id, 2 * pk AS p, 3 * b - 4 * a AS val FROM prs
+), e AS (
+  SELECT j, vec_id, CAST(FLOOR((p - 1) / 8) AS BIGINT) AS subspace, p, val FROM rot
+), cent AS (
+  SELECT j, vec_id AS code, subspace, p, val AS cval FROM e WHERE vec_id < 4
+), dist AS (
+  SELECT e.j, e.vec_id, e.subspace, c.code,
+         SUM((e.val - c.cval) * (e.val - c.cval)) AS d
+  FROM e JOIN cent c ON c.j = e.j AND c.subspace = e.subspace AND c.p = e.p
+  GROUP BY e.j, e.vec_id, e.subspace, c.code
+), best AS (
+  SELECT j, vec_id, subspace, MIN(d) AS bd FROM dist GROUP BY j, vec_id, subspace
+), errs AS (
+  SELECT j, SUM(bd) AS total_err FROM best GROUP BY j
+), chosen AS (
+  SELECT j FROM (
+    SELECT j, ROW_NUMBER() OVER (ORDER BY total_err, j) AS rn FROM errs
+  ) WHERE rn = 1
+), codes AS (
+  SELECT d.vec_id, d.subspace, d.code FROM (
+    SELECT dist.*, ROW_NUMBER() OVER (PARTITION BY j, vec_id, subspace
+                                      ORDER BY d, code) AS rn
+    FROM dist
+  ) d JOIN chosen ch ON d.j = ch.j WHERE d.rn = 1
+), lut AS (
+  SELECT d.vec_id AS qid, d.subspace, d.code, d.d
+  FROM dist d JOIN chosen ch ON d.j = ch.j
+  WHERE d.vec_id < 50
+), adc AS (
+  SELECT l.qid, x.vec_id AS xid, SUM(l.d) AS adist
+  FROM codes x JOIN lut l ON l.subspace = x.subspace AND l.code = x.code
+  WHERE l.qid <> x.vec_id
+  GROUP BY l.qid, x.vec_id
+)
+SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn,
+       CAST((SELECT j FROM chosen) AS BIGINT) AS rot
+FROM (
+  SELECT qid, xid, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, xid) AS BIGINT) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+
+
+@register("q_ext_ann_opq_trained", oracle=_OPQ_TRAINED_ORACLE)
+def q_ext_ann_opq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED OPQ: the rotation is OPTIMIZED, not fixed — coordinate
+    descent over a discrete family of 4 exactly-orthogonal integer
+    rotations (signed permutations with multipliers 37/21/45/29
+    composed with the Pythagorean block mix; the family is closed
+    under composition, so every candidate is a true orthogonal
+    transform). Training = pick the candidate minimizing TOTAL PQ
+    quantization error over the corpus (OPQ's objective, restricted to
+    a discrete search space so the argmin — and therefore the trained
+    index — replays exactly in SQL); then encode and ADC-search under
+    the winner. The chosen rotation id is exposed in the output
+    (`rot`), so the training outcome itself is hash-verified, not just
+    the search results. Plan: the candidate dimension rides the same
+    narrow exploded rows (4x a bounded pipeline, corpus-linear); the
+    err->argmin table is 4 rows; everything downstream joins against
+    it lazily — no driver-side collect of the training result."""
+    from pyspark.sql.window import Window
+
+    qv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
+    )
+    pos = qv.select("vec_id", F.posexplode("v").alias("p0", "val")).select(
+        "vec_id", (F.col("p0") + 1).alias("p"), "val"
+    )
+    cand = spark.createDataFrame(
+        [(j, m) for j, m in enumerate(_OPQ_MULTS)], "j long, mult long"
+    )
+    sp = pos.crossJoin(F.broadcast(cand)).select(
+        "j",
+        "vec_id",
+        (((F.col("p") - 1) * F.col("mult")) % 64 + 1).alias("q_pos"),
+        F.when(
+            (F.col("p") * F.lit(2654435761) + F.col("j") * 97) % 4 < 2, F.col("val")
+        )
+        .otherwise(-F.col("val"))
+        .alias("sval"),
+    )
+    prs = sp.groupBy(
+        "j", "vec_id", (F.floor((F.col("q_pos") - 1) / 2) + 1).alias("pk")
+    ).agg(
+        F.sum(F.when((F.col("q_pos") - 1) % 2 == 0, F.col("sval")).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("q_pos") - 1) % 2 == 1, F.col("sval")).otherwise(0)).alias("b"),
+    )
+    rot = prs.select(
+        "j",
+        "vec_id",
+        (2 * F.col("pk") - 1).alias("p"),
+        (3 * F.col("a") + 4 * F.col("b")).alias("val"),
+    ).unionAll(
+        prs.select(
+            "j",
+            "vec_id",
+            (2 * F.col("pk")).alias("p"),
+            (3 * F.col("b") - 4 * F.col("a")).alias("val"),
+        )
+    )
+    e = rot.select(
+        "j",
+        "vec_id",
+        F.floor((F.col("p") - 1) / 8).cast("long").alias("subspace"),
+        "p",
+        "val",
+    )
+    cent = e.where(F.col("vec_id") < 4).select(
+        "j", F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval")
+    )
+    dist = (
+        e.join(F.broadcast(cent), ["j", "subspace", "p"])
+        .groupBy("j", "vec_id", "subspace", "code")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d")
+        )
+        .localCheckpoint()  # feeds training errs, codes, AND the LUT
+    )
+    errs = (
+        dist.groupBy("j", "vec_id", "subspace")
+        .agg(F.min("d").alias("bd"))
+        .groupBy("j")
+        .agg(F.sum("bd").alias("total_err"))
+    )
+    w_err = Window.orderBy("total_err", "j")
+    chosen = (
+        errs.withColumn("rn", F.row_number().over(w_err))
+        .where(F.col("rn") == 1)
+        .select("j")
+    )
+    picked = dist.join(F.broadcast(chosen), "j")
+    w_code = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    codes = (
+        picked.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    lut = picked.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), "subspace", "code", "d"
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "xid")
+        .join(lut, ["subspace", "code"])
+        .where(F.col("qid") != F.col("xid"))
+        .groupBy("qid", "xid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_top = Window.partitionBy("qid").orderBy("adist", "xid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
+        .crossJoin(F.broadcast(chosen.select(F.col("j").cast("long").alias("rot"))))
+    )
+
+
 @register("q_ext_ann_opq", oracle=_OPQ_ORACLE)
 def q_ext_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-style rotated product quantization (the RR baseline of OPQ:
