@@ -164,3 +164,39 @@ def test_png_roundtrip_property(w, h, seed, data):
     dw, dh, ch, px = decode_png(encode_png(w, h, rows, filters))
     assert (dw, dh, ch) == (w, h, 3)
     assert px == b"".join(rows)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=8),
+    dw=st.integers(min_value=1, max_value=12),
+    dh=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=1 << 30),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_png_property(w, h, dw, dh, seed):
+    """resize_png implements exact nearest-neighbor floor sampling for
+    ANY source/destination shape: dst pixel (x, y) == src pixel
+    (x*w//dw, y*h//dh). Resizing to the same shape is the identity."""
+    import random as _random
+
+    from octopufs_spark.llm.multimodal import decode_png, encode_png, resize_png
+
+    rng = _random.Random(seed)
+    rows = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+    png = encode_png(w, h, rows)
+    src = b"".join(rows)
+
+    rw, rh, ch, px = decode_png(resize_png(png, dw, dh))
+    assert (rw, rh, ch) == (dw, dh, 3)
+    for y in range(dh):
+        sy = y * h // dh
+        for x in range(dw):
+            sx = x * w // dw
+            assert (
+                px[(y * dw + x) * 3 : (y * dw + x) * 3 + 3]
+                == src[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+            )
+
+    same = decode_png(resize_png(png, w, h))[3]
+    assert same == src
