@@ -1794,6 +1794,119 @@ SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn FROM (
 """
 
 
+def _bpe_oracle(rounds: int = 4) -> str:
+    """DuckDB replay of the distributed BPE merge training: identical
+    word-frequency table, identical pair counts, identical
+    (count DESC, left, right) argmax per round, identical greedy merge
+    via iterated leftmost space-delimited replace."""
+    ctes = [
+        """w0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt
+  FROM (
+    SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms, freq FROM {prev}
+  ), unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  WHERE len(syms) > 1
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+  SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+  SELECT replace(replace(replace(s,
+           ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+           ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+           ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s,
+         freq
+  FROM {prev} CROSS JOIN b{r} b
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@register("q_ext_bpe_train", oracle=_bpe_oracle())
+def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (4 unrolled merge rounds,
+    hash-verified): build the word-frequency table (one corpus pass —
+    after this everything is vocabulary-bounded, the property that
+    makes BPE training tractable at 100 TB), then per round (a) count
+    adjacent symbol pairs weighted by word frequency, (b) take the
+    argmax pair (count DESC, then lexicographic — the standard
+    deterministic tie-break), (c) apply the merge to every word with a
+    greedy leftmost left-to-right replace (space-delimited symbol
+    strings; the replace is iterated 3x because a consumed separator
+    can hide an immediately-adjacent following occurrence — the
+    fixpoint equals the greedy merge). The output is the trained
+    artifact itself: the merge-rule table (round, left, right, count),
+    which the oracle re-derives end-to-end. Per round: one
+    vocab-sized aggregation + a broadcast of the single best-pair row;
+    the corpus is touched exactly once."""
+    tokens = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    words = tokens.groupBy("w").agg(F.count("*").alias("freq")).select(
+        F.concat(F.lit(" "), F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("s"),
+        "freq",
+    ).localCheckpoint()
+
+    bests = []
+    for r in range(1, 5):
+        syms = F.expr("filter(split(s, ' '), x -> x <> '')")
+        pairs = (
+            words.select(syms.alias("syms"), "freq")
+            .where(F.size("syms") > 1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint()
+        )  # 1 row; eager so each round's rule is fixed before the next
+        bests.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+        merged = words.crossJoin(F.broadcast(best)).select(
+            F.replace(F.replace(F.replace(F.col("s"), pat, rep), pat, rep), pat, rep).alias("s"),
+            "freq",
+        )
+        words = merged.localCheckpoint()
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 _OPQ_MULTS = (37, 21, 45, 29)  # odd => each is a bijection mod 64
 
 _OPQ_TRAINED_ORACLE = f"""
