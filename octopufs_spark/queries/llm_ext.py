@@ -1840,33 +1840,22 @@ def _bpe_oracle(rounds: int = 4) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
-@register("q_ext_bpe_train", oracle=_bpe_oracle())
-def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer TRAINING (4 unrolled merge rounds,
-    hash-verified): build the word-frequency table (one corpus pass —
-    after this everything is vocabulary-bounded, the property that
-    makes BPE training tractable at 100 TB), then per round (a) count
-    adjacent symbol pairs weighted by word frequency, (b) take the
-    argmax pair (count DESC, then lexicographic — the standard
-    deterministic tie-break), (c) apply the merge to every word with a
-    greedy leftmost left-to-right replace (space-delimited symbol
-    strings; the replace is iterated 3x because a consumed separator
-    can hide an immediately-adjacent following occurrence — the
-    fixpoint equals the greedy merge). The output is the trained
-    artifact itself: the merge-rule table (round, left, right, count),
-    which the oracle re-derives end-to-end. Per round: one
+def _bpe_train_frames(spark: SparkSession, sf_dir: str, rounds: int = 4):
+    """Shared BPE training loop: returns (per-round best-rule frames,
+    final word -> merged-symbol-string mapping). Per round: one
     vocab-sized aggregation + a broadcast of the single best-pair row;
-    the corpus is touched exactly once."""
+    the corpus is touched exactly once (the initial word-freq pass)."""
     tokens = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("w")
     )
     words = tokens.groupBy("w").agg(F.count("*").alias("freq")).select(
+        "w",
         F.concat(F.lit(" "), F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("s"),
         "freq",
     ).localCheckpoint()
 
     bests = []
-    for r in range(1, 5):
+    for r in range(1, rounds + 1):
         syms = F.expr("filter(split(s, ' '), x -> x <> '')")
         pairs = (
             words.select(syms.alias("syms"), "freq")
@@ -1897,14 +1886,88 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
         merged = words.crossJoin(F.broadcast(best)).select(
+            "w",
             F.replace(F.replace(F.replace(F.col("s"), pat, rep), pat, rep), pat, rep).alias("s"),
             "freq",
         )
         words = merged.localCheckpoint()
+    return bests, words.select("w", "s")
+
+
+@register("q_ext_bpe_train", oracle=_bpe_oracle())
+def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (4 unrolled merge rounds,
+    hash-verified): build the word-frequency table (one corpus pass —
+    after this everything is vocabulary-bounded, the property that
+    makes BPE training tractable at 100 TB), then per round (a) count
+    adjacent symbol pairs weighted by word frequency, (b) take the
+    argmax pair (count DESC, then lexicographic — the standard
+    deterministic tie-break), (c) apply the merge to every word with a
+    greedy leftmost left-to-right replace (space-delimited symbol
+    strings; the replace is iterated 3x because a consumed separator
+    can hide an immediately-adjacent following occurrence — the
+    fixpoint equals the greedy merge). The output is the trained
+    artifact itself: the merge-rule table (round, left, right, count),
+    which the oracle re-derives end-to-end."""
+    bests, _ = _bpe_train_frames(spark, sf_dir, rounds=4)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+def _bpe_encode_oracle(rounds: int = 4) -> str:
+    """DuckDB replay of tokenize-with-the-trained-tokenizer: rerun the
+    training CTE chain (with the word key carried through), then join
+    each document's words against the final word -> symbols mapping and
+    count BPE tokens per document."""
+    base = _bpe_oracle(rounds)
+    # reuse the training CTE chain but carry `w` through every stage
+    body = base[len("WITH ") : base.index("\nSELECT CAST(1")]
+    body = body.replace(
+        "w0 AS (\n  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,",
+        "w0 AS (\n  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,",
+    )
+    for r in range(1, rounds + 1):
+        body = body.replace(
+            f"w{r} AS (\n  SELECT replace(replace(replace(s,",
+            f"w{r} AS (\n  SELECT w, replace(replace(replace(s,",
+        )
+    return f"""WITH {body},
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(list_filter(string_split(m.s, ' '), x -> x <> ''))) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN w{rounds} m ON dw.w = m.w
+GROUP BY dw.doc_id
+"""
+
+
+@register("q_ext_bpe_encode", oracle=_bpe_encode_oracle())
+def q_ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus WITH the trained BPE tokenizer (companion to
+    q_ext_bpe_train): after the 4 merge rounds, every distinct word has
+    a final symbol decomposition; each document's BPE token count is a
+    broadcast join of its words against that vocabulary-sized mapping —
+    the exact shape production tokenization has at 100 TB (corpus
+    streams once; the trained vocab table broadcasts). Output
+    (doc_id, n_words, n_bpe_tokens), hash-verified via a full SQL
+    re-derivation of training + encoding."""
+    _, mapping = _bpe_train_frames(spark, sf_dir, rounds=4)
+    n_syms = F.size(F.expr("filter(split(s, ' '), x -> x <> '')"))
+    dw = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        dw.join(F.broadcast(mapping), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(n_syms).cast("long").alias("n_bpe_tokens"),
+        )
+    )
 
 
 _OPQ_MULTS = (37, 21, 45, 29)  # odd => each is a bijection mod 64
