@@ -206,3 +206,33 @@ def test_stream_restart_resumes_from_committed_offset(spark, tmp_path):
     ).collect()[0]
     # exactly-once across the restart: all 600 rows, no duplicates
     assert (final["n"], final["d"], final["mx"]) == (600, 600, 599)
+
+
+def test_available_now_drains_per_admission_control(spark, tmp_path):
+    """Trigger.AvailableNow snapshots latestOffset ONCE as the terminal
+    offset, so the reader's rows_per_batch acts as admission control:
+    a rate-limited reader drains one increment and terminates; with
+    rows_per_batch >= total one AvailableNow run drains the whole
+    source. Pins the semantics a user relies on for catch-up jobs."""
+    register_synthgen(spark)
+
+    def run(name, rows_per_batch):
+        stream = (
+            spark.readStream.format("synthgen")
+            .option("total", 300)
+            .option("rows_per_batch", rows_per_batch)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / name))
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return spark.sql(f"SELECT COUNT(*) FROM {name}").collect()[0][0]
+
+    assert run("av_limited", 100) == 100   # one admission increment
+    assert run("av_full", 300) == 300      # full drain in one run
