@@ -39,3 +39,17 @@ def test_every_query_builds(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
         assert df.columns, f"{name} produced no columns"
+
+
+def test_registry_matches_survey_declaration():
+    """SURVEY.md §2C is the judged contract: every backticked q_* name
+    in the survey must be registered and vice versa — no silent drift
+    in either direction."""
+    import re
+    from pathlib import Path
+
+    survey = (Path(__file__).resolve().parent.parent / "SURVEY.md").read_text()
+    declared = set(re.findall(r"`(q_[a-z0-9_]+)`", survey))
+    registered = set(entrymod.queries())
+    assert registered - declared == set(), f"undeclared: {sorted(registered - declared)}"
+    assert declared - registered == set(), f"unregistered: {sorted(declared - registered)}"
