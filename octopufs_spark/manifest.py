@@ -231,6 +231,122 @@ class ManifestTable:
                 continue  # someone committed our version number: re-resolve
         raise RuntimeError(f"lost the commit race 5 times on {self.root}")
 
+    # ---------- data skipping (zone-map stats) ----------
+
+    def collect_file_stats(self, rel_files: list[str]) -> dict:
+        """Per-file column min/max + row counts from the parquet
+        footers — the zone-map metadata Delta/Iceberg record at commit
+        time so selective readers can prune files without opening them.
+        Values are JSON-canonical (dates/timestamps as ISO strings,
+        which order lexicographically; binary stats utf-8 decoded or
+        dropped); a column whose stats any row group lacks is omitted
+        for that file (unknown => never pruned on)."""
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        def canon(v):
+            if isinstance(v, bytes):
+                try:
+                    return v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            if isinstance(v, (int, float, str, bool)):
+                return v
+            return None
+
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            try:
+                md = pq.read_metadata(f"{self.root_path}/{rel}", filesystem=self.fs)
+            except Exception:
+                continue  # unreadable footer: file simply has no stats
+            mins: dict = {}
+            maxs: dict = {}
+            dead: set[str] = set()
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name in dead:
+                        continue
+                    if st is None or not st.has_min_max:
+                        dead.add(name)
+                        continue
+                    mn, mx = canon(st.min), canon(st.max)
+                    if mn is None or mx is None:
+                        dead.add(name)
+                        continue
+                    mins[name] = mn if name not in mins else min(mins[name], mn)
+                    maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            for name in dead:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+            out[rel] = {"rows": md.num_rows, "min": mins, "max": maxs}
+        return out
+
+    @staticmethod
+    def _file_may_match(stats: dict, predicates: list[tuple]) -> bool:
+        """Interval check: can a file with these min/max bounds contain
+        a row satisfying ALL predicates? Unknown stats => True."""
+        import datetime as _dt
+
+        for col, op, val in predicates:
+            mins, maxs = stats.get("min", {}), stats.get("max", {})
+            if col not in mins or col not in maxs:
+                continue  # no bound on this column: cannot prune
+            if isinstance(val, (_dt.date, _dt.datetime)):
+                val = val.isoformat()
+            lo, hi = mins[col], maxs[col]
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op in ("<", "lt") and not (lo < val):
+                return False
+            if op in ("<=", "le") and not (lo <= val):
+                return False
+            if op in (">", "gt") and not (hi > val):
+                return False
+            if op in (">=", "ge") and not (hi >= val):
+                return False
+        return True
+
+    def prune_plan(
+        self, predicates: list[tuple], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files to read, files skipped) for conjunctive predicates
+        ``[(col, op, value), ...]`` with op in = < <= > >= — resolved
+        purely from the committed manifest's zone-map stats, no data
+        file is opened. Files without stats are always read
+        (pruning is an optimization, never a correctness filter)."""
+        m = self.read_manifest(version)
+        stats = m.meta.get("file_stats", {})
+        keep = [
+            f
+            for f in m.files
+            if f not in stats or self._file_may_match(stats[f], predicates)
+        ]
+        return keep, len(m.files) - len(keep)
+
+    def read_pruned(
+        self, spark: SparkSession, predicates: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read that opens ONLY files whose zone-map interval
+        can satisfy the predicates. The caller still applies the actual
+        row filter — pruning eliminates files, not rows. At 100 TB this
+        is the difference between planning a scan over every file and
+        over the handful a selective predicate touches."""
+        keep, _ = self.prune_plan(predicates, version)
+        if not keep:
+            # preserve schema with an empty, zero-file-cost scan
+            m = self.read_manifest(version)
+            first = f"{self.root}/{m.files[0]}"
+            return spark.read.parquet(first).limit(0)
+        return spark.read.parquet(*[f"{self.root}/{p}" for p in keep])
+
     # ---------- maintenance ----------
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
@@ -262,17 +378,41 @@ class ManifestTable:
 
 
 def write_and_commit(
-    df: DataFrame, table: ManifestTable, mode: str = "overwrite", meta: dict | None = None
+    df: DataFrame,
+    table: ManifestTable,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+    stats: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` to a fresh staging directory under the table root,
     then publish it as one atomic snapshot commit. The staging dir name
     is unique per attempt, so a crashed writer leaves only invisible
-    orphans for ``vacuum``."""
+    orphans for ``vacuum``. With ``stats=True`` the commit records
+    per-file column min/max zone maps in the manifest meta
+    (``file_stats``) so ``read_pruned`` can skip files; with
+    ``partition_by`` the staged write is hive-partitioned (the
+    partition dirs ride along in the committed relative paths)."""
     staged = f"data-{uuid.uuid4().hex[:12]}"
-    df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{table.root}/{staged}")
+    meta = dict(meta or {})
+    if stats:
+        meta["file_stats"] = table.collect_file_stats(table._data_files_under(staged))
     if mode == "overwrite":
         return table.commit_overwrite(staged, meta=meta)
     if mode == "append":
+        if stats:
+            # carry the parent snapshot's zone maps forward; a racing
+            # writer's files merely stay unpruned (stats are an
+            # optimization, never a correctness filter)
+            try:
+                parent_stats = table.read_manifest().meta.get("file_stats", {})
+            except FileNotFoundError:
+                parent_stats = {}
+            meta["file_stats"] = {**parent_stats, **meta["file_stats"]}
 
         def build(parent):
             base = parent.files if parent else []

@@ -1008,6 +1008,60 @@ def q_ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_manifest_skipping",
+    oracle="""
+SELECT CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders) AS BIGINT) AS n_files_total,
+       CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders
+             WHERE o_orderdate >= DATE '1996-06-01') AS BIGINT) AS n_files_read,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate >= DATE '1996-06-01') AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE o_orderdate >= DATE '1996-06-01') AS DOUBLE) AS total_price
+""",
+)
+def q_ext_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map DATA SKIPPING on manifest tables, value-verified
+    end-to-end: orders are committed one file per order-year
+    (repartition on the year key + hive partitioning makes the layout
+    deterministic) with per-file column min/max recorded in the
+    manifest at commit time (manifest.py::collect_file_stats — the
+    Delta/Iceberg stats model); a selective date predicate then plans
+    through ``prune_plan``/``read_pruned``, which opens ONLY files
+    whose [min,max] interval can match. The oracle recomputes every
+    output from the base table: n_files_read = the distinct years
+    intersecting the predicate, so if pruning silently stopped working
+    (all files read) or over-pruned (rows lost), the hash flips. At
+    100 TB this is the difference between planning over every file and
+    over the handful a predicate touches."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_skip_")
+    table = ManifestTable(root)
+    staged = o.withColumn("yr", F.year("o_orderdate")).repartition("yr")
+    write_and_commit(staged, table, stats=True, partition_by=["yr"])
+
+    cutoff = "1996-06-01"
+    keep, skipped = table.prune_plan([("o_orderdate", ">=", cutoff)])
+    pruned = table.read_pruned(spark, [("o_orderdate", ">=", cutoff)]).where(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("date")
+    )
+    agg = pruned.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
+    return agg.select(
+        F.lit(len(keep) + skipped).cast("long").alias("n_files_total"),
+        F.lit(len(keep)).cast("long").alias("n_files_read"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "total_price",
+    )
+
+
+@register(
     "q_scalar_url",
     oracle="""
 SELECT c_custkey,

@@ -379,3 +379,72 @@ def test_merge_scd2_chained_batches(spark):
     for (k, _), (_, vt) in rows.items():
         open_per_key[k] = open_per_key.get(k, 0) + (vt is None)
     assert all(v == 1 for v in open_per_key.values())
+
+
+def test_commit_records_zone_map_stats(spark, table):
+    """stats=True commits per-file column min/max from the parquet
+    footers into the manifest meta."""
+    from octopufs_spark.manifest import write_and_commit
+
+    df = spark.range(0, 100).withColumn("bucket", F.col("id") % 4).repartition("bucket")
+    write_and_commit(df, table, stats=True, partition_by=["bucket"])
+    m = table.read_manifest()
+    stats = m.meta["file_stats"]
+    assert set(stats) == set(m.files) and len(m.files) == 4
+    for f, s in stats.items():
+        assert s["rows"] == 25
+        assert 0 <= s["min"]["id"] <= s["max"]["id"] <= 99
+
+
+def test_read_pruned_skips_files_and_matches_full_scan(spark, table):
+    """Pruning must (a) actually skip files the predicate can't touch
+    and (b) return exactly the rows a full scan + filter returns."""
+    from octopufs_spark.manifest import write_and_commit
+
+    df = (
+        spark.range(0, 1000)
+        .withColumn("bucket", (F.col("id") / 250).cast("int"))
+        .repartition("bucket")
+    )
+    write_and_commit(df, table, stats=True, partition_by=["bucket"])
+    preds = [("id", ">=", 700)]
+    keep, skipped = table.prune_plan(preds)
+    assert skipped >= 2 and len(keep) + skipped == 4  # ids<500 files pruned
+    pruned = table.read_pruned(spark, preds).where(F.col("id") >= 700)
+    full = table.read(spark).where(F.col("id") >= 700)
+    assert pruned.count() == full.count() == 300
+    assert pruned.agg(F.sum("id")).collect()[0][0] == full.agg(F.sum("id")).collect()[0][0]
+    # equality predicate prunes to a single file
+    keep_eq, skipped_eq = table.prune_plan([("id", "=", 10)])
+    assert len(keep_eq) == 1 and skipped_eq == 3
+
+
+def test_pruning_keeps_files_without_stats(spark, table):
+    """A snapshot committed WITHOUT stats never prunes (optimization,
+    not a correctness filter)."""
+    from octopufs_spark.manifest import write_and_commit
+
+    write_and_commit(spark.range(0, 100), table)  # stats=False
+    keep, skipped = table.prune_plan([("id", ">=", 1_000_000)])
+    assert skipped == 0 and keep == table.read_manifest().files
+    # and an impossible predicate still returns zero rows via the filter
+    out = table.read_pruned(spark, [("id", ">=", 1_000_000)]).where(
+        F.col("id") >= 1_000_000
+    )
+    assert out.count() == 0
+
+
+def test_append_merges_parent_zone_maps(spark, table):
+    """Appending with stats carries the parent's file stats forward so
+    old files stay prunable."""
+    from octopufs_spark.manifest import write_and_commit
+
+    write_and_commit(spark.range(0, 100), table, stats=True)
+    write_and_commit(spark.range(1000, 1100), table, mode="append", stats=True)
+    m = table.read_manifest()
+    assert set(m.meta["file_stats"]) == set(m.files)
+    keep, skipped = table.prune_plan([("id", ">=", 1000)])
+    assert skipped >= 1  # the v1 files (ids < 100) are pruned
+    assert table.read_pruned(spark, [("id", ">=", 1000)]).where(
+        F.col("id") >= 1000
+    ).count() == 100
