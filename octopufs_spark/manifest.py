@@ -289,6 +289,65 @@ class ManifestTable:
             out[rel] = {"rows": md.num_rows, "min": mins, "max": maxs}
         return out
 
+    def collect_bloom_index(
+        self, rel_files: list[str], column: str, bits_per_value: int = 16, k: int = 4
+    ) -> dict:
+        """Per-file Bloom filter over ``column`` — the point-lookup
+        complement to zone maps: a hash-distributed key (e.g. a
+        customer id bucketed by mod) spans each file's full [min,max]
+        range, so interval pruning keeps everything, while a Bloom
+        probe prunes every file that cannot contain the key (modulo a
+        designed-in false-positive rate; FPs only cost an extra file
+        read, never correctness). Hashes are salted zlib.crc32 — fast,
+        stable across processes, identical at read time. Unlike
+        ``collect_file_stats`` (footers only) this reads the indexed
+        column once at commit time — the indexing cost Delta's Bloom
+        index pays too. Returns {rel_file: {"b64", "n_bits", "k"}}."""
+        import base64
+        import math
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            try:
+                t = pq.read_table(
+                    f"{self.root_path}/{rel}", columns=[column], filesystem=self.fs
+                )
+            except Exception:
+                continue
+            values = {v for v in t.column(0).to_pylist() if v is not None}
+            n_bits = max(64, 1 << math.ceil(math.log2(max(1, len(values)) * bits_per_value)))
+            bits = bytearray(n_bits // 8)
+            for v in values:
+                # salt goes INSIDE the payload: crc32 is affine in its
+                # init value, so crc32(data, j) for different j differ
+                # by a data-independent constant — k correlated probes,
+                # not k hash functions (caught by the FP-rate test)
+                for j in range(k):
+                    h = zlib.crc32(f"{j}:{v}".encode()) % n_bits
+                    bits[h >> 3] |= 1 << (h & 7)
+            out[rel] = {
+                "b64": base64.b64encode(bytes(bits)).decode(),
+                "n_bits": n_bits,
+                "k": k,
+            }
+        return out
+
+    @staticmethod
+    def _bloom_may_contain(bloom: dict, value) -> bool:
+        import base64
+        import zlib
+
+        bits = base64.b64decode(bloom["b64"])
+        n_bits, k = bloom["n_bits"], bloom["k"]
+        for j in range(k):
+            h = zlib.crc32(f"{j}:{value}".encode()) % n_bits
+            if not (bits[h >> 3] & (1 << (h & 7))):
+                return False
+        return True
+
     @staticmethod
     def _file_may_match(stats: dict, predicates: list[tuple]) -> bool:
         """Interval check: can a file with these min/max bounds contain
@@ -324,11 +383,18 @@ class ManifestTable:
         (pruning is an optimization, never a correctness filter)."""
         m = self.read_manifest(version)
         stats = m.meta.get("file_stats", {})
-        keep = [
-            f
-            for f in m.files
-            if f not in stats or self._file_may_match(stats[f], predicates)
-        ]
+        blooms = m.meta.get("bloom_index", {})  # {column: {rel: bloom}}
+
+        def may_match(f: str) -> bool:
+            if f in stats and not self._file_may_match(stats[f], predicates):
+                return False
+            for col, op, val in predicates:
+                if op == "=" and col in blooms and f in blooms[col]:
+                    if not self._bloom_may_contain(blooms[col][f], val):
+                        return False
+            return True
+
+        keep = [f for f in m.files if may_match(f)]
         return keep, len(m.files) - len(keep)
 
     def read_pruned(
@@ -384,6 +450,7 @@ def write_and_commit(
     meta: dict | None = None,
     stats: bool = False,
     partition_by: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Write ``df`` to a fresh staging directory under the table root,
     then publish it as one atomic snapshot commit. The staging dir name
@@ -391,16 +458,23 @@ def write_and_commit(
     orphans for ``vacuum``. With ``stats=True`` the commit records
     per-file column min/max zone maps in the manifest meta
     (``file_stats``) so ``read_pruned`` can skip files; with
-    ``partition_by`` the staged write is hive-partitioned (the
-    partition dirs ride along in the committed relative paths)."""
+    ``bloom_columns`` it additionally records per-file Bloom filters
+    over those columns (point-lookup pruning where zone maps can't
+    help); with ``partition_by`` the staged write is hive-partitioned
+    (the partition dirs ride along in the committed relative paths)."""
     staged = f"data-{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{table.root}/{staged}")
     meta = dict(meta or {})
+    staged_files = table._data_files_under(staged)
     if stats:
-        meta["file_stats"] = table.collect_file_stats(table._data_files_under(staged))
+        meta["file_stats"] = table.collect_file_stats(staged_files)
+    if bloom_columns:
+        meta["bloom_index"] = {
+            col: table.collect_bloom_index(staged_files, col) for col in bloom_columns
+        }
     if mode == "overwrite":
         return table.commit_overwrite(staged, meta=meta)
     if mode == "append":

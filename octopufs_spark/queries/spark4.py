@@ -1062,6 +1062,64 @@ def q_ext_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_bloom_skipping",
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS n_files_total,
+       TRUE AS bloom_pruned,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = 421) AS BIGINT) AS n_rows,
+       CAST((SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) FROM orders
+             WHERE o_custkey = 421) AS DOUBLE) AS total_price
+""",
+)
+def q_ext_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter FILE SKIPPING for point lookups — the case zone
+    maps cannot help: orders are committed into 8 files hashed by
+    o_custkey mod 8, so every file's [min,max] o_custkey interval
+    spans the whole key domain and interval pruning keeps all 8; the
+    per-file Bloom index (manifest.py::collect_bloom_index, salted
+    crc32, sized ~16 bits/distinct key) prunes every file that cannot
+    contain the key. The contract: the lookup's row results must equal
+    the full-table SQL answer AND `bloom_pruned` asserts strictly
+    fewer than all files were read — a Bloom regression (never prunes,
+    or over-prunes and loses the customer's rows) flips the hash. FP
+    hits only cost an extra file read, preserving correctness by
+    design."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_bloom_")
+    table = ManifestTable(root)
+    staged = o.withColumn("bucket", F.col("o_custkey") % 8).repartition("bucket")
+    write_and_commit(
+        table=table,
+        df=staged,
+        stats=True,
+        partition_by=["bucket"],
+        bloom_columns=["o_custkey"],
+    )
+
+    key = 421
+    keep, skipped = table.prune_plan([("o_custkey", "=", key)])
+    pruned = table.read_pruned(spark, [("o_custkey", "=", key)]).where(
+        F.col("o_custkey") == key
+    )
+    agg = pruned.agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), F.lit(0.0)
+        ).alias("total_price"),
+    )
+    return agg.select(
+        F.lit(len(keep) + skipped).cast("long").alias("n_files_total"),
+        F.lit(skipped > 0).alias("bloom_pruned"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "total_price",
+    )
+
+
+@register(
     "q_scalar_url",
     oracle="""
 SELECT c_custkey,

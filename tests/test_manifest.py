@@ -448,3 +448,32 @@ def test_append_merges_parent_zone_maps(spark, table):
     assert table.read_pruned(spark, [("id", ">=", 1000)]).where(
         F.col("id") >= 1000
     ).count() == 100
+
+
+def test_bloom_index_prunes_point_lookups(spark, table):
+    """Hash-distributed keys defeat zone maps (every file spans the
+    domain); the Bloom index prunes to the containing file(s) while the
+    lookup result stays exact."""
+    from octopufs_spark.manifest import write_and_commit
+
+    df = spark.range(0, 4000).withColumn("bucket", F.col("id") % 8).repartition("bucket")
+    write_and_commit(
+        df, table, stats=True, partition_by=["bucket"], bloom_columns=["id"]
+    )
+    assert len(table.read_manifest().files) == 8
+    # zone maps alone cannot prune an equality on the hashed key:
+    # every file holds ids spanning ~the full range
+    for key in (17, 1234, 3999):
+        keep, skipped = table.prune_plan([("id", "=", key)])
+        assert skipped >= 6, f"key {key}: only {skipped} pruned"
+        got = table.read_pruned(spark, [("id", "=", key)]).where(F.col("id") == key)
+        assert got.count() == 1
+    # a key that does not exist anywhere: blooms prune everything
+    keep, skipped = table.prune_plan([("id", "=", 999_999)])
+    if keep:  # FP-permitted, but the filtered result is still empty
+        out = table.read_pruned(spark, [("id", "=", 999_999)]).where(
+            F.col("id") == 999_999
+        )
+        assert out.count() == 0
+    else:
+        assert skipped == 8
