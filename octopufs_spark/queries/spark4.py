@@ -1061,6 +1061,99 @@ def q_ext_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    """DuckDB replay of the z-order layout + interval pruning: rebuild
+    the same 4+4-bit interleaved z-value, the same fixed-width bucket
+    (top 4 z bits), the same per-bucket min/max, and count the buckets
+    whose interval intersects each predicate."""
+    cx = "CAST(FLOOR(o_custkey * 16.0 / ((SELECT MAX(o_custkey) FROM orders) + 1)) AS BIGINT)"
+    cy = (
+        "CAST(FLOOR(datediff('day', DATE '1992-01-01', o_orderdate) * 16.0 /"
+        " ((SELECT MAX(datediff('day', DATE '1992-01-01', o_orderdate)) FROM orders) + 1)) AS BIGINT)"
+    )
+    z = " + ".join(
+        f"((({cx} >> {j}) & 1) << {2 * j + 1}) + ((({cy} >> {j}) & 1) << {2 * j})"
+        for j in range(4)
+    )
+    return f"""
+WITH b AS (
+  SELECT o_custkey, o_orderdate, ({z}) >> 4 AS zbucket FROM orders
+), per AS (
+  SELECT zbucket,
+         MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+         MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max
+  FROM b GROUP BY zbucket
+)
+SELECT CAST((SELECT COUNT(*) FROM per) AS BIGINT) AS n_files_total,
+       CAST((SELECT COUNT(*) FROM per
+             WHERE ck_max >= (SELECT MAX(o_custkey) FROM orders) * 3 // 4) AS BIGINT) AS n_files_cust,
+       CAST((SELECT COUNT(*) FROM per WHERE d_max >= DATE '1997-01-01') AS BIGINT) AS n_files_date,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey >= (SELECT MAX(o_custkey) FROM orders) * 3 // 4) AS BIGINT) AS n_rows_cust,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate >= DATE '1997-01-01') AS BIGINT) AS n_rows_date
+"""
+
+
+@register("q_ext_zorder_skipping", oracle=_zorder_oracle())
+def q_ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering + multi-dimensional data skipping, fully
+    value-verified: orders are laid out by a 4+4-bit interleaved
+    z-value over (o_custkey, o_orderdate) into fixed-width z-buckets
+    (top 4 z bits — deterministic and shuffle-cheap, unlike
+    sampling-based repartitionByRange; one file per bucket), committed
+    with zone-map stats. Because the z-curve localizes BOTH dimensions,
+    a selective predicate on EITHER column prunes most files — the
+    multi-column clustering story Delta's OPTIMIZE ZORDER BY sells.
+    The oracle recomputes the bucket layout, per-bucket min/max
+    intervals, and therefore the exact file counts each predicate must
+    read — if the layout, the stats collection, or the pruner drifts,
+    the hash flips. Row results are checked too (no over-pruning)."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders")
+    max_ck = o.agg(F.max("o_custkey")).collect()[0][0]
+    day = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    max_day = o.agg(F.max(day)).collect()[0][0]
+    cx = F.floor(F.col("o_custkey") * 16.0 / (max_ck + 1)).cast("long")
+    cy = F.floor(day * 16.0 / (max_day + 1)).cast("long")
+    zval = None
+    for j in range(4):
+        term = (cx.bitwiseAND(1 << j) / (1 << j)).cast("long") * (1 << (2 * j + 1)) + (
+            cy.bitwiseAND(1 << j) / (1 << j)
+        ).cast("long") * (1 << (2 * j))
+        zval = term if zval is None else zval + term
+    staged = o.withColumn("zbucket", (zval / 16).cast("long")).repartition("zbucket")
+
+    root = tempfile.mkdtemp(prefix="octopufs_zorder_")
+    table = ManifestTable(root)
+    write_and_commit(staged, table, stats=True, partition_by=["zbucket"])
+
+    cust_lo = max_ck * 3 // 4
+    preds_cust = [("o_custkey", ">=", cust_lo)]
+    preds_date = [("o_orderdate", ">=", "1997-01-01")]
+    keep_c, skip_c = table.prune_plan(preds_cust)
+    keep_d, skip_d = table.prune_plan(preds_date)
+    rows_c = (
+        table.read_pruned(spark, preds_cust)
+        .where(F.col("o_custkey") >= cust_lo)
+        .agg(F.count("*").alias("n"))
+    )
+    rows_d = (
+        table.read_pruned(spark, preds_date)
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .agg(F.count("*").alias("n"))
+    )
+    return rows_c.crossJoin(rows_d.withColumnRenamed("n", "nd")).select(
+        F.lit(len(keep_c) + skip_c).cast("long").alias("n_files_total"),
+        F.lit(len(keep_c)).cast("long").alias("n_files_cust"),
+        F.lit(len(keep_d)).cast("long").alias("n_files_date"),
+        F.col("n").cast("long").alias("n_rows_cust"),
+        F.col("nd").cast("long").alias("n_rows_date"),
+    )
+
+
 @register(
     "q_ext_bloom_skipping",
     oracle="""
