@@ -203,9 +203,123 @@ class SyntheticTelemetrySource(DataSource):
         return SynthJsonWriter(self.options, overwrite)
 
 
+class ManifestFilePartition(InputPartition):
+    def __init__(self, root: str, rel_file: str):
+        self.root = root
+        self.rel_file = rel_file
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    """Stream a manifest table's commits: offsets are manifest VERSIONS
+    (the Delta-streaming-source model). Each micro-batch reads exactly
+    the data files ADDED between the start and end versions — one file
+    per input partition, scanned with pyarrow on the executor. The
+    commit log gives exactly-once for free: versions are immutable and
+    a restart replays from the checkpointed version. Append-only
+    contract: an overwrite/replace/compact commit inside the offset
+    range raises rather than silently re-emitting rewritten rows
+    (the same restriction Delta's streaming source enforces without
+    ``skipChangeCommits``)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_stream requires a 'path' option")
+
+    def _table(self):
+        from octopufs_spark.manifest import ManifestTable
+
+        return ManifestTable(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        latest = self._table().latest_version()
+        return {"version": latest or 0}
+
+    def partitions(self, start: dict, end: dict):
+        table = self._table()
+        added: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = table.read_manifest(v)
+            if m.operation not in ("commit", "append", "seed", "overwrite") or (
+                m.operation == "overwrite" and m.parent is not None
+            ):
+                raise ValueError(
+                    f"manifest_stream is append-only: v{v} is a {m.operation!r} commit"
+                )
+            prev = set(table.read_manifest(m.parent).files) if m.parent else set()
+            added.extend(f for f in m.files if f not in prev)
+        if not added:
+            # Spark requires >=1 partition; an empty file list yields 0 rows
+            return [ManifestFilePartition(self.path, "")]
+        return [ManifestFilePartition(self.path, f) for f in added]
+
+    def read(self, partition: ManifestFilePartition):
+        if not partition.rel_file:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        from octopufs_spark.fs.core import get_filesystem
+
+        fs, root = get_filesystem(partition.root)
+        t = pq.read_table(f"{root}/{partition.rel_file}", filesystem=fs)
+        return iter(t.to_pandas().itertuples(index=False, name=None))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ManifestStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_stream"
+
+    def schema(self) -> str:
+        """DDL derived from the current snapshot's first parquet file."""
+        import pyarrow.parquet as pq
+
+        from octopufs_spark.fs.core import get_filesystem
+        from octopufs_spark.manifest import ManifestTable
+
+        table = ManifestTable(self.options["path"])
+        m = table.read_manifest()
+        fs, root = get_filesystem(self.options["path"])
+        schema = pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs)
+        type_map = {
+            "int64": "bigint",
+            "int32": "int",
+            "double": "double",
+            "float": "float",
+            "string": "string",
+            "large_string": "string",
+            "bool": "boolean",
+            "date32[day]": "date",
+            "timestamp[us]": "timestamp",
+            "timestamp[ns]": "timestamp",
+            "binary": "binary",
+        }
+        parts = []
+        for f in schema:
+            t = type_map.get(str(f.type))
+            if t is None:
+                raise NotImplementedError(f"manifest_stream: unmapped type {f.type}")
+            parts.append(f"{f.name} {t}")
+        return ", ".join(parts)
+
+    def streamReader(self, schema) -> ManifestStreamReader:
+        return ManifestStreamReader(self.options)
+
+
 def register_synthgen(spark) -> None:
     """Idempotently register the synthgen source on a session."""
     spark.dataSource.register(SyntheticTelemetrySource)
+
+
+def register_manifest_stream(spark) -> None:
+    """Idempotently register the manifest-table streaming source."""
+    spark.dataSource.register(ManifestStreamSource)
 
 
 def read_committed(spark, path: str, schema: str = "id bigint, device bigint, reading double"):

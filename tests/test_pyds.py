@@ -236,3 +236,64 @@ def test_available_now_drains_per_admission_control(spark, tmp_path):
 
     assert run("av_limited", 100) == 100   # one admission increment
     assert run("av_full", 300) == 300      # full drain in one run
+
+
+def test_manifest_stream_source_incremental_versions(spark, tmp_path):
+    """Manifest tables as a streaming source: versions are offsets, so
+    each commit's added files arrive as one micro-batch, exactly once,
+    including commits made WHILE the stream runs."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    write_and_commit(spark.range(0, 100).withColumn("v", F.col("id") * 2), table)
+
+    stream = spark.readStream.format("manifest_stream").option("path", table.root).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mstream")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT COUNT(*) FROM mstream").collect()[0][0] >= 100:
+            break
+        time.sleep(0.3)
+    # two more commits while the stream is live
+    write_and_commit(
+        spark.range(1000, 1050).withColumn("v", F.col("id") * 2), table, mode="append"
+    )
+    write_and_commit(
+        spark.range(2000, 2025).withColumn("v", F.col("id") * 2), table, mode="append"
+    )
+    while time.time() < deadline:
+        if spark.sql("SELECT COUNT(*) FROM mstream").collect()[0][0] >= 175:
+            break
+        time.sleep(0.3)
+    q.stop()
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT id) AS d FROM mstream"
+    ).collect()[0]
+    assert (got["n"], got["d"]) == (175, 175)  # exactly once, all commits
+    vals = spark.sql("SELECT SUM(v) AS s FROM mstream").collect()[0]["s"]
+    assert vals == sum(2 * i for i in list(range(100)) + list(range(1000, 1050)) + list(range(2000, 2025)))
+
+
+def test_manifest_stream_rejects_rewrite_commits(spark, tmp_path):
+    """Append-only contract: a post-seed overwrite commit in the offset
+    range must error, not silently re-emit rewritten rows."""
+    import pytest as _pytest
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import ManifestStreamReader, register_manifest_stream
+
+    register_manifest_stream(spark)
+    table = ManifestTable(str(tmp_path / "mtbl2"))
+    write_and_commit(spark.range(0, 10), table)
+    write_and_commit(spark.range(0, 5), table, mode="overwrite")
+    reader = ManifestStreamReader({"path": table.root})
+    with _pytest.raises(ValueError, match="append-only"):
+        reader.partitions({"version": 0}, {"version": 2})
