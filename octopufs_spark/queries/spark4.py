@@ -1061,6 +1061,74 @@ def q_ext_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ext_change_feed",
+    oracle="""
+SELECT 'insert' AS op,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0) AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE o_orderkey % 10 = 0) AS DOUBLE) AS total_price
+UNION ALL
+SELECT 'update',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3) AS BIGINT),
+       CAST((SELECT SUM(CAST(o_totalprice + 1 AS DECIMAL(18,2))) FROM orders
+             WHERE o_orderkey % 10 = 3) AS DOUBLE)
+UNION ALL
+SELECT 'delete',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7) AS BIGINT),
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE o_orderkey % 10 = 7) AS DOUBLE)
+""",
+)
+def q_ext_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CHANGE FEED between manifest versions (Delta's
+    ``table_changes`` model): v1 holds 90% of orders; one MERGE
+    produces v2 with the missing decile inserted, decile-3 rows
+    updated (+1 price) and decile-7 rows deleted. The feed is then
+    DERIVED from the two immutable snapshots — a full outer join on
+    the key classifies each row as insert (v2 only), delete (v1 only)
+    or update (both, any non-key column changed) — and aggregated per
+    op. The oracle recomputes every class directly from the base
+    table, so merge semantics, snapshot isolation, AND the feed
+    derivation are all value-checked. Plan: one key-shuffle full outer
+    join between snapshots; at 100 TB partition-pruned COW confines it
+    to rewritten partitions."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_cdc_")
+    table = ManifestTable(root)
+    o.where(F.col("o_orderkey") % 10 != 0).write.mode("overwrite").parquet(f"{root}/base")
+    table.commit_overwrite("base", operation="seed")
+    upserts = o.where(F.col("o_orderkey") % 10 == 0).unionByName(
+        o.where(F.col("o_orderkey") % 10 == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+    )
+    deletes = o.where(F.col("o_orderkey") % 10 == 7).select("o_orderkey")
+    merge_upsert_manifest(spark, table, upserts, keys=["o_orderkey"], deletes=deletes)
+
+    v1 = table.read(spark, version=1).select("o_orderkey", "o_totalprice")
+    v2 = table.read(spark, version=2).select("o_orderkey", "o_totalprice")
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    feed = j.select(
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("delete"))
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), F.lit("update"))
+        .alias("op"),
+        F.coalesce(F.col("b.o_totalprice"), F.col("a.o_totalprice")).alias("price"),
+    ).where(F.col("op").isNotNull())
+    return feed.groupBy("op").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
 def _zorder_oracle() -> str:
     """DuckDB replay of the z-order layout + interval pruning: rebuild
     the same 4+4-bit interleaved z-value, the same fixed-width bucket
