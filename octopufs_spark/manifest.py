@@ -94,12 +94,23 @@ class ManifestTable:
         )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Load the committed snapshot — optionally time-traveled."""
+        """Load the committed snapshot — optionally time-traveled.
+        Merge-on-read delete vectors recorded in the manifest meta
+        (see merge.delete_where_mor) are applied with anti-joins, so a
+        MOR-deleted row is invisible even though its data file is
+        untouched; each version applies exactly its own vector list,
+        keeping time travel consistent."""
         m = self.read_manifest(version)
         paths = [f"{self.root}/{p}" for p in m.files]
         if not paths:
             raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        for dv in m.meta.get("delete_vectors", []):
+            from pyspark.sql import functions as _F
+
+            keys_df = spark.read.parquet(f"{self.root}/{dv['path']}")
+            df = df.join(_F.broadcast(keys_df), dv["keys"], "left_anti")
+        return df
 
     def register_view(
         self, spark: SparkSession, name: str, version: int | None = None
@@ -406,12 +417,18 @@ class ManifestTable:
         is the difference between planning a scan over every file and
         over the handful a selective predicate touches."""
         keep, _ = self.prune_plan(predicates, version)
+        m = self.read_manifest(version)
         if not keep:
             # preserve schema with an empty, zero-file-cost scan
-            m = self.read_manifest(version)
             first = f"{self.root}/{m.files[0]}"
             return spark.read.parquet(first).limit(0)
-        return spark.read.parquet(*[f"{self.root}/{p}" for p in keep])
+        df = spark.read.parquet(*[f"{self.root}/{p}" for p in keep])
+        for dv in m.meta.get("delete_vectors", []):
+            from pyspark.sql import functions as _F
+
+            keys_df = spark.read.parquet(f"{self.root}/{dv['path']}")
+            df = df.join(_F.broadcast(keys_df), dv["keys"], "left_anti")
+        return df
 
     # ---------- maintenance ----------
 
@@ -424,8 +441,15 @@ class ManifestTable:
             return []
         keep = set(vs[-keep_versions:])
         live: set[str] = set()
+        live_prefixes: set[str] = set()
         for v in keep:
-            live.update(self.read_manifest(v).files)
+            m = self.read_manifest(v)
+            live.update(m.files)
+            # merge-on-read delete vectors are live data too; each
+            # vector path is a parquet DIRECTORY, so protect by prefix
+            live_prefixes.update(
+                dv["path"].rstrip("/") for dv in m.meta.get("delete_vectors", [])
+            )
         removed: list[str] = []
         for el in list_tree(self.root):
             if el.is_dir:
@@ -437,7 +461,13 @@ class ManifestTable:
                     self.fs.delete_file(el.path)
                     removed.append(rel)
                 continue
-            if rel.endswith(".parquet") and rel not in live:
+            if (
+                rel.endswith(".parquet")
+                and rel not in live
+                and not any(
+                    rel == p or rel.startswith(p + "/") for p in live_prefixes
+                )
+            ):
                 self.fs.delete_file(el.path)
                 removed.append(rel)
         return removed

@@ -111,3 +111,45 @@ def merge_upsert_manifest(
     staged = f"merge-{uuid.uuid4().hex[:12]}"
     merged.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
     return table.commit_overwrite(staged, operation="merge", meta={"keys": keys})
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table: ManifestTable,
+    delete_keys: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE-ON-READ delete (Delta deletion-vector / Iceberg
+    equality-delete model): instead of rewriting every data file that
+    contains a matching row (copy-on-write — what
+    ``merge_upsert_manifest`` does), stage ONLY the deleted keys as a
+    tiny parquet file and commit a new version whose DATA FILE SET IS
+    UNCHANGED; the read path applies the delete vectors with an
+    anti-join. At 100 TB this turns a delete touching 1% of rows
+    spread over every file from a full-table rewrite into a
+    KB-sized commit — compaction later reconciles (a rewrite commit
+    drops the vectors).
+
+    The key-granular vector is registered in the manifest meta
+    (``delete_vectors``: list of {path, keys}); vectors accumulate
+    across MOR deletes and each version applies exactly the vectors
+    recorded up to it (time travel stays consistent)."""
+    import uuid
+
+    dv_rel = f"_dv/dv-{uuid.uuid4().hex[:12]}.parquet"
+    delete_keys.select(*keys).dropDuplicates(keys).write.mode("errorifexists").parquet(
+        f"{table.root}/{dv_rel}"
+    )
+
+    def build(parent):
+        if parent is None:
+            raise ValueError("MOR delete requires an existing snapshot")
+        return list(parent.files)
+
+    # carry parent's vectors + meta forward; add the new one
+    parent = table.read_manifest()
+    meta = dict(parent.meta)
+    meta["delete_vectors"] = list(parent.meta.get("delete_vectors", [])) + [
+        {"path": dv_rel, "keys": keys}
+    ]
+    return table._commit_with_retry(build, "delete_mor", meta)

@@ -1062,6 +1062,59 @@ def q_ext_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_delete_vectors",
+    oracle="""
+SELECT TRUE AS no_rewrite,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows_v1,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 7) AS BIGINT) AS n_rows_v2,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE o_orderkey % 10 <> 7) AS DOUBLE) AS total_v2
+""",
+)
+def q_ext_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes via deletion vectors, value-verified:
+    orders are committed once, then decile-7 rows are deleted WITHOUT
+    rewriting any data file (merge.delete_where_mor stages only a
+    KB-sized key vector; the commit's data file set is byte-identical
+    to the parent's, asserted by `no_rewrite`). Reading v2 applies the
+    vector with an anti-join — the deleted rows are invisible — while
+    v1 still returns every row (time travel unaffected). The oracle
+    recomputes both snapshots' expected contents; at 100 TB this is a
+    delete touching every file priced as a KB commit instead of a
+    full-table rewrite (compaction later reconciles and drops the
+    vectors)."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_dv_")
+    table = ManifestTable(root)
+    write_and_commit(o, table)
+    delete_where_mor(
+        spark,
+        table,
+        o.where(F.col("o_orderkey") % 10 == 7).select("o_orderkey"),
+        keys=["o_orderkey"],
+    )
+    no_rewrite = sorted(table.read_manifest(1).files) == sorted(
+        table.read_manifest(2).files
+    )
+    v1_count = table.read(spark, version=1).agg(F.count("*").alias("n1"))
+    v2 = table.read(spark, version=2).agg(
+        F.count("*").alias("n2"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("t2"),
+    )
+    return v1_count.crossJoin(v2).select(
+        F.lit(no_rewrite).alias("no_rewrite"),
+        F.col("n1").cast("long").alias("n_rows_v1"),
+        F.col("n2").cast("long").alias("n_rows_v2"),
+        F.col("t2").alias("total_v2"),
+    )
+
+
+@register(
     "q_ext_change_feed",
     oracle="""
 SELECT 'insert' AS op,

@@ -477,3 +477,37 @@ def test_bloom_index_prunes_point_lookups(spark, table):
         assert out.count() == 0
     else:
         assert skipped == 8
+
+
+def test_mor_delete_vectors_accumulate_and_compact_reconciles(spark, table):
+    """MOR deletes: no data-file rewrite per delete, vectors accumulate
+    across versions, each version's read applies exactly its own
+    vectors, vacuum keeps live vectors, and a compaction rewrite
+    reconciles (drops) them."""
+    from octopufs_spark.manifest import compact_and_commit, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2).repartition(4)
+    write_and_commit(df, table)
+    delete_where_mor(spark, table, spark.range(0, 10).select("id"), keys=["id"])
+    delete_where_mor(spark, table, spark.range(90, 100).select("id"), keys=["id"])
+    # same data files across all three versions
+    assert (
+        sorted(table.read_manifest(1).files)
+        == sorted(table.read_manifest(2).files)
+        == sorted(table.read_manifest(3).files)
+    )
+    assert table.read(spark, version=1).count() == 100
+    assert table.read(spark, version=2).count() == 90
+    assert table.read(spark, version=3).count() == 80
+    assert table.read(spark, version=3).where("id < 10 OR id >= 90").count() == 0
+    # vacuum keeping all versions must not delete the vector files
+    removed = table.vacuum(keep_versions=3)
+    assert removed == []
+    assert table.read(spark, version=3).count() == 80
+    # compaction rewrites the surviving rows and drops the vectors
+    v = compact_and_commit(spark, table)
+    assert v == 4
+    m4 = table.read_manifest(4)
+    assert m4.meta.get("delete_vectors", []) == []
+    assert table.read(spark, version=4).count() == 80
