@@ -481,6 +481,7 @@ def write_and_commit(
     stats: bool = False,
     partition_by: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    expectations: list[tuple[str, str]] | None = None,
 ) -> int:
     """Write ``df`` to a fresh staging directory under the table root,
     then publish it as one atomic snapshot commit. The staging dir name
@@ -491,12 +492,38 @@ def write_and_commit(
     ``bloom_columns`` it additionally records per-file Bloom filters
     over those columns (point-lookup pruning where zone maps can't
     help); with ``partition_by`` the staged write is hive-partitioned
-    (the partition dirs ride along in the committed relative paths)."""
+    (the partition dirs ride along in the committed relative paths);
+    with ``expectations`` ([(name, sql_condition), ...]) the commit is
+    REJECTED if any staged row violates a condition — CHECK
+    constraints enforced at the publish boundary."""
     staged = f"data-{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{table.root}/{staged}")
+    if expectations:
+        # CHECK-constraint enforcement at the commit boundary (the
+        # Delta constraints model): violations abort BEFORE publish,
+        # so no reader can ever observe a snapshot breaking the
+        # contract — the staged files stay invisible orphans for
+        # ``vacuum``. Checked on the staged bytes (not the input
+        # plan), so what was validated is exactly what would publish.
+        from pyspark.sql import functions as _F
+
+        spark = df.sparkSession
+        staged_df = spark.read.parquet(f"{table.root}/{staged}")
+        checks = staged_df.agg(
+            *[
+                _F.count(_F.when(~_F.expr(cond), 1)).alias(name)
+                for name, cond in expectations
+            ]
+        ).collect()[0]
+        violated = {name: int(checks[name]) for name, _ in expectations if checks[name]}
+        if violated:
+            raise ValueError(
+                f"commit rejected: constraint violations {violated} "
+                f"(staged under {staged}, unpublished)"
+            )
     meta = dict(meta or {})
     staged_files = table._data_files_under(staged)
     if stats:

@@ -1062,6 +1062,60 @@ def q_ext_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_write_constraints",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > 0) AS BIGINT) AS n_committed,
+       CAST(1 AS BIGINT) AS n_versions,
+       TRUE AS dirty_rejected,
+       TRUE AS table_unchanged
+""",
+)
+def q_ext_write_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints enforced at the COMMIT boundary (the Delta
+    constraints model): a clean batch (positive prices, non-null keys)
+    publishes; a dirty batch (negated prices smuggled in) is REJECTED
+    before publish — the table stays at its prior version and readers
+    can never observe a contract-breaking snapshot. The oracle
+    recomputes the committed row count and expects exactly one
+    version, rejection, and an unchanged table — so both enforcement
+    directions (accept clean, reject dirty, never half-publish) are
+    value-checked."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_chk_")
+    table = ManifestTable(root)
+    rules = [
+        ("price_positive", "o_totalprice > 0"),
+        ("key_not_null", "o_orderkey IS NOT NULL"),
+    ]
+    clean = o.where(F.col("o_totalprice") > 0)
+    write_and_commit(clean, table, expectations=rules)
+    v_after_clean = table.latest_version()
+    dirty = o.limit(500).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    dirty_rejected = False
+    try:
+        write_and_commit(dirty, table, mode="append", expectations=rules)
+    except ValueError as e:
+        dirty_rejected = "constraint violations" in str(e)
+    unchanged = table.latest_version() == v_after_clean
+    committed = table.read(spark).agg(F.count("*").alias("n"))
+    return committed.select(
+        F.col("n").cast("long").alias("n_committed"),
+        F.lit(table.latest_version()).cast("long").alias("n_versions"),
+        F.lit(dirty_rejected).alias("dirty_rejected"),
+        F.lit(unchanged).alias("table_unchanged"),
+    )
+
+
+@register(
     "q_ext_delete_vectors",
     oracle="""
 SELECT TRUE AS no_rewrite,

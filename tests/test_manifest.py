@@ -511,3 +511,27 @@ def test_mor_delete_vectors_accumulate_and_compact_reconciles(spark, table):
     m4 = table.read_manifest(4)
     assert m4.meta.get("delete_vectors", []) == []
     assert table.read(spark, version=4).count() == 80
+
+
+def test_write_constraints_reject_before_publish(spark, table):
+    """A violating batch must not publish ANY version; the staging
+    orphan stays invisible and vacuum can reap it."""
+    import pytest as _pytest
+
+    from octopufs_spark.manifest import write_and_commit
+
+    rules = [("v_nonneg", "v >= 0")]
+    write_and_commit(spark.range(0, 50).withColumn("v", F.col("id")), table, expectations=rules)
+    with _pytest.raises(ValueError, match="constraint violations"):
+        write_and_commit(
+            spark.range(50, 60).withColumn("v", -F.col("id")),
+            table,
+            mode="append",
+            expectations=rules,
+        )
+    assert table.latest_version() == 1
+    assert table.read(spark).count() == 50
+    # the rejected staging dir is unreferenced: vacuum reaps it
+    removed = table.vacuum(keep_versions=1)
+    assert any(r.startswith("data-") for r in removed)
+    assert table.read(spark).count() == 50
