@@ -93,18 +93,28 @@ class ManifestTable:
             meta=d.get("meta", {}),
         )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Load the committed snapshot — optionally time-traveled.
         Merge-on-read delete vectors recorded in the manifest meta
         (see merge.delete_where_mor) are applied with anti-joins, so a
         MOR-deleted row is invisible even though its data file is
         untouched; each version applies exactly its own vector list,
-        keeping time travel consistent."""
+        keeping time travel consistent. ``merge_schema=True`` unifies
+        snapshots whose commits evolved the schema (added columns read
+        as NULL for pre-evolution files)."""
         m = self.read_manifest(version)
         paths = [f"{self.root}/{p}" for p in m.files]
         if not paths:
             raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
-        df = spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         for dv in m.meta.get("delete_vectors", []):
             from pyspark.sql import functions as _F
 

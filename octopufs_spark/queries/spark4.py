@@ -1062,6 +1062,138 @@ def q_ext_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_compaction_atomic",
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) AS DOUBLE) AS total_price
+""",
+)
+def q_ext_compaction_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC small-file compaction as a registered, value-verified
+    query: orders committed as 8 files, compacted into 1 by a single
+    manifest commit (manifest.compact_and_commit — readers flip file
+    sets atomically, unlike the directory swap in
+    compact.do_auto_coalesce whose non-atomic window the manifest
+    model exists to close; reference: Coalesce.scala:33-46). The
+    oracle pins the before/after file counts AND the content — a
+    compaction that loses or duplicates rows, or that silently stops
+    reducing files, flips the hash."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, compact_and_commit, write_and_commit
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_cmp_")
+    table = ManifestTable(root)
+    write_and_commit(o.repartition(8), table)
+    files_before = len(table.read_manifest(1).files)
+    v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+    files_after = len(table.read_manifest(v).files)
+    agg = table.read(spark).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("t"),
+    )
+    return agg.select(
+        F.lit(files_before).cast("long").alias("files_before"),
+        F.lit(files_after).cast("long").alias("files_after"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("t").alias("total_price"),
+    )
+
+
+@register(
+    "q_ext_vacuum_retention",
+    oracle="""
+SELECT TRUE AS old_files_removed,
+       TRUE AS v1_unreadable,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows_live,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) AS DOUBLE) AS total_live
+""",
+)
+def q_ext_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM retention as a registered, value-verified query: v1
+    (half of orders) is overwritten by v2 (all orders); vacuum with
+    keep_versions=1 must physically remove v1's now-unreferenced data
+    files AND prune its manifest (time travel to v1 then fails by
+    design), while the live snapshot stays byte-complete. The oracle
+    pins both directions: garbage actually collected, live data
+    untouched — the deferred-GC contract the manifest commit model
+    makes safe (unreferenced files are invisible to readers at every
+    point)."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_vac_")
+    table = ManifestTable(root)
+    write_and_commit(o.where(F.col("o_orderkey") % 2 == 0), table)
+    write_and_commit(o, table)  # full overwrite: v1 files now dead
+    removed = table.vacuum(keep_versions=1)
+    v1_unreadable = False
+    try:
+        table.read_manifest(1)
+    except FileNotFoundError:
+        v1_unreadable = True
+    agg = table.read(spark).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("t"),
+    )
+    return agg.select(
+        F.lit(any(r.endswith(".parquet") for r in removed)).alias("old_files_removed"),
+        F.lit(v1_unreadable).alias("v1_unreadable"),
+        F.col("n").cast("long").alias("n_rows_live"),
+        F.col("t").alias("total_live"),
+    )
+
+
+@register(
+    "q_ext_schema_evolution",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM orders) * 2 AS BIGINT) AS n_rows_total,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_null_newcol,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_filled_newcol,
+       CAST((SELECT SUM(CAST(length(o_orderpriority) AS BIGINT)) FROM orders) AS BIGINT) AS sum_newcol
+""",
+)
+def q_ext_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on manifest tables, value-verified: v1 commits
+    orders without the evolved column; an append commit adds rows
+    carrying a NEW column (priority_len); reading with
+    ``merge_schema=True`` unifies the snapshots — pre-evolution rows
+    surface NULL for the added column, post-evolution rows carry their
+    values. The oracle recomputes total rows, the NULL/filled split
+    and the evolved column's sum from the base table, so silent column
+    drops, misaligned unification, or NULL-backfill drift all flip the
+    hash."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_evo_")
+    table = ManifestTable(root)
+    base = o.select("o_orderkey", "o_totalprice")
+    write_and_commit(base, table)
+    evolved = o.select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        "o_totalprice",
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+    )
+    write_and_commit(evolved, table, mode="append")
+    df = table.read(spark, merge_schema=True)
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows_total"),
+        F.count(F.when(F.col("priority_len").isNull(), 1)).cast("long").alias(
+            "n_null_newcol"
+        ),
+        F.count("priority_len").cast("long").alias("n_filled_newcol"),
+        F.sum("priority_len").cast("long").alias("sum_newcol"),
+    )
+
+
+@register(
     "q_ext_write_constraints",
     oracle="""
 SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > 0) AS BIGINT) AS n_committed,

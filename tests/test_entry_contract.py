@@ -24,7 +24,7 @@ def test_oracles_subset_of_queries():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 216  # inventory floor: don't silently lose queries
+    assert len(q) >= 219  # inventory floor: don't silently lose queries
     # r4: the last 4 declared-weak entries (seeded ANN/dedup production
     # variants) gained planted-clone contract oracles — every registered
     # query is now oracle-backed. Keep it that way.
