@@ -43,6 +43,30 @@ _MANIFEST_DIR = "_manifest"
 _VERSION_RE = re.compile(r"v(\d+)\.json$")
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A maintenance commit (compaction) detected that the snapshot it
+    rewrote was concurrently modified in a way it cannot reconcile
+    (files it compacted were removed, or new delete vectors landed).
+    The operation aborts with nothing published — rerun against the
+    new snapshot. Mirrors Delta's behavior of failing OPTIMIZE on a
+    conflicting commit rather than publishing a lost update."""
+
+
+class SnapshotVacuumedError(FileNotFoundError):
+    """A time-traveled read referenced a version whose data files (or
+    delete-vector files) have been physically removed by ``vacuum``.
+    Raised eagerly at plan time with the missing paths, instead of an
+    opaque parquet PATH_NOT_FOUND surfacing mid-query."""
+
+    def __init__(self, root: str, version: int, missing: list[str]):
+        self.version = version
+        self.missing = missing
+        super().__init__(
+            f"snapshot v{version} of {root} references {len(missing)} vacuumed "
+            f"file(s), e.g. {missing[0]!r} — retained versions only; see vacuum()"
+        )
+
+
 @dataclass(frozen=True)
 class Manifest:
     version: int
@@ -106,8 +130,19 @@ class ManifestTable:
         untouched; each version applies exactly its own vector list,
         keeping time travel consistent. ``merge_schema=True`` unifies
         snapshots whose commits evolved the schema (added columns read
-        as NULL for pre-evolution files)."""
+        as NULL for pre-evolution files).
+
+        Explicit time-travel reads (``version`` given) pre-check that
+        the referenced files still exist, so a snapshot that lost the
+        race with ``vacuum`` raises a typed
+        :class:`SnapshotVacuumedError` at plan time rather than an
+        opaque parquet path error mid-query. The check is one metadata
+        call per file — fine for time travel (rare, explicit); the
+        latest-version hot path skips it because ``vacuum`` never
+        removes the newest snapshot's files."""
         m = self.read_manifest(version)
+        if version is not None:
+            self._check_not_vacuumed(m)
         paths = [f"{self.root}/{p}" for p in m.files]
         if not paths:
             raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
@@ -121,6 +156,25 @@ class ManifestTable:
             keys_df = spark.read.parquet(f"{self.root}/{dv['path']}")
             df = df.join(_F.broadcast(keys_df), dv["keys"], "left_anti")
         return df
+
+    def _check_not_vacuumed(self, m: Manifest) -> None:
+        """Raise SnapshotVacuumedError if any file (or delete-vector
+        directory) the manifest references no longer exists. One
+        batched pyarrow metadata call for the whole list."""
+        import pyarrow.fs as pafs
+
+        targets = [f"{self.root_path}/{p}" for p in m.files] + [
+            f"{self.root_path}/{dv['path'].rstrip('/')}"
+            for dv in m.meta.get("delete_vectors", [])
+        ]
+        infos = self.fs.get_file_info(targets)
+        missing = [
+            t[len(self.root_path) + 1 :]
+            for t, info in zip(targets, infos)
+            if info.type == pafs.FileType.NotFound
+        ]
+        if missing:
+            raise SnapshotVacuumedError(self.root, m.version, missing)
 
     def register_view(
         self, spark: SparkSession, name: str, version: int | None = None
@@ -234,6 +288,32 @@ class ManifestTable:
 
         return self._commit_with_retry(build, operation, meta)
 
+    @staticmethod
+    def _carry_delete_vectors(parent: Manifest | None, files: list[str], meta: dict) -> dict:
+        """Merge the parent snapshot's merge-on-read delete vectors into
+        ``meta`` whenever the new commit retains any parent data file.
+        Without this, a plain append/stream-append/partition-promote
+        after ``merge.delete_where_mor`` would publish a version whose
+        read no longer applies the vectors — silently resurrecting
+        deleted rows while keeping the same data files. Vectors are
+        key-granular equality deletes and apply to the WHOLE snapshot,
+        so re-inserting a MOR-deleted key requires compacting first (a
+        rewrite commit retains no parent files and drops the vectors) —
+        documented behavior, matching Iceberg equality-delete scope.
+        Deduped by vector path so delete_where_mor's own pre-merged
+        list is not doubled."""
+        if parent is None or not parent.meta.get("delete_vectors"):
+            return meta
+        parent_files = set(parent.files)
+        if not any(f in parent_files for f in files):
+            return meta  # full rewrite: deletes are materialized, vectors drop
+        merged = list(parent.meta["delete_vectors"])
+        seen = {dv["path"] for dv in merged}
+        for dv in meta.get("delete_vectors", []):
+            if dv["path"] not in seen:
+                merged.append(dv)
+        return {**meta, "delete_vectors": merged}
+
     def _commit_with_retry(self, files_or_build, operation: str, meta: dict | None) -> int:
         for _ in range(5):  # reference-style bounded retry
             latest = self.latest_version()
@@ -244,7 +324,7 @@ class ManifestTable:
                 files=files,
                 operation=operation,
                 parent=latest,
-                meta=meta or {},
+                meta=self._carry_delete_vectors(parent, files, meta or {}),
             )
             try:
                 return self._publish(m)
@@ -338,7 +418,9 @@ class ManifestTable:
                 )
             except Exception:
                 continue
-            values = {v for v in t.column(0).to_pylist() if v is not None}
+            values = {
+                self._bloom_canon(v) for v in t.column(0).to_pylist() if v is not None
+            }
             n_bits = max(64, 1 << math.ceil(math.log2(max(1, len(values)) * bits_per_value)))
             bits = bytearray(n_bits // 8)
             for v in values:
@@ -357,14 +439,45 @@ class ManifestTable:
         return out
 
     @staticmethod
-    def _bloom_may_contain(bloom: dict, value) -> bool:
+    def _bloom_canon(value) -> str:
+        """Canonical string rendering hashed on BOTH the write and the
+        probe side. Hashing raw ``str(value)`` makes Bloom misses a
+        correctness bug: ``421`` vs ``421.0`` on a double column (or a
+        Decimal / numpy scalar of the same number) would render
+        differently, yield a false NEGATIVE, and prune files that DO
+        contain the key — silently losing rows. Normalization:
+        integer-valued numerics (int, bool, whole floats, Decimal,
+        numpy scalars) render as the plain integer; other reals via
+        ``repr(float(v))``; dates/datetimes as ISO strings; bytes
+        utf-8-decoded (surrogateescape); everything else ``str``."""
+        import datetime as _dt
+        import numbers
+
+        if isinstance(value, bytes):
+            return value.decode("utf-8", errors="surrogateescape")
+        if isinstance(value, (_dt.datetime, _dt.date)):
+            return value.isoformat()
+        if hasattr(value, "item") and not isinstance(value, str):
+            value = value.item()  # numpy scalar → python scalar
+        if isinstance(value, bool):
+            value = int(value)
+        if isinstance(value, numbers.Real) and not isinstance(value, int):
+            f = float(value)
+            if f.is_integer():
+                return str(int(f))
+            return repr(f)
+        return str(value)
+
+    @classmethod
+    def _bloom_may_contain(cls, bloom: dict, value) -> bool:
         import base64
         import zlib
 
         bits = base64.b64decode(bloom["b64"])
         n_bits, k = bloom["n_bits"], bloom["k"]
+        canon = cls._bloom_canon(value)
         for j in range(k):
-            h = zlib.crc32(f"{j}:{value}".encode()) % n_bits
+            h = zlib.crc32(f"{j}:{canon}".encode()) % n_bits
             if not (bits[h >> 3] & (1 << (h & 7))):
                 return False
         return True
@@ -442,13 +555,36 @@ class ManifestTable:
 
     # ---------- maintenance ----------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, retention_seconds: float = 86400.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained manifest (and
-        prune old manifests). Safe to defer arbitrarily — unreferenced
-        files are invisible to readers."""
+        prune old manifests). Unreferenced files are invisible to
+        readers, so this is safe to defer arbitrarily — but NOT safe
+        to run eagerly against in-flight writers: a concurrent
+        ``write_and_commit`` stages its files BEFORE publishing its
+        manifest, and an immediate vacuum would delete them, letting
+        the commit then succeed while referencing missing files. The
+        ``retention_seconds`` window (default 24 h, the same guard as
+        Delta's VACUUM retention check) therefore skips any
+        unreferenced file younger than the threshold (by store mtime;
+        unknown mtime counts as young). Pass ``retention_seconds=0``
+        only when no writer can be in flight (tests, single-writer
+        maintenance windows)."""
+        import datetime as _dt
+
         vs = self.versions()
         if not vs:
             return []
+
+        def _too_young(path: str) -> bool:
+            if retention_seconds <= 0:
+                return False
+            mtime = self.fs.get_file_info(path).mtime
+            if mtime is None:
+                return True  # unknown age: never delete inside the window
+            now = _dt.datetime.now(tz=mtime.tzinfo) if mtime.tzinfo else _dt.datetime.now()
+            return (now - mtime).total_seconds() < retention_seconds
         keep = set(vs[-keep_versions:])
         live: set[str] = set()
         live_prefixes: set[str] = set()
@@ -477,6 +613,7 @@ class ManifestTable:
                 and not any(
                     rel == p or rel.startswith(p + "/") for p in live_prefixes
                 )
+                and not _too_young(el.path)
             ):
                 self.fs.delete_file(el.path)
                 removed.append(rel)
@@ -579,6 +716,15 @@ def compact_and_commit(
     Returns the committed version, or None when the snapshot is already
     a single file (nothing to do). Old files stay until ``vacuum`` —
     time travel keeps working.
+
+    Concurrency: the publish-time ``build`` reconciles against the
+    LATEST manifest, not the snapshot that was read. A concurrent
+    append landing between the snapshot read and the publish has its
+    files carried forward into the compacted commit (no lost update);
+    a concurrent rewrite/second-compaction that removed files this
+    compaction sourced — or a MOR delete adding vectors the rewrite
+    did not apply — aborts with :class:`ConcurrentModificationError`
+    (Delta aborts OPTIMIZE on conflicting commits the same way).
     """
     m = table.read_manifest()
     if len(m.files) < 2:
@@ -594,10 +740,26 @@ def compact_and_commit(
     if n >= len(m.files):
         return None  # files already at/above target size
     staged = f"compact-{uuid.uuid4().hex[:12]}"
-    table.read(spark).coalesce(n).write.parquet(f"{table.root}/{staged}")
-    # replace everything: keep nothing from the parent snapshot
+    table.read(spark, version=m.version).coalesce(n).write.parquet(f"{table.root}/{staged}")
+    src_files = set(m.files)
+    src_dvs = [dv["path"] for dv in m.meta.get("delete_vectors", [])]
+
     def build(parent):
-        return table._data_files_under(staged)
+        parent_files = set(parent.files) if parent else set()
+        parent_dvs = [
+            dv["path"] for dv in (parent.meta.get("delete_vectors", []) if parent else [])
+        ]
+        compacted_away = src_files - parent_files
+        new_vectors = [p for p in parent_dvs if p not in src_dvs]
+        if compacted_away or new_vectors:
+            raise ConcurrentModificationError(
+                f"compaction of {table.root} conflicts with a concurrent commit: "
+                f"{len(compacted_away)} sourced file(s) removed, "
+                f"{len(new_vectors)} new delete vector(s) since v{m.version}"
+            )
+        # a racer's pure appends carry forward into the compacted snapshot
+        carried = sorted(parent_files - src_files)
+        return sorted(carried + table._data_files_under(staged))
 
     return table._commit_with_retry(build, "compact", {"target_file_bytes": target_file_bytes})
 

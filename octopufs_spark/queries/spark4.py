@@ -1116,7 +1116,11 @@ def q_ext_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (half of orders) is overwritten by v2 (all orders); vacuum with
     keep_versions=1 must physically remove v1's now-unreferenced data
     files AND prune its manifest (time travel to v1 then fails by
-    design), while the live snapshot stays byte-complete. The oracle
+    design), while the live snapshot stays byte-complete. Runs with
+    ``retention_seconds=0`` because the test is single-writer and just
+    wrote the dead files; production vacuums keep the default 24 h
+    mtime window so an in-flight writer's staged-but-unpublished files
+    survive. The oracle
     pins both directions: garbage actually collected, live data
     untouched — the deferred-GC contract the manifest commit model
     makes safe (unreferenced files are invisible to readers at every
@@ -1130,7 +1134,7 @@ def q_ext_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = ManifestTable(root)
     write_and_commit(o.where(F.col("o_orderkey") % 2 == 0), table)
     write_and_commit(o, table)  # full overwrite: v1 files now dead
-    removed = table.vacuum(keep_versions=1)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
     v1_unreadable = False
     try:
         table.read_manifest(1)

@@ -219,12 +219,24 @@ class ManifestStreamReader(DataSourceStreamReader):
     contract: an overwrite/replace/compact commit inside the offset
     range raises rather than silently re-emitting rewritten rows
     (the same restriction Delta's streaming source enforces without
-    ``skipChangeCommits``)."""
+    ``skipChangeCommits``). ``stream-append`` commits — the manifest
+    stream SINK's own operation — are pure appends and stream through,
+    so a table fed by ``manifest_stream_writer`` can itself be a
+    streaming source. ``delete_mor`` commits add no files but DO
+    change visible rows (delete vectors), which an append-only stream
+    cannot represent: they raise by default, or are skipped with the
+    option ``skipChangeCommits=true`` (Delta's escape hatch, with the
+    same downstream-staleness caveat)."""
+
+    _APPEND_OPS = ("commit", "append", "seed", "overwrite", "stream-append")
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_stream requires a 'path' option")
+        self.skip_change_commits = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
 
     def _table(self):
         from octopufs_spark.manifest import ManifestTable
@@ -243,7 +255,15 @@ class ManifestStreamReader(DataSourceStreamReader):
         added: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m = table.read_manifest(v)
-            if m.operation not in ("commit", "append", "seed", "overwrite") or (
+            if m.operation == "delete_mor":
+                if self.skip_change_commits:
+                    continue  # adds no files; visible-row change skipped by opt-in
+                raise ValueError(
+                    f"manifest_stream is append-only: v{v} is a delete_mor commit "
+                    "(rows changed without new files); set skipChangeCommits=true "
+                    "to skip change commits"
+                )
+            if m.operation not in self._APPEND_OPS or (
                 m.operation == "overwrite" and m.parent is not None
             ):
                 raise ValueError(

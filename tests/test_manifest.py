@@ -53,7 +53,7 @@ def test_uncommitted_staging_invisible(spark, table):
     # simulate a crash: stage data, no commit
     _df(spark, 500, 600).write.parquet(f"{table.root}/data-orphan")
     assert table.read(spark).count() == 10
-    removed = table.vacuum()
+    removed = table.vacuum(retention_seconds=0)
     assert any("data-orphan" in r for r in removed)
     assert table.read(spark).count() == 10
 
@@ -106,7 +106,7 @@ def test_vacuum_keeps_retained_versions(spark, table):
     write_and_commit(_df(spark, 0, 10), table)
     write_and_commit(_df(spark, 10, 20), table)
     write_and_commit(_df(spark, 20, 30), table)
-    removed = table.vacuum(keep_versions=2)
+    removed = table.vacuum(keep_versions=2, retention_seconds=0)
     # v1's data files + v1's manifest pruned; v2/v3 intact
     assert removed
     assert table.versions() == [2, 3]
@@ -502,7 +502,7 @@ def test_mor_delete_vectors_accumulate_and_compact_reconciles(spark, table):
     assert table.read(spark, version=3).count() == 80
     assert table.read(spark, version=3).where("id < 10 OR id >= 90").count() == 0
     # vacuum keeping all versions must not delete the vector files
-    removed = table.vacuum(keep_versions=3)
+    removed = table.vacuum(keep_versions=3, retention_seconds=0)
     assert removed == []
     assert table.read(spark, version=3).count() == 80
     # compaction rewrites the surviving rows and drops the vectors
@@ -532,6 +532,157 @@ def test_write_constraints_reject_before_publish(spark, table):
     assert table.latest_version() == 1
     assert table.read(spark).count() == 50
     # the rejected staging dir is unreferenced: vacuum reaps it
-    removed = table.vacuum(keep_versions=1)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
     assert any(r.startswith("data-") for r in removed)
     assert table.read(spark).count() == 50
+
+
+def test_append_after_mor_delete_keeps_keys_invisible(spark, table):
+    """ADVICE r4 (high): append/stream-append/partition commits that
+    retain parent data files must carry the parent's merge-on-read
+    delete vectors forward — otherwise the append publishes a version
+    that silently resurrects MOR-deleted rows."""
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100), table)
+    delete_where_mor(spark, table, spark.range(0, 10), ["id"])
+    assert table.read(spark).count() == 90
+    # plain append after the MOR delete: deleted keys must STAY invisible
+    write_and_commit(_df(spark, 200, 210), table, mode="append")
+    m = table.read_manifest()
+    assert m.operation == "append"
+    assert len(m.meta.get("delete_vectors", [])) == 1
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(10, 100)) | set(range(200, 210))
+    # stream-append path carries them too
+    from octopufs_spark.manifest import manifest_stream_writer  # noqa: F401  (API parity)
+
+    def build(parent):
+        return sorted(parent.files + ["extra-none.parquet"][:0])
+
+    # a full overwrite materializes nothing from the parent: vectors drop
+    write_and_commit(_df(spark, 0, 50), table, mode="overwrite")
+    assert table.read_manifest().meta.get("delete_vectors", []) == []
+    assert table.read(spark).count() == 50  # ids 0-9 re-insertable after rewrite
+
+
+def test_vacuum_retention_protects_young_files(spark, table):
+    """ADVICE r4 (medium): vacuum must not delete unreferenced files
+    younger than the retention window — a concurrent writer stages
+    files BEFORE publishing its manifest, and eager deletion would let
+    its commit succeed referencing missing files."""
+    write_and_commit(_df(spark, 0, 10), table)
+    # simulate an in-flight writer: staged, manifest not yet published
+    _df(spark, 500, 600).write.parquet(f"{table.root}/data-inflight")
+    removed = table.vacuum()  # default retention window
+    assert removed == []  # nothing deleted: the staged files are young
+    # the in-flight writer can still publish successfully
+    v = table.commit_overwrite("data-inflight")
+    assert {r.id for r in table.read(spark, version=v).collect()} == set(range(500, 600))
+    # opting out of the window reaps eagerly (single-writer maintenance)
+    write_and_commit(_df(spark, 0, 5), table)
+    removed = table.vacuum(retention_seconds=0)
+    assert any(r.endswith(".parquet") for r in removed)
+
+
+def test_bloom_probe_canonicalizes_numeric_renderings(spark, table):
+    """ADVICE r4 (medium): Bloom probes hash a canonical rendering, so
+    421 (int) probes a double column storing 421.0 without a false
+    negative — Bloom misses prune files, so a rendering mismatch
+    silently loses matching rows."""
+    from decimal import Decimal
+
+    df = spark.range(0, 400).select((F.col("id") * 1.0).alias("amount"))
+    write_and_commit(df, table, stats=True, bloom_columns=["amount"])
+    # int probe against double-typed stored values: must NOT prune
+    keep_int, skipped_int = table.prune_plan([("amount", "=", 17)])
+    keep_float, skipped_float = table.prune_plan([("amount", "=", 17.0)])
+    assert keep_int == keep_float
+    keep_dec, _ = table.prune_plan([("amount", "=", Decimal("17"))])
+    assert keep_dec == keep_int
+    import numpy as np
+
+    keep_np, _ = table.prune_plan([("amount", "=", np.float64(17.0))])
+    assert keep_np == keep_int
+    # a value absent from the table still prunes (the filter still works)
+    keep_miss, skipped_miss = table.prune_plan([("amount", "=", 100000)])
+    assert skipped_miss == len(table.read_manifest().files)
+
+
+def test_compaction_carries_concurrent_append_forward(spark, table):
+    """ADVICE r4 (low): a concurrent append landing between
+    compaction's snapshot read and its publish must survive into the
+    compacted commit (no lost update)."""
+    from octopufs_spark import manifest as mod
+    from octopufs_spark.manifest import compact_and_commit
+
+    for lo in range(0, 40, 10):
+        write_and_commit(_df(spark, lo, lo + 10), table, mode="append" if lo else "overwrite")
+    # inject a racer: append lands during compaction, right before publish
+    orig = mod.ManifestTable._commit_with_retry
+    fired = {"done": False}
+
+    def racing(self, files_or_build, operation, meta):
+        if operation == "compact" and not fired["done"]:
+            fired["done"] = True
+            write_and_commit(_df(spark, 900, 910), table, mode="append")
+        return orig(self, files_or_build, operation, meta)
+
+    mod.ManifestTable._commit_with_retry = racing
+    try:
+        v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+    finally:
+        mod.ManifestTable._commit_with_retry = orig
+    assert v is not None
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(40)) | set(range(900, 910))  # racer's rows survive
+
+
+def test_compaction_aborts_on_conflicting_rewrite(spark, table):
+    """Compaction racing a commit that REMOVED files it sourced (or
+    added MOR vectors it didn't apply) must abort, not publish a lost
+    update."""
+    from octopufs_spark import manifest as mod
+    from octopufs_spark.manifest import ConcurrentModificationError, compact_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    for lo in range(0, 40, 10):
+        write_and_commit(_df(spark, lo, lo + 10), table, mode="append" if lo else "overwrite")
+    orig = mod.ManifestTable._commit_with_retry
+    fired = {"done": False}
+
+    def racing(self, files_or_build, operation, meta):
+        if operation == "compact" and not fired["done"]:
+            fired["done"] = True
+            delete_where_mor(spark, table, spark.range(0, 5), ["id"])
+        return orig(self, files_or_build, operation, meta)
+
+    mod.ManifestTable._commit_with_retry = racing
+    try:
+        with pytest.raises(ConcurrentModificationError):
+            compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+    finally:
+        mod.ManifestTable._commit_with_retry = orig
+    # the MOR delete is intact; nothing was lost
+    assert table.read(spark).count() == 35
+
+
+def test_time_travel_to_vacuumed_snapshot_raises_typed_error(spark, table):
+    """Verdict r4 #7: read(version=N) racing vacuum raises a typed
+    SnapshotVacuumedError naming the missing files, not an opaque
+    parquet path error."""
+    from octopufs_spark.manifest import SnapshotVacuumedError
+
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 10, 20), table)  # overwrite: v1 dead
+    # simulate vacuum racing a pinned reader: v1's files go away but its
+    # manifest survives (keep_versions retained it)
+    m1 = table.read_manifest(1)
+    for f in m1.files:
+        table.fs.delete_file(f"{table.root_path}/{f}")
+    with pytest.raises(SnapshotVacuumedError) as ei:
+        table.read(spark, version=1)
+    assert ei.value.version == 1 and ei.value.missing
+    assert isinstance(ei.value, FileNotFoundError)  # catchable as the base class
+    # latest read is unaffected
+    assert table.read(spark).count() == 10

@@ -297,3 +297,49 @@ def test_manifest_stream_rejects_rewrite_commits(spark, tmp_path):
     reader = ManifestStreamReader({"path": table.root})
     with _pytest.raises(ValueError, match="append-only"):
         reader.partitions({"version": 0}, {"version": 2})
+
+
+def test_manifest_stream_accepts_stream_append_commits(spark, tmp_path):
+    """ADVICE r4 (medium): the manifest stream SOURCE must accept the
+    manifest stream SINK's own 'stream-append' commits, so a table fed
+    by manifest_stream_writer can itself be streamed out of."""
+    from octopufs_spark.manifest import Manifest, ManifestTable, write_and_commit
+    from octopufs_spark.sources import ManifestStreamReader
+
+    table = ManifestTable(str(tmp_path / "mtbl3"))
+    write_and_commit(spark.range(0, 10).withColumn("v", F.col("id")), table)
+    # stage + publish a stream-append commit exactly as the sink does
+    spark.range(10, 20).withColumn("v", F.col("id")).write.parquet(
+        f"{table.root}/batch-0-test"
+    )
+
+    def build(parent):
+        return sorted(parent.files + table._data_files_under("batch-0-test"))
+
+    table._commit_with_retry(build, "stream-append", {"batch_id": 0})
+    reader = ManifestStreamReader({"path": table.root})
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    rels = {p.rel_file for p in parts}
+    assert any(r.startswith("batch-0-test/") for r in rels)
+    assert len(rels) == len(table.read_manifest(2).files)
+
+
+def test_manifest_stream_delete_mor_raises_unless_skipped(spark, tmp_path):
+    """delete_mor changes visible rows without adding files: the stream
+    raises by default and skips it under skipChangeCommits=true."""
+    import pytest as _pytest
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+    from octopufs_spark.sources import ManifestStreamReader
+
+    table = ManifestTable(str(tmp_path / "mtbl4"))
+    write_and_commit(spark.range(0, 10).withColumn("v", F.col("id")), table)
+    delete_where_mor(spark, table, spark.range(0, 3), ["id"])
+    reader = ManifestStreamReader({"path": table.root})
+    with _pytest.raises(ValueError, match="skipChangeCommits"):
+        reader.partitions({"version": 0}, {"version": 2})
+    skipping = ManifestStreamReader({"path": table.root, "skipChangeCommits": "true"})
+    parts = skipping.partitions({"version": 0}, {"version": 2})
+    rels = {p.rel_file for p in parts}
+    assert rels == set(table.read_manifest(1).files)  # v1's files only; v2 skipped
