@@ -107,17 +107,36 @@ FROM supplier
 """,
 )
 def q_window_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DENSE_RANK + NTILE quartiles (deterministic tiebreak)."""
-    supp = load(spark, sf_dir, "supplier")
-    return supp.select(
+    """DENSE_RANK + NTILE quartiles (deterministic tiebreak) without
+    the single-partition WindowExec of a bare ``Window.orderBy``:
+
+    - DENSE_RANK over a value = row_number over the DISTINCT values
+      (an aggregate-sized relation) joined back on the value — the
+      distinct's global row number itself runs distributed
+      (scale.global_row_number), and the join broadcasts when the
+      value domain is small (25 nations here).
+    - NTILE(k) is pure arithmetic on the distributed global row number
+      and the total count, using SQL NTILE's exact size rule: the
+      first ``n % k`` tiles get ``n//k + 1`` rows, the rest ``n//k``.
+    """
+    from octopufs_spark.scale import global_row_number
+
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    nations = supp.select("s_nationkey").distinct()
+    nation_ranked, _ = global_row_number(nations, ["s_nationkey"], out_col="nation_rank")
+    ranked, n = global_row_number(supp, [F.desc("s_acctbal"), F.asc("s_suppkey")])
+    q, r = divmod(n, 4)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    tile = F.when(
+        F.col("_rn") <= F.lit(big),
+        F.ceil(F.col("_rn") / F.lit(max(q + 1, 1))),
+    ).otherwise(F.lit(r) + F.ceil((F.col("_rn") - F.lit(big)) / F.lit(max(q, 1))))
+    return ranked.join(F.broadcast(nation_ranked), "s_nationkey").select(
         "s_suppkey",
         "s_nationkey",
         "s_acctbal",
-        F.dense_rank().over(Window.orderBy("s_nationkey")).cast("long").alias("nation_rank"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")))
-        .cast("long")
-        .alias("bal_quartile"),
+        F.col("nation_rank").cast("long").alias("nation_rank"),
+        tile.cast("long").alias("bal_quartile"),
     )
 
 

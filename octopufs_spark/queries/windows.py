@@ -129,15 +129,24 @@ FROM supplier
 )
 def q_window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT_RANK and CUME_DIST over a deterministic total order
-    (acctbal with suppkey tiebreak). Both are rank/count ratios —
-    exact integer divisions, rounded 9 only to absorb the engines'
-    division-order difference in (rank-1)/(n-1)."""
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return load(spark, sf_dir, "supplier").select(
+    (acctbal with suppkey tiebreak), computed WITHOUT the
+    single-partition WindowExec a bare ``Window.orderBy`` plans (at
+    100× the table serializes through one core). The total order makes
+    every row its own peer group, so both functions are pure rank
+    arithmetic over a distributed global row number
+    (scale.global_row_number: range partition → parallel local ranks →
+    broadcast prefix offsets): PERCENT_RANK = (rn-1)/(n-1),
+    CUME_DIST = rn/n. Rounded 9 to absorb engines' division-order
+    difference."""
+    from octopufs_spark.scale import global_row_number
+
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ranked, n = global_row_number(supp, ["s_acctbal", "s_suppkey"])
+    return ranked.select(
         "s_suppkey",
         "s_acctbal",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.round((F.col("_rn") - 1) / F.lit(max(n - 1, 1)), 9).alias("pct_rank"),
+        F.round(F.col("_rn") / F.lit(n), 9).alias("cume"),
     )
 
 

@@ -150,6 +150,59 @@ def global_cumsum(
     return out
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "_rn",
+    n_parts: int = 32,
+) -> tuple[DataFrame, int]:
+    """Distributed global ROW_NUMBER() OVER (ORDER BY ...) — the
+    scale-safe replacement for an unpartitioned ranking window, whose
+    Spark plan (WindowExec, "No Partition Defined") moves the ENTIRE
+    relation into one task. Same three-step shape as
+    :func:`global_cumsum`:
+
+    1. ``repartitionByRange`` on the sort keys: contiguous key ranges,
+       one shuffle (the sort any global rank needs anyway).
+    2. Per-partition local row numbers via a window PARTITIONED by
+       ``spark_partition_id()`` — fully parallel.
+    3. Per-partition counts (``n_parts`` rows) collected, turned into
+       exclusive prefix offsets, broadcast-joined back:
+       ``rn = local_rn + offset``.
+
+    ``order_cols`` must be a TOTAL order (include a tiebreak key) —
+    then the result is exactly the single-partition window's, and
+    every global rank family derives from it arithmetically:
+    PERCENT_RANK = (rn-1)/(n-1), CUME_DIST = rn/n (total order ⇒
+    every row is its own peer group), NTILE(k) by the size formula,
+    DENSE_RANK over values = row_number over DISTINCT values joined
+    back. Returns ``(df_with_rn, total_rows)`` — the count is free
+    (sum of the collected per-partition counts)."""
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(n_parts, *order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # localCheckpoint pins the sampled range boundaries: the counts
+    # collect and the caller's final action must agree on partition
+    # assignment (see global_cumsum).
+    local = with_pid.withColumn("_local_rn", F.row_number().over(local_w)).localCheckpoint()
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    counts.sort(key=lambda r: r["_pid"])
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.append((row["_pid"], acc))
+        acc += row["_cnt"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_rn", "_offset")
+    )
+    return out, acc
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_key: str, n_buckets: int = 8, path: str | None = None
 ) -> None:
