@@ -53,3 +53,46 @@ def test_registry_matches_survey_declaration():
     registered = set(entrymod.queries())
     assert registered - declared == set(), f"undeclared: {sorted(registered - declared)}"
     assert declared - registered == set(), f"unregistered: {sorted(declared - registered)}"
+
+
+def test_registry_order_is_stable_and_fresh_first(tmp_path, monkeypatch):
+    """Verdict r4 #8: the driver's bounded per-round sample reads a
+    PREFIX of queries(), so _ordered() must (a) put never-driver-
+    verified queries first, (b) be byte-stable across repeated calls,
+    and (c) respond to a CORRECTNESS refresh only by MOVING newly
+    verified names to the done group — never by reshuffling relative
+    order within a group."""
+    import json
+
+    from octopufs_spark import registry
+
+    order1 = list(entrymod.queries())
+    order2 = list(entrymod.queries())
+    assert order1 == order2  # deterministic across calls
+
+    seen = registry._previously_verified()
+    fresh = [n for n in order1 if n not in seen]
+    done = [n for n in order1 if n in seen]
+    assert order1 == fresh + done  # fresh-first, no interleaving
+
+    # simulate the next round verifying the first two fresh queries
+    fake_root = tmp_path
+    newly = fresh[:2]
+    (fake_root / "CORRECTNESS_r99.json").write_text(
+        json.dumps(
+            {n: {"rows_match": True, "schema_match": True, "hash_match": True} for n in newly}
+        )
+    )
+    # keep all real history too
+    import glob as _glob
+    import shutil
+
+    for p in _glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        shutil.copy(p, fake_root)
+    monkeypatch.setenv("OCTOPUFS_REPO_ROOT", str(fake_root))
+    refreshed = list(entrymod.queries())
+    exp_fresh = [n for n in fresh if n not in newly]
+    assert refreshed[: len(exp_fresh)] == exp_fresh  # survivors keep order
+    assert set(refreshed[len(exp_fresh) :]) == set(done) | set(newly)
+    # relative order inside the done group is also stable
+    assert [n for n in refreshed if n in set(done)] == done

@@ -686,3 +686,69 @@ def test_time_travel_to_vacuumed_snapshot_raises_typed_error(spark, table):
     assert isinstance(ei.value, FileNotFoundError)  # catchable as the base class
     # latest read is unaffected
     assert table.read(spark).count() == 10
+
+
+def test_n_writer_contention_linearizable_history(spark, table):
+    """Verdict r4 #5: randomized N-writer property — 8 concurrent
+    appenders x 3 rounds each, with a vacuum running throughout.
+    Asserts: (a) version history is LINEAR (versions contiguous, each
+    manifest's parent is exactly the previous version), (b) every
+    commit that reported success is present in the final snapshot (no
+    lost updates), (c) rows of commits that exhausted the bounded
+    retry never appear (atomicity), (d) vacuum with the default
+    retention window removes nothing while writers are in flight."""
+    import random
+
+    rng = random.Random(42)
+    N, R = 8, 3
+    write_and_commit(_df(spark, 0, 10), table)  # seed v1
+    succeeded: list[tuple[int, int]] = []  # (lo, version)
+    failed: list[int] = []
+    vacuum_removed: list[str] = []
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def writer(w: int):
+        for r in range(R):
+            lo = 1000 * (w + 1) + 100 * r  # disjoint id ranges per commit
+            try:
+                v = write_and_commit(_df(spark, lo, lo + 10), table, mode="append")
+                with lock:
+                    succeeded.append((lo, v))
+            except RuntimeError:
+                with lock:
+                    failed.append(lo)
+
+    def vacuumer():
+        while not stop.is_set():
+            removed = table.vacuum()  # default retention: must be a no-op
+            with lock:
+                vacuum_removed.extend(removed)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    rng.shuffle(threads)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    vt.join()
+
+    assert vacuum_removed == []  # retention window protected every young file
+    versions = table.versions()
+    assert versions == list(range(1, len(versions) + 1))  # contiguous
+    for v in versions[1:]:
+        assert table.read_manifest(v).parent == v - 1  # linear chain
+    # distinct version per successful commit
+    got_versions = [v for _, v in succeeded]
+    assert len(got_versions) == len(set(got_versions))
+    assert len(versions) == 1 + len(succeeded)
+    ids = {r.id for r in table.read(spark).collect()}
+    expect = set(range(10))
+    for lo, _ in succeeded:
+        expect |= set(range(lo, lo + 10))
+    assert ids == expect  # every success present; nothing else
+    for lo in failed:
+        assert not (set(range(lo, lo + 10)) & ids)  # failed commits invisible
