@@ -46,8 +46,10 @@ MOCKFS_ROOT = os.environ.get("OCTOPUFS_MOCKFS_ROOT", "/tmp/octopufs_mockfs")
 class MockRemoteHandler(pafs.FileSystemHandler):
     """Delegates to a rooted LocalFileSystem under a distinct scheme."""
 
-    def __init__(self, root: str = MOCKFS_ROOT):
-        self.root = root.rstrip("/")
+    def __init__(self, root: str | None = None):
+        # resolve the module-level root at CALL time, not at class
+        # definition: tests repoint MOCKFS_ROOT per-fixture for isolation
+        self.root = (root if root is not None else MOCKFS_ROOT).rstrip("/")
         self._local = pafs.LocalFileSystem()
         os.makedirs(self.root, exist_ok=True)
 
@@ -95,11 +97,21 @@ class MockRemoteHandler(pafs.FileSystemHandler):
         return [self._reinfo(i) for i in self._local.get_file_info(sel)]
 
     # -- tree mutation ------------------------------------------------------
+    # Mutations notify the ACL backend (fs/mock_acl.py) so entries
+    # follow node lifecycle like a real ADLS/HDFS store: create-time
+    # DEFAULT inheritance, delete drops, rename carries. Hooks no-op
+    # unless an ACL sidecar exists.
     def create_dir(self, path: str, recursive: bool) -> None:
         self._local.create_dir(self._abs(path), recursive=recursive)
+        from octopufs_spark.fs import mock_acl
+
+        mock_acl.on_create_dir(path)
 
     def delete_dir(self, path: str) -> None:
         self._local.delete_dir(self._abs(path))
+        from octopufs_spark.fs import mock_acl
+
+        mock_acl.on_delete(path)
 
     def delete_dir_contents(self, path: str, missing_dir_ok: bool = False) -> None:
         try:
@@ -107,6 +119,11 @@ class MockRemoteHandler(pafs.FileSystemHandler):
         except FileNotFoundError:
             if not missing_dir_ok:
                 raise
+        from octopufs_spark.fs import mock_acl
+
+        for child in list(mock_acl._load()):
+            if child.startswith(mock_acl._norm(path) + "/"):
+                mock_acl.on_delete(child)
 
     def delete_root_dir_contents(self) -> None:
         # Refuse: the mock root hosts every "bucket"; wiping it from one
@@ -115,16 +132,25 @@ class MockRemoteHandler(pafs.FileSystemHandler):
 
     def delete_file(self, path: str) -> None:
         self._local.delete_file(self._abs(path))
+        from octopufs_spark.fs import mock_acl
+
+        mock_acl.on_delete(path)
 
     def move(self, src: str, dest: str) -> None:
         dest_abs = self._abs(dest)
         os.makedirs(os.path.dirname(dest_abs), exist_ok=True)
         self._local.move(self._abs(src), dest_abs)
+        from octopufs_spark.fs import mock_acl
+
+        mock_acl.on_move(src, dest)
 
     def copy_file(self, src: str, dest: str) -> None:
         dest_abs = self._abs(dest)
         os.makedirs(os.path.dirname(dest_abs), exist_ok=True)
         self._local.copy_file(self._abs(src), dest_abs)
+        from octopufs_spark.fs import mock_acl
+
+        mock_acl.on_create_file(dest)  # copies are new nodes: inherit, don't clone
 
     # -- streams ------------------------------------------------------------
     def open_input_stream(self, path: str):
@@ -136,6 +162,9 @@ class MockRemoteHandler(pafs.FileSystemHandler):
     def open_output_stream(self, path: str, metadata=None):
         abs_path = self._abs(path)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        from octopufs_spark.fs import mock_acl
+
+        mock_acl.on_create_file(path)
         return self._local.open_output_stream(abs_path)
 
     def open_append_stream(self, path: str, metadata=None):
