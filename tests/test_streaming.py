@@ -303,3 +303,69 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM ddww_out").collect()[0]
     assert got["n"] == got["d"] == ev.count()
+
+
+def test_stream_join_watermark_bounds_state(spark, tmp_path):
+    """Verdict r4 #6: drive clicks_purchases_join through LIVE
+    time-ordered micro-batches and assert the watermark actually
+    EVICTS buffered join state — rows older than watermark+horizon are
+    removed from the state store (numRowsRemoved > 0) and the final
+    state is a strict subset of everything fed (numRowsTotal bounded).
+    Without the interval bound + watermark the join state grows
+    forever; this pins the load-bearing eviction behavior, not just
+    result equivalence (covered by test_stream_stream_interval_join)."""
+    import datetime as dt
+
+    src = str(tmp_path / "join_src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def batch(day: int, n: int, id0: int):
+        rows = []
+        for i in range(n):
+            ts = base + dt.timedelta(days=day, minutes=i)
+            uid = 100 * day + i  # unique user per pair: exactly one match each
+            rows.append((id0 + 2 * i, ts, uid, "click", 1.0, "{}"))
+            rows.append((id0 + 2 * i + 1, ts + dt.timedelta(minutes=5), uid, "purchase", 2.0, "{}"))
+        return spark.createDataFrame(rows, streaming.EVENTS_STREAM_SCHEMA)
+
+    # batch 1 seeds state; batches 2..4 jump the event clock by a day
+    # each — far past watermark(10m)+horizon(30m) — so batch N's
+    # completion lets Spark evict batch N-1's buffered rows.
+    batch(0, 20, 0).coalesce(1).write.mode("append").parquet(src)
+    clicks = streaming.read_events_stream(spark, src).where(F.col("event_type") == "click")
+    purchases = streaming.read_events_stream(spark, src).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming.clicks_purchases_join(
+        clicks, purchases, horizon="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_wm_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        fed = 20
+        for day in (1, 2, 3):
+            batch(day, 20, 1000 * day).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            fed += 20
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p in progresses
+            for op in p["stateOperators"]
+        )
+        final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    # every in-horizon pair joined (20 per batch), none duplicated
+    assert spark.table("t_wm_state").count() == 4 * 20
+    assert removed > 0, "watermark never evicted join state"
+    # bounded: final state holds at most the last batch's rows (both
+    # sides), never the whole history
+    assert final_state <= 2 * 2 * 20, f"state unbounded: {final_state} rows"
+    assert final_state < 2 * fed
