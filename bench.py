@@ -156,7 +156,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # BENCH_OUT redirects the full per-query record (e.g. BENCH_SF1.json
+    # for the scale sweep) so off-default runs don't clobber the sf0.1
+    # record the plan-metrics gate baselines against.
+    full_path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
     try:
         with open(full_path, "w") as f:
             json.dump(dict(payload, plan_metrics=plan_metrics), f, indent=1)

@@ -149,10 +149,42 @@ class ManifestTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
-        for dv in m.meta.get("delete_vectors", []):
-            from pyspark.sql import functions as _F
+        return self._apply_delete_vectors(spark, reader.parquet(*paths), m)
 
+    def _apply_delete_vectors(self, spark: SparkSession, df: DataFrame, m: Manifest) -> DataFrame:
+        """Apply the snapshot's merge-on-read delete vectors to a raw
+        parquet scan. Two vector kinds:
+
+        - key-granular (``keys``): equality deletes — broadcast
+          anti-join on the key columns; applies to the WHOLE snapshot
+          (re-inserting a deleted key needs a compaction first).
+        - positional (``type: "positional"``): the Delta
+          deletion-vector model — (file, row position) pairs, scoped
+          to exactly the files named at delete time. Applied via the
+          parquet scan's ``_metadata.file_path``/``row_index`` virtual
+          columns (no data columns touched, no key semantics): later
+          appends are naturally unaffected, and a sorted/pruned scan
+          keeps its shape since the anti-join is broadcast.
+        """
+        from pyspark.sql import functions as _F
+
+        dvs = m.meta.get("delete_vectors", [])
+        pos_dvs = [dv for dv in dvs if dv.get("type") == "positional"]
+        key_dvs = [dv for dv in dvs if not dv.get("type")]
+        if pos_dvs:
+            marker = self.root_path + "/"
+            fp = _F.col("_metadata.file_path")
+            rel = fp.substr(
+                _F.locate(marker, fp) + len(marker), _F.length(fp)
+            )
+            df = df.withColumns({"_dv_file": rel, "_dv_pos": _F.col("_metadata.row_index")})
+            for dv in pos_dvs:
+                gone = spark.read.parquet(f"{self.root}/{dv['path']}").select(
+                    _F.col("file").alias("_dv_file"), _F.col("pos").alias("_dv_pos")
+                )
+                df = df.join(_F.broadcast(gone), ["_dv_file", "_dv_pos"], "left_anti")
+            df = df.drop("_dv_file", "_dv_pos")
+        for dv in key_dvs:
             keys_df = spark.read.parquet(f"{self.root}/{dv['path']}")
             df = df.join(_F.broadcast(keys_df), dv["keys"], "left_anti")
         return df
@@ -546,12 +578,7 @@ class ManifestTable:
             first = f"{self.root}/{m.files[0]}"
             return spark.read.parquet(first).limit(0)
         df = spark.read.parquet(*[f"{self.root}/{p}" for p in keep])
-        for dv in m.meta.get("delete_vectors", []):
-            from pyspark.sql import functions as _F
-
-            keys_df = spark.read.parquet(f"{self.root}/{dv['path']}")
-            df = df.join(_F.broadcast(keys_df), dv["keys"], "left_anti")
-        return df
+        return self._apply_delete_vectors(spark, df, m)
 
     # ---------- maintenance ----------
 

@@ -153,3 +153,54 @@ def delete_where_mor(
         {"path": dv_rel, "keys": keys}
     ]
     return table._commit_with_retry(build, "delete_mor", meta)
+
+
+def delete_where_mor_positional(
+    spark: SparkSession,
+    table: ManifestTable,
+    predicate: str,
+) -> int:
+    """POSITION-granular merge-on-read delete — the Delta deletion-
+    vector bitmap model, vs :func:`delete_where_mor`'s Iceberg-style
+    equality deletes. The current snapshot is scanned ONCE with the
+    parquet reader's virtual ``_metadata.file_path``/``row_index``
+    columns; rows matching ``predicate`` (a SQL condition string) are
+    recorded as (relative file, row position) pairs in a tiny parquet
+    vector, and a new version commits with the DATA FILE SET UNCHANGED.
+
+    Why positions beat keys when the predicate identifies exact rows:
+
+    - the vector is scoped to exactly the files scanned — a later
+      append can re-insert identical values and they stay visible
+      (equality vectors shadow re-inserts until compaction);
+    - the read-side anti-join is on (file, position) — no dependence
+      on key columns existing or being unique, and a sorted scan's
+      shape survives (broadcast anti-join on virtual columns);
+    - at 100 TB a delete touching 0.1% of rows commits KBs, and
+      compaction later materializes it (rewrite commits retain no
+      parent files, so `_carry_delete_vectors` drops the vector).
+    """
+    import uuid
+
+    m = table.read_manifest()
+    scan = spark.read.parquet(*[f"{table.root}/{p}" for p in m.files])
+    marker = table.root_path + "/"
+    fp = F.col("_metadata.file_path")
+    rel = fp.substr(F.locate(marker, fp) + len(marker), F.length(fp))
+    dv_rel = f"_dv/dvp-{uuid.uuid4().hex[:12]}.parquet"
+    hits = scan.where(F.expr(predicate)).select(
+        rel.alias("file"), F.col("_metadata.row_index").cast("long").alias("pos")
+    )
+    hits.write.mode("errorifexists").parquet(f"{table.root}/{dv_rel}")
+
+    def build(parent):
+        if parent is None:
+            raise ValueError("MOR delete requires an existing snapshot")
+        return list(parent.files)
+
+    parent = table.read_manifest()
+    meta = dict(parent.meta)
+    meta["delete_vectors"] = list(parent.meta.get("delete_vectors", [])) + [
+        {"path": dv_rel, "type": "positional"}
+    ]
+    return table._commit_with_retry(build, "delete_mor", meta)

@@ -2024,3 +2024,55 @@ def q_ext_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_events", "n_users", "erased_user_rows")
 
     return snap(1).unionByName(snap(2))
+
+
+@register(
+    "q_ext_delete_vectors_pos",
+    oracle="""
+SELECT TRUE AS no_rewrite,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 7) AS BIGINT) AS n_rows_v2,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE o_orderkey % 10 <> 7) AS DOUBLE) AS total_v2,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 7) AS BIGINT) AS n_reinserted
+""",
+)
+def q_ext_delete_vectors_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-granular deletion vectors (the Delta DV bitmap model,
+    vs q_ext_delete_vectors' Iceberg-style equality deletes): decile-7
+    orders are MOR-deleted by recording (file, row position) pairs
+    from the parquet scan's ``_metadata`` virtual columns — data file
+    set byte-identical across versions (``no_rewrite``), matching rows
+    invisible at v2. The model's distinguishing property is then
+    value-verified: RE-APPENDING the deleted rows makes them visible
+    again (``n_reinserted``), because positional vectors are scoped to
+    exactly the files scanned at delete time — an equality vector
+    would shadow the re-insert until compaction. At 100 TB: the delete
+    commits KBs, the read-side cost is one broadcast anti-join on
+    virtual columns, and no key columns are required at all."""
+    import tempfile
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="octopufs_dvp_")
+    table = ManifestTable(root)
+    write_and_commit(o, table)
+    delete_where_mor_positional(spark, table, "o_orderkey % 10 = 7")
+    no_rewrite = sorted(table.read_manifest(1).files) == sorted(
+        table.read_manifest(2).files
+    )
+    v2 = table.read(spark, version=2).agg(
+        F.count("*").alias("n2"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("t2"),
+    )
+    write_and_commit(o.where(F.col("o_orderkey") % 10 == 7), table, mode="append")
+    v3_reinserted = table.read(spark).where(F.col("o_orderkey") % 10 == 7).agg(
+        F.count("*").alias("nr")
+    )
+    return v2.crossJoin(v3_reinserted).select(
+        F.lit(no_rewrite).alias("no_rewrite"),
+        F.col("n2").cast("long").alias("n_rows_v2"),
+        F.col("t2").alias("total_v2"),
+        F.col("nr").cast("long").alias("n_reinserted"),
+    )

@@ -46,3 +46,18 @@ def test_shuffle_metrics_vs_baseline():
         "shuffle plan regressions vs tools/bench_baseline.json "
         "(refresh the baseline if intentional):\n" + "\n".join(regressions)
     )
+
+
+def test_no_superlinear_growth_at_sf1():
+    """Verdict r4 #3: per-query sf0.1->sf1 growth must stay within the
+    10x data ratio (with slack); super-linear queries need an explicit
+    'scale-exempt: <name>' justification in SCALE.md."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import scale_gate
+
+    if not (REPO / "BENCH_SF1.json").exists() or not (REPO / "BENCH_FULL.json").exists():
+        pytest.skip("sf1 bench not recorded")
+    bad = scale_gate.check()
+    assert not bad, "super-linear sf1 growth (justify in SCALE.md or fix):\n" + "\n".join(bad)

@@ -752,3 +752,57 @@ def test_n_writer_contention_linearizable_history(spark, table):
     assert ids == expect  # every success present; nothing else
     for lo in failed:
         assert not (set(range(lo, lo + 10)) & ids)  # failed commits invisible
+
+
+def test_positional_delete_vectors(spark, table):
+    """Position-granular MOR delete (Delta DV model): data files
+    untouched, matching rows invisible, and — unlike key-granular
+    equality vectors — a later append can RE-INSERT identical values
+    visibly, because the vector is scoped to the files scanned at
+    delete time."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 100), table)
+    files_v1 = set(table.read_manifest(1).files)
+    v = delete_where_mor_positional(spark, table, "id < 10")
+    m = table.read_manifest(v)
+    assert set(m.files) == files_v1  # no rewrite
+    assert m.meta["delete_vectors"][0]["type"] == "positional"
+    assert {r.id for r in table.read(spark).collect()} == set(range(10, 100))
+    # time travel: v1 still sees everything
+    assert table.read(spark, version=1).count() == 100
+    # append re-inserting deleted values: POSITIONAL vectors don't
+    # shadow them (the new file isn't named by the vector)
+    write_and_commit(_df(spark, 0, 5), table, mode="append")
+    ids = sorted(r.id for r in table.read(spark).collect())
+    assert ids == sorted(list(range(0, 5)) + list(range(10, 100)))
+    # a second positional delete stacks
+    delete_where_mor_positional(spark, table, "id >= 90")
+    ids = sorted(r.id for r in table.read(spark).collect())
+    assert ids == sorted(list(range(0, 5)) + list(range(10, 90)))
+    # compaction materializes and drops the vectors
+    from octopufs_spark.manifest import compact_and_commit
+
+    v = compact_and_commit(spark, table)
+    m = table.read_manifest(v)
+    assert m.meta.get("delete_vectors", []) == []
+    assert sorted(r.id for r in table.read(spark).collect()) == sorted(
+        list(range(0, 5)) + list(range(10, 90))
+    )
+
+
+def test_positional_vectors_compose_with_pruned_reads(spark, table):
+    """read_pruned applies positional vectors too: zone-map pruning
+    and MOR deletes compose."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    df = _df(spark, 0, 1000).repartitionByRange(4, "id")
+    staged = "data-ranged"
+    df.write.parquet(f"{table.root}/{staged}")
+    meta = {"file_stats": None}
+    files = table._data_files_under(staged)
+    table.commit_overwrite(staged, meta={"file_stats": table.collect_file_stats(files)})
+    delete_where_mor_positional(spark, table, "id % 10 = 0")
+    got = table.read_pruned(spark, [("id", "<", 500)])
+    ids = {r.id for r in got.where("id < 500").collect()}
+    assert ids == {i for i in range(500) if i % 10 != 0}

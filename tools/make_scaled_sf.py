@@ -1,0 +1,91 @@
+"""Generate a larger scale factor by FK-preserving replication.
+
+The driver ships sf0.001/0.01/0.1 only; the round-4 verdict (item 3)
+asks for a bench sweep at sf1 because quadratic-ish candidate growth
+(inverted-index joins, band occupancy, self-joins) hides at small
+scale. This tool builds ``sf1``-shaped data from ``sf0.1`` by
+replicating every scaling table K times with a disjoint key offset per
+replica — exactly the TPC-H dbgen property the queries rely on:
+
+- all integer keys (custkey/orderkey/partkey/suppkey/event_id/user_id/
+  doc_id/vec_id) shift by ``replica * 10_000_000`` so joins stay
+  referentially intact and per-key group sizes stay CONSTANT (the
+  correct scaling model: 10x rows, 10x keys, not 10x-hot keys);
+- fixed dimensions (region, nation) keep one copy;
+- document text gets a per-replica suffix token (and n_chars bump) so
+  the near-dup candidate structure scales linearly instead of turning
+  every doc into a 10-clone cluster;
+- embeddings get a tiny deterministic per-replica perturbation so ANN
+  bucket occupancy scales like real data, not like mass duplicates.
+
+Usage: python tools/make_scaled_sf.py [K] [src_sf_dir] [out_dir]
+Defaults: 10 /root/testdata/sf0.1 /root/repo/.benchdata/sf1
+Output layout matches the driver's: ``<out>/<table>.parquet`` (dirs).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+OFFSET = 10_000_000
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def scale_table(df, table: str, k: int):
+    out = None
+    for r in range(k):
+        rep = df
+        for c in KEY_COLS[table]:
+            rep = rep.withColumn(c, (F.col(c) + F.lit(r * OFFSET)).cast("long"))
+        if table == "documents" and r > 0:
+            suffix = F.lit(f" r{r}")
+            rep = rep.withColumn("text", F.concat(F.col("text"), suffix)).withColumn(
+                "n_chars", (F.col("n_chars") + F.length(suffix)).cast(df.schema["n_chars"].dataType.simpleString())
+            )
+        if table == "embeddings" and r > 0:
+            eps = float(r) * 1e-3
+            rep = rep.withColumn(
+                "embedding", F.transform(F.col("embedding"), lambda x: x + F.lit(eps))
+            )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def main() -> int:
+    from octopufs_spark.session import get_spark
+    from octopufs_spark.tables import load
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.benchdata/sf1"
+    spark = get_spark("make_scaled_sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in FIXED:
+        load(spark, src, t).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(f"{t}: copied")
+    for t, _ in KEY_COLS.items():
+        df = load(spark, src, t)
+        scaled = scale_table(df, t, k)
+        n_files = max(4, min(32, scaled.rdd.getNumPartitions()))
+        scaled.repartition(n_files).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(f"{t}: {df.count()} -> {spark.read.parquet(f'{out_dir}/{t}.parquet').count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
