@@ -257,11 +257,9 @@ class ManifestTable:
         ).encode()
         with self.fs.open_output_stream(tmp) as f:
             f.write(payload)
-        # no-overwrite move: losing a race on the same version raises
+        # no-overwrite publish: losing a race on the same version raises
         try:
-            if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
-                raise FileExistsError(final)
-            self.fs.move(tmp, final)
+            self._no_overwrite_move(tmp, final)
         except Exception:
             try:
                 self.fs.delete_file(tmp)
@@ -269,6 +267,43 @@ class ManifestTable:
                 pass
             raise
         return manifest.version
+
+    def _no_overwrite_move(self, tmp: str, final: str) -> None:
+        """Publish ``tmp`` at ``final`` failing if ``final`` exists.
+
+        POSIX rename OVERWRITES an existing destination, so a
+        check-then-move is a race: two committers of the same version
+        can both pass the exists-check and the second rename silently
+        replaces the first — two "successful" commits, one lost (found
+        by the N-writer contention property test under load). On
+        local-backed stores (file://, mock://) the publish is a HARD
+        LINK instead: ``os.link`` is atomic and raises EEXIST if the
+        destination appeared, closing the window completely. Other
+        stores keep exists-check + move as the stand-in for their
+        SDK's conditional put (ETag if-none-match), which is the real
+        primitive there."""
+        import os
+
+        import pyarrow.fs as pafs
+
+        local_tmp = local_final = None
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            local_tmp, local_final = tmp, final
+        elif isinstance(self.fs, pafs.PyFileSystem) and self.fs.type_name.startswith("py::mock"):
+            from octopufs_spark.fs import mockfs
+
+            local_tmp = os.path.join(mockfs.MOCKFS_ROOT, tmp.lstrip("/"))
+            local_final = os.path.join(mockfs.MOCKFS_ROOT, final.lstrip("/"))
+        if local_final is not None:
+            try:
+                os.link(local_tmp, local_final)
+            except FileExistsError:
+                raise FileExistsError(final) from None
+            os.unlink(local_tmp)
+            return
+        if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
+            raise FileExistsError(final)
+        self.fs.move(tmp, final)
 
     def _rel(self, uri: str) -> str:
         _, p = get_filesystem(uri)
