@@ -2641,3 +2641,233 @@ def q_ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 6)
     )
+
+
+_OPQ_ALT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, unnest(generate_series(1, 64)) AS p, unnest(v) AS val FROM q
+), cand AS (
+  SELECT unnest([0, 1, 2, 3]) AS j, unnest([{", ".join(map(str, _OPQ_MULTS))}]) AS mult
+), sp AS (
+  SELECT c.j, vec_id, ((p - 1) * c.mult) % 64 + 1 AS q_pos,
+         CASE WHEN (p * 2654435761 + c.j * 97) % 4 < 2 THEN val ELSE -val END AS sval
+  FROM pos CROSS JOIN cand c
+), prs AS (
+  SELECT j, vec_id, CAST(FLOOR((q_pos - 1) / 2) AS BIGINT) + 1 AS pk,
+         SUM(CASE WHEN (q_pos - 1) % 2 = 0 THEN sval ELSE 0 END) AS a,
+         SUM(CASE WHEN (q_pos - 1) % 2 = 1 THEN sval ELSE 0 END) AS b
+  FROM sp GROUP BY j, vec_id, pk
+), rot AS (
+  SELECT j, vec_id, 2 * pk - 1 AS p, 3 * a + 4 * b AS val FROM prs
+  UNION ALL
+  SELECT j, vec_id, 2 * pk AS p, 3 * b - 4 * a AS val FROM prs
+), e AS (
+  SELECT j, vec_id, CAST(FLOOR((p - 1) / 8) AS BIGINT) AS subspace, p, val FROM rot
+), cent AS (
+  SELECT j, vec_id AS code, subspace, p, val AS cval FROM e WHERE vec_id < 4
+), dist AS (
+  SELECT e.j, e.vec_id, e.subspace, c.code,
+         SUM((e.val - c.cval) * (e.val - c.cval)) AS d
+  FROM e JOIN cent c ON c.j = e.j AND c.subspace = e.subspace AND c.p = e.p
+  GROUP BY e.j, e.vec_id, e.subspace, c.code
+), codes0 AS (
+  SELECT j, vec_id, subspace, code FROM (
+    SELECT dist.*, ROW_NUMBER() OVER (PARTITION BY j, vec_id, subspace
+                                      ORDER BY d, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), cent2 AS (
+  SELECT e.j, a.code, e.subspace, e.p,
+         CAST(FLOOR(CAST(SUM(e.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+  FROM e JOIN codes0 a
+    ON a.j = e.j AND a.vec_id = e.vec_id AND a.subspace = e.subspace
+  GROUP BY e.j, a.code, e.subspace, e.p
+), dist2 AS (
+  SELECT e.j, e.vec_id, e.subspace, c.code,
+         SUM((e.val - c.cval) * (e.val - c.cval)) AS d
+  FROM e JOIN cent2 c ON c.j = e.j AND c.subspace = e.subspace AND c.p = e.p
+  GROUP BY e.j, e.vec_id, e.subspace, c.code
+), best2 AS (
+  SELECT j, vec_id, subspace, MIN(d) AS bd FROM dist2 GROUP BY j, vec_id, subspace
+), errs2 AS (
+  SELECT j, SUM(bd) AS total_err FROM best2 GROUP BY j
+), chosen AS (
+  SELECT j, total_err FROM (
+    SELECT j, total_err, ROW_NUMBER() OVER (ORDER BY total_err, j) AS rn FROM errs2
+  ) WHERE rn = 1
+), codes2 AS (
+  SELECT d.vec_id, d.subspace, d.code FROM (
+    SELECT dist2.*, ROW_NUMBER() OVER (PARTITION BY j, vec_id, subspace
+                                       ORDER BY d, code) AS rn
+    FROM dist2
+  ) d JOIN chosen ch ON d.j = ch.j WHERE d.rn = 1
+), lut AS (
+  SELECT d.vec_id AS qid, d.subspace, d.code, d.d
+  FROM dist2 d JOIN chosen ch ON d.j = ch.j
+  WHERE d.vec_id < 50
+), adc AS (
+  SELECT l.qid, x.vec_id AS xid, SUM(l.d) AS adist
+  FROM codes2 x JOIN lut l ON l.subspace = x.subspace AND l.code = x.code
+  WHERE l.qid <> x.vec_id
+  GROUP BY l.qid, x.vec_id
+)
+SELECT qid, xid, CAST(adist AS BIGINT) AS adist, rn,
+       CAST((SELECT j FROM chosen) AS BIGINT) AS rot,
+       CAST((SELECT total_err FROM chosen) AS BIGINT) AS trained_err
+FROM (
+  SELECT qid, xid, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, xid) AS BIGINT) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+
+
+@register("q_ext_ann_opq_alt", oracle=_OPQ_ALT_ORACLE)
+def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ALTERNATING OPQ round (Ge et al.'s loop, discretized to
+    stay hash-verifiable; completes q_ext_ann_opq_trained, whose
+    training step only picked a rotation against the SEED codebook):
+
+    1. rotate the corpus under each of 4 exactly-orthogonal integer
+       candidates (signed permutation + Pythagorean block mix);
+    2. ASSIGN: per-subspace nearest seed centroid (first 4 vectors);
+    3. UPDATE: true k-means centroid refresh — per (candidate, code,
+       subspace, coordinate) FLOOR-mean of assigned vectors (exact
+       integer arithmetic: sums < 2^53, a single IEEE divide, floor —
+       replays bit-identically in DuckDB);
+    4. RE-ASSIGN against the refreshed codebook and pick the rotation
+       minimizing the POST-UPDATE total quantization error — the
+       alternation: rotation conditioned on codes, codes conditioned
+       on rotation.
+
+    Both the winning rotation id (`rot`) AND its trained objective
+    (`trained_err`) are exposed, so the whole training trajectory is
+    value-verified, then ADC top-5 search runs under the trained
+    index. Plan: every stage is a corpus-linear groupBy on narrow
+    exploded rows; centroid tables are (4 candidates x 4 codes x 64
+    coords) broadcast joins; nothing collects to the driver."""
+    from pyspark.sql.window import Window
+
+    qv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
+    )
+    pos = qv.select("vec_id", F.posexplode("v").alias("p0", "val")).select(
+        "vec_id", (F.col("p0") + 1).alias("p"), "val"
+    )
+    cand = spark.createDataFrame(
+        [(j, m) for j, m in enumerate(_OPQ_MULTS)], "j long, mult long"
+    )
+    sp = pos.crossJoin(F.broadcast(cand)).select(
+        "j",
+        "vec_id",
+        (((F.col("p") - 1) * F.col("mult")) % 64 + 1).alias("q_pos"),
+        F.when(
+            (F.col("p") * F.lit(2654435761) + F.col("j") * 97) % 4 < 2, F.col("val")
+        )
+        .otherwise(-F.col("val"))
+        .alias("sval"),
+    )
+    prs = sp.groupBy(
+        "j", "vec_id", (F.floor((F.col("q_pos") - 1) / 2) + 1).alias("pk")
+    ).agg(
+        F.sum(F.when((F.col("q_pos") - 1) % 2 == 0, F.col("sval")).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("q_pos") - 1) % 2 == 1, F.col("sval")).otherwise(0)).alias("b"),
+    )
+    rot = prs.select(
+        "j",
+        "vec_id",
+        (2 * F.col("pk") - 1).alias("p"),
+        (3 * F.col("a") + 4 * F.col("b")).alias("val"),
+    ).unionAll(
+        prs.select(
+            "j",
+            "vec_id",
+            (2 * F.col("pk")).alias("p"),
+            (3 * F.col("b") - 4 * F.col("a")).alias("val"),
+        )
+    )
+    e = rot.select(
+        "j",
+        "vec_id",
+        F.floor((F.col("p") - 1) / 8).cast("long").alias("subspace"),
+        "p",
+        "val",
+    ).localCheckpoint()  # reused by assign, update, AND re-assign stages
+    cent = e.where(F.col("vec_id") < 4).select(
+        "j", F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval")
+    )
+    dist = (
+        e.join(F.broadcast(cent), ["j", "subspace", "p"])
+        .groupBy("j", "vec_id", "subspace", "code")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d")
+        )
+    )
+    w_assign = Window.partitionBy("j", "vec_id", "subspace").orderBy("d", "code")
+    codes0 = (
+        dist.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("j", "vec_id", "subspace", "code")
+    )
+    cent2 = (
+        e.join(codes0, ["j", "vec_id", "subspace"])
+        .groupBy("j", "code", "subspace", "p")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count("*")).cast("long").alias("cval")
+        )
+    )
+    dist2 = (
+        e.join(F.broadcast(cent2), ["j", "subspace", "p"])
+        .groupBy("j", "vec_id", "subspace", "code")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d")
+        )
+        .localCheckpoint()  # feeds the argmin, final codes, AND the LUT
+    )
+    errs2 = (
+        dist2.groupBy("j", "vec_id", "subspace")
+        .agg(F.min("d").alias("bd"))
+        .groupBy("j")
+        .agg(F.sum("bd").alias("total_err"))
+    )
+    w_err = Window.orderBy("total_err", "j")
+    chosen = (
+        errs2.withColumn("rn", F.row_number().over(w_err))
+        .where(F.col("rn") == 1)
+        .select("j", "total_err")
+    )
+    picked = dist2.join(F.broadcast(chosen.select("j")), "j")
+    codes2 = (
+        picked.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    lut = picked.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), "subspace", "code", "d"
+    )
+    adc = (
+        codes2.withColumnRenamed("vec_id", "xid")
+        .join(lut, ["subspace", "code"])
+        .where(F.col("qid") != F.col("xid"))
+        .groupBy("qid", "xid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_top = Window.partitionBy("qid").orderBy("adist", "xid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("qid", "xid", F.col("adist").cast("long").alias("adist"), "rn")
+        .crossJoin(
+            F.broadcast(
+                chosen.select(
+                    F.col("j").cast("long").alias("rot"),
+                    F.col("total_err").cast("long").alias("trained_err"),
+                )
+            )
+        )
+    )
