@@ -99,8 +99,51 @@ class ManifestTable:
         return sorted(out)
 
     def latest_version(self) -> int | None:
+        """Newest committed version — WITHOUT listing the manifest
+        directory when a hint is available. A directory listing is
+        O(total versions): a table taking streaming appends every
+        minute accumulates ~500k manifests/year, and every read AND
+        every commit-retry resolves the latest version, so the hot
+        path must not scale with table age. The ``_latest`` hint file
+        (updated best-effort after each publish, the ``_last_checkpoint``
+        idea from Delta) gives a starting point that is verified and
+        then PROBED FORWARD with one metadata call per newer version —
+        correctness never depends on the hint: stale → a few probes,
+        missing/corrupt/pruned → full listing fallback."""
+        import pyarrow.fs as pafs
+
+        hint = self._read_latest_hint()
+        if hint is not None and (
+            self.fs.get_file_info(f"{self._mdir}/v{hint}.json").type
+            != pafs.FileType.NotFound
+        ):
+            v = hint
+            while (
+                self.fs.get_file_info(f"{self._mdir}/v{v + 1}.json").type
+                != pafs.FileType.NotFound
+            ):
+                v += 1
+            return v
         vs = self.versions()
         return vs[-1] if vs else None
+
+    def _read_latest_hint(self) -> int | None:
+        try:
+            with self.fs.open_input_stream(f"{self._mdir}/_latest") as f:
+                return int(f.read().decode().strip())
+        except (OSError, FileNotFoundError, ValueError):
+            return None
+
+    def _write_latest_hint(self, version: int) -> None:
+        """Best-effort, monotonic-enough: losing a hint race only costs
+        later readers a forward probe or a listing, never correctness."""
+        try:
+            tmp = f"{self._mdir}/_latest.tmp.{uuid.uuid4().hex[:8]}"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(str(version).encode())
+            self.fs.move(tmp, f"{self._mdir}/_latest")
+        except OSError:
+            pass
 
     def read_manifest(self, version: int | None = None) -> Manifest:
         if version is None:
@@ -300,10 +343,13 @@ class ManifestTable:
             except FileExistsError:
                 raise FileExistsError(final) from None
             os.unlink(local_tmp)
-            return
-        if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
-            raise FileExistsError(final)
-        self.fs.move(tmp, final)
+        else:
+            if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
+                raise FileExistsError(final)
+            self.fs.move(tmp, final)
+        m = _VERSION_RE.search(final)
+        if m:
+            self._write_latest_hint(int(m.group(1)))
 
     def _rel(self, uri: str) -> str:
         _, p = get_filesystem(uri)

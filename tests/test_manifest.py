@@ -806,3 +806,31 @@ def test_positional_vectors_compose_with_pruned_reads(spark, table):
     got = table.read_pruned(spark, [("id", "<", 500)])
     ids = {r.id for r in got.where("id < 500").collect()}
     assert ids == {i for i in range(500) if i % 10 != 0}
+
+
+def test_latest_version_hint_is_advisory(spark, table):
+    """The _latest hint removes the O(versions) directory listing from
+    the hot path but must never be load-bearing: stale hints probe
+    forward, corrupt/missing hints fall back to listing, and pruned
+    tables keep resolving correctly."""
+    for lo in (0, 10, 20):
+        write_and_commit(_df(spark, lo, lo + 5), table, mode="append" if lo else "overwrite")
+    assert table.latest_version() == 3
+    # stale hint: pretend only v1 was recorded
+    with table.fs.open_output_stream(f"{table._mdir}/_latest") as f:
+        f.write(b"1")
+    assert table.latest_version() == 3  # probed forward
+    # corrupt hint: listing fallback
+    with table.fs.open_output_stream(f"{table._mdir}/_latest") as f:
+        f.write(b"not-a-number")
+    assert table.latest_version() == 3
+    # hint pointing at a pruned version: listing fallback
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    assert removed
+    with table.fs.open_output_stream(f"{table._mdir}/_latest") as f:
+        f.write(b"1")
+    assert table.latest_version() == 3
+    # a fresh commit repairs the hint
+    write_and_commit(_df(spark, 30, 35), table, mode="append")
+    assert table._read_latest_hint() == 4
+    assert table.latest_version() == 4
