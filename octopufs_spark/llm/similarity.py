@@ -545,6 +545,79 @@ def det_lsh_index(
     )
 
 
+def adaptive_bucket_modulus(vecs: DataFrame, target_bucket: int = 16, max_planes: int = 12):
+    """1-row DataFrame with the power-of-two bucket modulus for a
+    corpus-ADAPTIVE deterministic LSH: planes used = ceil-ish
+    log2(count / target_bucket), so bucket COUNT grows with the corpus
+    and per-bucket density stays ~constant — candidate pairs scale
+    linearly instead of quadratically (a fixed plane count is
+    quadratic-in-density: the sf1 scale gate caught exactly that on
+    the 4-plane semantic-det twin). Computed as an exact integer CASE
+    ladder over COUNT(*) — no log/pow floats — so a SQL oracle
+    replays the identical modulus; masking a statically-computed
+    max_planes-bit bucket with ``bucket % modulus`` is equivalent to
+    indexing with only the first np planes."""
+    cnt = vecs.groupBy().agg(F.count("*").alias("_n"))
+    pow_col = F.lit(2)
+    for k in range(1, max_planes):
+        pow_col = F.when(F.col("_n") > target_bucket * (1 << k), F.lit(1 << (k + 1))).otherwise(pow_col)
+    return cnt.select(pow_col.cast("long").alias("_bucket_mod"))
+
+
+def adaptive_modulus_sql(count_subquery: str, target_bucket: int = 16, max_planes: int = 12) -> str:
+    """The DuckDB rendering of the same ladder (highest branch wins)."""
+    branches = "\n    ".join(
+        f"WHEN ({count_subquery}) > {target_bucket * (1 << k)} THEN {1 << (k + 1)}"
+        for k in range(max_planes - 1, 0, -1)
+    )
+    return f"CASE {branches} ELSE 2 END"
+
+
+def cosine_near_dup_pairs_det_adaptive(
+    vecs: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    target_bucket: int = 16,
+    max_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cosine_near_dup_pairs_deterministic with corpus-adaptive bucket
+    count: the max_planes-bit bucket is computed once (static plane
+    matrix, SQL-replayable), then masked by the adaptive modulus — at
+    sf0.001 this reduces to the original 16 buckets, at 10x the data
+    it uses 2x the buckets, keeping per-bucket pair counts (and the
+    equi-join's work) linear in the corpus."""
+    b = det_lsh_index(vecs, dim, max_planes, id_col, vec_col)
+    mod = adaptive_bucket_modulus(vecs, target_bucket, max_planes)
+    b = b.crossJoin(F.broadcast(mod)).withColumn(
+        "bucket", F.col("bucket") % F.col("_bucket_mod")
+    ).drop("_bucket_mod")
+    lhs, rhs = b.alias("a"), b.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            (
+                dot_ab.cast("double")
+                / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double")))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 def cosine_topk_ann_deterministic(
     vecs: DataFrame,
     dim: int,

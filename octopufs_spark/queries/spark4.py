@@ -767,20 +767,28 @@ def q_ext_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_det_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
+def _semantic_det_oracle(dim: int = 64, threshold: float = 0.4, max_planes: int = 12) -> str:
     """DuckDB replay of the deterministic semantic-dedup composition:
-    regenerate LSH buckets, rescore same-bucket pairs with exact
-    integer dots, then close the pair graph transitively with a
-    recursive CTE and label every node with its min reachable id —
-    the same contract as q_ext_dedup_cluster's oracle, but over
-    embedding-similarity edges instead of prefix collisions."""
+    regenerate LSH buckets (corpus-ADAPTIVE plane count: the static
+    max_planes-bit bucket masked by the integer-ladder modulus from
+    llm/similarity.py::adaptive_modulus_sql, so bucket count grows
+    with the corpus and candidate pairs stay linear — the sf1 scale
+    gate caught the fixed-4-plane variant going quadratic), rescore
+    same-bucket pairs with exact integer dots, then close the pair
+    graph transitively with a recursive CTE and label every node with
+    its min reachable id — the same contract as q_ext_dedup_cluster's
+    oracle, but over embedding-similarity edges instead of prefix
+    collisions."""
+    from octopufs_spark.llm.similarity import adaptive_modulus_sql
+
     proj = lambda j: (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> v[i] * (((({j} * {dim}) + i - 1) * 2654435761) % 2001 - 1000)))"
     )
     bucket_terms = " + ".join(
-        f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+        f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(max_planes)
     )
+    mod = adaptive_modulus_sql("SELECT COUNT(*) FROM embeddings", 16, max_planes)
     return f"""
 WITH RECURSIVE q AS (
   SELECT vec_id,
@@ -789,7 +797,7 @@ WITH RECURSIVE q AS (
 ), qb AS (
   SELECT vec_id, v,
          CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) AS nn,
-         CAST({bucket_terms} AS BIGINT) AS bucket
+         CAST({bucket_terms} AS BIGINT) % ({mod}) AS bucket
   FROM q
 ), pairs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
@@ -812,17 +820,19 @@ SELECT id AS doc_id, MIN(reach) AS cluster_id FROM (
 @register("q_ext_dedup_semantic_det", oracle=_semantic_det_oracle())
 def q_ext_dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup with FULL value-level verification end-to-end:
-    deterministic-plane LSH candidates, exact integer cosine rescoring
-    (threshold 0.4), distributed connected components, min-id cluster
-    labels — every stage SQL-replayable, so the entire composition
+    deterministic-plane LSH candidates (corpus-adaptive plane count:
+    per-bucket density constant, candidate pairs linear in the corpus
+    — see llm/similarity.py::cosine_near_dup_pairs_det_adaptive),
+    exact integer cosine rescoring (threshold 0.4), distributed
+    connected components, min-id cluster labels — every stage SQL-replayable, so the entire composition
     hash-verifies (the oracle recomputes the pair graph and closes it
     with a recursive CTE). Completes the verifiable twins: exact
     (q_ext_dedup_semantic), production-seeded LSH
     (q_ext_dedup_semantic_ann), and this hash-checked path."""
     from octopufs_spark.llm import dedup, similarity
 
-    pairs = similarity.cosine_near_dup_pairs_deterministic(
-        load(spark, sf_dir, "embeddings"), threshold=0.4, dim=64, n_planes=4
+    pairs = similarity.cosine_near_dup_pairs_det_adaptive(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
     )
     return dedup.connected_components(pairs, partitions=4)
 
