@@ -53,6 +53,9 @@ FLAGSHIPS = [
     ("q_ext_profile", "no-Expand profiler: narrow exploded two-stage distinct + plain min/max agg"),
     ("q_window_percent_cume", "global PERCENT_RANK/CUME_DIST via two-pass row number, no single-partition window"),
     ("q_window_dense_ntile", "global DENSE_RANK/NTILE via distinct-rank join + rank arithmetic, no single-partition window"),
+    ("q_ext_dedup_semantic_det", "adaptive-plane det LSH: bucket count grows with corpus, pair join density constant"),
+    ("q_ext_ann_opq_alt", "full alternating OPQ: k-means centroid refresh + rotation argmin, broadcast codebooks"),
+    ("q_ext_delete_vectors_pos", "positional MOR delete: _metadata anti-join, KB commit, no rewrite"),
 ]
 
 
