@@ -902,6 +902,25 @@ def promote_table_to_manifest(
     )
 
 
+def _max_committed_stream_batch(table: ManifestTable) -> int | None:
+    """Batch id of the NEWEST stream-append commit, or None.
+
+    Replay detection must not walk the whole commit chain — that is
+    O(versions) per micro-batch, quadratic total work at streaming
+    rates. Batch ids commit in order for a single streaming writer
+    (the sink-ownership model `manifest_stream_writer` assumes), so
+    the first stream-append found walking back from the head holds the
+    maximum committed batch id; the walk is bounded by the number of
+    interleaved non-stream commits since the last stream batch."""
+    v = table.latest_version()
+    while v is not None:
+        m = table.read_manifest(v)
+        if m.operation == "stream-append" and "batch_id" in m.meta:
+            return m.meta["batch_id"]
+        v = m.parent
+    return None
+
+
 def manifest_stream_writer(stream_df: DataFrame, table: ManifestTable):
     """Stream sink: land every micro-batch as one atomic manifest
     append commit (``foreachBatch``), giving readers exactly-once
@@ -918,13 +937,9 @@ def manifest_stream_writer(stream_df: DataFrame, table: ManifestTable):
     """
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        current = table.latest_version()
-        v = current
-        while v is not None:
-            m = table.read_manifest(v)
-            if m.meta.get("batch_id") == batch_id and m.operation == "stream-append":
-                return  # replayed batch: already committed
-            v = m.parent
+        committed = _max_committed_stream_batch(table)
+        if committed is not None and committed >= batch_id:
+            return  # replayed batch: already committed
         staged = f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
         batch_df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
 

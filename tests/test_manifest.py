@@ -834,3 +834,40 @@ def test_latest_version_hint_is_advisory(spark, table):
     write_and_commit(_df(spark, 30, 35), table, mode="append")
     assert table._read_latest_hint() == 4
     assert table.latest_version() == 4
+
+
+def test_stream_sink_replay_check_is_bounded(spark, table):
+    """The sink's exactly-once replay check stops at the NEWEST
+    stream-append ancestor (batch ids are monotone for a single
+    writer) instead of walking the whole commit chain — O(versions)
+    per micro-batch is quadratic total work at streaming rates."""
+    from octopufs_spark import manifest as mod
+    from octopufs_spark.manifest import _max_committed_stream_batch
+
+    write_and_commit(_df(spark, 0, 5), table)
+    for b in range(5):
+        spark.range(100 * b, 100 * b + 5).withColumn("v", F.col("id")).write.parquet(
+            f"{table.root}/batch-{b}-x"
+        )
+
+        def build(parent, b=b):
+            return sorted(parent.files + table._data_files_under(f"batch-{b}-x"))
+
+        table._commit_with_retry(build, "stream-append", {"batch_id": b})
+        write_and_commit(_df(spark, 1000 + 10 * b, 1000 + 10 * b + 2), table, mode="append")
+
+    calls = []
+    orig = mod.ManifestTable.read_manifest
+
+    def counting(self, version=None):
+        calls.append(version)
+        return orig(self, version)
+
+    mod.ManifestTable.read_manifest = counting
+    try:
+        assert _max_committed_stream_batch(table) == 4
+    finally:
+        mod.ManifestTable.read_manifest = orig
+    # chain is 11 commits deep; the walk reads at most the interleaved
+    # append plus the newest stream commit
+    assert len(calls) <= 2
