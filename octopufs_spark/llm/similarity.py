@@ -545,7 +545,7 @@ def det_lsh_index(
     )
 
 
-def adaptive_bucket_modulus(vecs: DataFrame, target_bucket: int = 16, max_planes: int = 12):
+def adaptive_bucket_modulus(vecs: DataFrame, target_bucket: int = 16, max_planes: int = 16):
     """1-row DataFrame with the power-of-two bucket modulus for a
     corpus-ADAPTIVE deterministic LSH: planes used = ceil-ish
     log2(count / target_bucket), so bucket COUNT grows with the corpus
@@ -564,7 +564,7 @@ def adaptive_bucket_modulus(vecs: DataFrame, target_bucket: int = 16, max_planes
     return cnt.select(pow_col.cast("long").alias("_bucket_mod"))
 
 
-def adaptive_modulus_sql(count_subquery: str, target_bucket: int = 16, max_planes: int = 12) -> str:
+def adaptive_modulus_sql(count_subquery: str, target_bucket: int = 16, max_planes: int = 16) -> str:
     """The DuckDB rendering of the same ladder (highest branch wins)."""
     branches = "\n    ".join(
         f"WHEN ({count_subquery}) > {target_bucket * (1 << k)} THEN {1 << (k + 1)}"
@@ -578,7 +578,7 @@ def cosine_near_dup_pairs_det_adaptive(
     threshold: float = 0.35,
     dim: int = 64,
     target_bucket: int = 16,
-    max_planes: int = 12,
+    max_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -767,7 +767,7 @@ def q_ext_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_det_oracle(dim: int = 64, threshold: float = 0.4, max_planes: int = 12) -> str:
+def _semantic_det_oracle(dim: int = 64, threshold: float = 0.4, max_planes: int = 16) -> str:
     """DuckDB replay of the deterministic semantic-dedup composition:
     regenerate LSH buckets (corpus-ADAPTIVE plane count: the static
     max_planes-bit bucket masked by the integer-ladder modulus from

@@ -332,3 +332,21 @@ def test_minhash_det_recall_vs_exact(spark):
     }
     assert det <= exact
     assert len(det) >= 0.9 * len(exact)
+
+
+def test_adaptive_bucket_modulus_ladder(spark):
+    """The corpus-count ladder doubles the bucket modulus each time the
+    corpus doubles past target density, capping at 2^max_planes —
+    exact integers, matching the SQL rendering's semantics."""
+    from octopufs_spark.llm.similarity import adaptive_bucket_modulus
+
+    def mod_for(n):
+        df = spark.range(n).withColumn("embedding", F.array(F.lit(1.0)))
+        return adaptive_bucket_modulus(df, target_bucket=16, max_planes=16).collect()[0][0]
+
+    assert mod_for(10) == 2
+    assert mod_for(33) == 4       # > 16*2
+    assert mod_for(200) == 16     # sf0.001-ish: the original 4-plane bucketing
+    assert mod_for(2000) == 128
+    assert mod_for(20000) == 2048  # density 9.8 <= target
+    assert mod_for(16 * (1 << 15) + 1) == 65536  # cap at 2^16

@@ -218,3 +218,20 @@ def test_global_rank_queries_avoid_single_partition_window(spark):
         # global rank arithmetic rides on the checkpointed two-pass
         # helper: no WindowExec over the full relation survives here
         assert "Window [" not in plan or "_pid" in plan, name
+
+
+def test_global_row_number_edge_cases(spark):
+    """Empty and single-row inputs produce sane results (no pid gaps,
+    correct totals)."""
+    empty = spark.range(0).withColumn("k", F.col("id"))
+    out, n = scale.global_row_number(empty, ["k"], out_col="rn")
+    assert n == 0 and out.count() == 0
+    one = spark.range(1).withColumn("k", F.col("id"))
+    out, n = scale.global_row_number(one, ["k"], out_col="rn")
+    rows = out.collect()
+    assert n == 1 and [r.rn for r in rows] == [1]
+    # heavy duplication on the order key (ties within/across partitions)
+    dup = spark.range(0, 1000).select((F.col("id") % 3).alias("k"), "id")
+    out, n = scale.global_row_number(dup, ["k", "id"], out_col="rn", n_parts=8)
+    got = sorted(r.rn for r in out.collect())
+    assert n == 1000 and got == list(range(1, 1001))

@@ -15,8 +15,16 @@ replica — exactly the TPC-H dbgen property the queries rely on:
 - document text gets a per-replica suffix token (and n_chars bump) so
   the near-dup candidate structure scales linearly instead of turning
   every doc into a 10-clone cluster;
-- embeddings get a tiny deterministic per-replica perturbation so ANN
-  bucket occupancy scales like real data, not like mass duplicates.
+- embeddings get a deterministic per-replica SIGN-FLIP pattern
+  (s[r,i] ∈ {±1} from a multiplicative hash): within a replica every
+  pairwise cosine is EXACTLY preserved (signs cancel in the dot
+  product), while cross-replica similarities decorrelate — i.e. the
+  duplicate-cluster SIZE distribution stays constant and the cluster
+  COUNT grows with the corpus, which is how real near-dup structure
+  scales. (A tiny additive perturbation — the first version — made
+  every vector a near-clone of its K-1 replicas: K-clone clusters and
+  quadratic TRUE pair counts that no plan can avoid, a data artifact,
+  not a scaling property.)
 
 Usage: python tools/make_scaled_sf.py [K] [src_sf_dir] [out_dir]
 Defaults: 10 /root/testdata/sf0.1 /root/repo/.benchdata/sf1
@@ -58,9 +66,16 @@ def scale_table(df, table: str, k: int):
                 "n_chars", (F.col("n_chars") + F.length(suffix)).cast(df.schema["n_chars"].dataType.simpleString())
             )
         if table == "embeddings" and r > 0:
-            eps = float(r) * 1e-3
+            # sign pattern s[r,i]: exact within-replica cosines, de-
+            # correlated cross-replica (see module docstring)
             rep = rep.withColumn(
-                "embedding", F.transform(F.col("embedding"), lambda x: x + F.lit(eps))
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.when(
+                        ((i + 1) * F.lit(2654435761) * (r * 2 + 1)) % 7 < 4, x
+                    ).otherwise(-x),
+                ),
             )
         out = rep if out is None else out.unionByName(rep)
     return out
