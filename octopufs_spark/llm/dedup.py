@@ -296,11 +296,41 @@ def minhash_signature_col(shingles_col: str = "shingles", num_perm: int = 64) ->
     )
 
 
+def adaptive_minhash_params(
+    count: int, threshold: float = 0.5, max_r: int = 6
+) -> tuple[int, int, int]:
+    """(num_perm, bands, r) sized to the corpus: rows-per-band ``r``
+    climbs an integer ladder with corpus count (one step per ~100×),
+    and band count ``b`` is then the smallest keeping detection
+    probability 1-(1-s^r)^b ≥ 0.95 at s = ``threshold``.
+
+    Why r must grow: a pair of background similarity s₀ collides in a
+    band with probability s₀^r, so candidate volume is ~ n²·b·s₀^r —
+    at FIXED r it grows quadratically with the corpus. Raising r by 1
+    multiplies background collisions by s₀ (geometric suppression)
+    while the compensating b (and num_perm = b·r, the signature cost —
+    linear, paid once per doc) holds recall at the threshold. This is
+    the same constant-bucket-density principle as
+    ``similarity.adaptive_n_planes``, applied to the banding dimension:
+    the corpus-count ladder is exact integer arithmetic, so a given
+    count always maps to the same (num_perm, b, r).
+    """
+    import math
+
+    r = 2
+    step = 1_000_000  # first escalation point; one more r per 100× after
+    while r < max_r and count > step:
+        r += 1
+        step *= 100
+    b = max(2, math.ceil(math.log(0.05) / math.log(1.0 - threshold**r)))
+    return b * r, b, r
+
+
 def minhash_near_dup_pairs_df(
     df: DataFrame,
     threshold: float = 0.5,
-    num_perm: int = 32,
-    bands: int = 16,
+    num_perm: int | None = 32,
+    bands: int | None = 16,
     shingle_n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -335,8 +365,20 @@ def minhash_near_dup_pairs_df(
     are materialized ONCE because three plan legs read them (band
     stream + both verification sides) — without the checkpoint the
     tokenize→shingle pass runs three times and dominates the operator.
+
+    ``num_perm=None``/``bands=None`` sizes the banding to the corpus
+    via :func:`adaptive_minhash_params` (one COUNT job): rows-per-band
+    grows with corpus count so background-pair candidate volume stays
+    ~linear, band count re-tuned to hold ≥0.95 recall at
+    ``threshold``. Exact-duplicate recall is parameter-independent
+    (identical shingle sets give identical signatures, which collide
+    in EVERY band), so planted-clone contracts hold at any ladder
+    step.
     """
     from pyspark.ml.feature import NGram
+
+    if num_perm is None or bands is None:
+        num_perm, bands, _ = adaptive_minhash_params(df.count(), threshold)
 
     w = df.select(
         F.col(id_col), F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("_w")

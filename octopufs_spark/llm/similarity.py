@@ -324,7 +324,7 @@ def cosine_near_dup_pairs_ann(
 def cosine_topk_ivf(
     vecs: DataFrame,
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     n_probe: int = 2,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -358,6 +358,14 @@ def cosine_topk_ivf(
     from pyspark.sql.window import Window
 
     v = vecs.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb"))
+    if n_clusters is None:
+        # the canonical IVF sizing: nlist ≈ sqrt(N) keeps per-query
+        # scan work at ~n_probe·sqrt(N) rows — total O(N^1.5) instead
+        # of the O(N²/nlist) a FROZEN cell count degrades to (the sf10
+        # probe measured exactly that: 714 s at 100x with nlist=16)
+        import math as _math
+
+        n_clusters = max(16, min(4096, int(_math.isqrt(v.count()))))
     sample = [
         r[0] for r in v.sample(fraction=fit_fraction, seed=seed).limit(fit_cap).select("emb").collect()
     ]
@@ -446,11 +454,28 @@ def _spherical_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 5) -> np.nd
     return centroids
 
 
+def adaptive_n_planes(
+    count: int, target_bucket: int = 32, floor: int = 8, cap: int = 24
+) -> int:
+    """Plane count for a corpus of ``count`` vectors: enough planes
+    that expected bucket occupancy stays ≈ target. A FIXED plane count
+    is the quadratic-at-scale trap the sf10 probe caught twice (184 s
+    LSH / 714 s IVF at 100x): bucket count frozen while density grows
+    linearly makes the within-bucket pair join grow quadratically.
+    Buckets must track the corpus — planes ≈ log2(count / target) —
+    exactly the ladder the deterministic path uses, here as a plain
+    int for seeded-plane generation."""
+    planes = floor
+    while planes < cap and count > target_bucket * (1 << planes):
+        planes += 1
+    return planes
+
+
 def cosine_topk_ann(
     vecs: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -459,10 +484,15 @@ def cosine_topk_ann(
 
     At scale: shuffle on bucket (uniform-ish), per-bucket pairwise
     scoring. Recall is tuned by n_planes (fewer planes → bigger buckets
-    → higher recall, more compute). Returns [vec_a, vec_b, cos_sim, rn].
+    → higher recall, more compute); ``n_planes=None`` sizes the plane
+    count to the corpus via :func:`adaptive_n_planes` (one COUNT job)
+    so bucket density — and the pair join — stays bounded as the
+    corpus grows. Returns [vec_a, vec_b, cos_sim, rn].
     """
     from pyspark.sql.window import Window
 
+    if n_planes is None:
+        n_planes = adaptive_n_planes(vecs.count())
     b = hyperplane_lsh_buckets(vecs, dim, n_planes, seed, id_col, vec_col)
     bn = b.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
     lhs, rhs = bn.alias("a"), bn.alias("b")
@@ -488,20 +518,41 @@ def cosine_topk_ann(
 # Deterministic (SQL-replayable) LSH ANN
 # ---------------------------------------------------------------------------
 
-DET_MULT = 2654435761
 DET_MOD = 2001
 DET_SHIFT = 1000
 DET_SCALE = 1000
 
 
+_SM_MASK = (1 << 64) - 1
+
+
+def _splitmix64(k: int) -> int:
+    """Finalizer-quality integer hash (splitmix64 mix): every output
+    bit depends nonlinearly on every input bit."""
+    z = (k * 0x9E3779B97F4A7C15) & _SM_MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _SM_MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _SM_MASK
+    return z ^ (z >> 31)
+
+
 def deterministic_planes(n_planes: int, dim: int) -> list[list[int]]:
-    """Integer hyperplanes from a multiplicative hash of the index —
-    reproducible in any engine: h[j][i] = ((j*dim+i) * 2654435761) %
-    2001 - 1000. Pseudo-random enough to cut space into balanced
-    half-spaces; crucially not seed-state-dependent, so a SQL oracle
-    regenerates the identical matrix."""
+    """Integer hyperplanes hashed from the coefficient index:
+    h[j][i] = splitmix64(j*dim+i) % 2001 - 1000. Crucially not
+    seed-state-dependent — the matrix is a pure function of (j, i) —
+    so both the Spark plan and a SQL oracle embed the IDENTICAL
+    literal matrix (the oracle inlines these values; it does not need
+    to recompute the hash in SQL).
+
+    The mixing must be finalizer-grade: the first version used a bare
+    multiplicative hash ((j*dim+i)*2654435761) % 2001, which makes
+    every plane a dim-wide window of ONE arithmetic progression mod
+    2001 — plane j' is plane j plus a near-constant shift, so bucket
+    bits never multiply independence. Measured on sf10 embeddings
+    (200k rows, 16 planes): candidate pairs ~35× the independent-plane
+    expectation (~100M pairs, a 507 s query). splitmix64 coefficients
+    restore per-plane independence at identical plan shape."""
     return [
-        [((j * dim + i) * DET_MULT) % DET_MOD - DET_SHIFT for i in range(dim)]
+        [_splitmix64(j * dim + i) % DET_MOD - DET_SHIFT for i in range(dim)]
         for j in range(n_planes)
     ]
 
@@ -542,6 +593,27 @@ def det_lsh_index(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("nn"),
+    )
+
+
+def det_lsh_index_adaptive(
+    vecs: DataFrame,
+    dim: int,
+    max_planes: int = 16,
+    target_bucket: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`det_lsh_index` with the corpus-adaptive bucket modulus
+    applied — the det-LSH index shape every registered det query uses,
+    shared so the Spark side and the oracle's ``_det_qb_cte`` rendering
+    cannot disagree about masking."""
+    b = det_lsh_index(vecs, dim, max_planes, id_col, vec_col)
+    mod = adaptive_bucket_modulus(vecs, target_bucket, max_planes)
+    return (
+        b.crossJoin(F.broadcast(mod))
+        .withColumn("bucket", F.col("bucket") % F.col("_bucket_mod"))
+        .drop("_bucket_mod")
     )
 
 
@@ -588,11 +660,7 @@ def cosine_near_dup_pairs_det_adaptive(
     sf0.001 this reduces to the original 16 buckets, at 10x the data
     it uses 2x the buckets, keeping per-bucket pair counts (and the
     equi-join's work) linear in the corpus."""
-    b = det_lsh_index(vecs, dim, max_planes, id_col, vec_col)
-    mod = adaptive_bucket_modulus(vecs, target_bucket, max_planes)
-    b = b.crossJoin(F.broadcast(mod)).withColumn(
-        "bucket", F.col("bucket") % F.col("_bucket_mod")
-    ).drop("_bucket_mod")
+    b = det_lsh_index_adaptive(vecs, dim, max_planes, target_bucket, id_col, vec_col)
     lhs, rhs = b.alias("a"), b.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
@@ -625,6 +693,8 @@ def cosine_topk_ann_deterministic(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adaptive_max_planes: int | None = None,
+    target_bucket: int = 16,
 ) -> DataFrame:
     """Fully deterministic LSH approximate cosine top-k.
 
@@ -636,10 +706,25 @@ def cosine_topk_ann_deterministic(
     ops — so ranks and ties are bit-reproducible across engines and
     the result hash-verifies against a DuckDB replay (the production
     seeded-Gaussian path stays in cosine_topk_ann; this variant trades
-    a bit of bucket quality for verifiability)."""
+    a bit of bucket quality for verifiability).
+
+    ``adaptive_max_planes`` switches bucket sizing to the corpus-
+    adaptive modulus (same mechanism as
+    :func:`cosine_near_dup_pairs_det_adaptive`): the static
+    max_planes-bit bucket is masked by the integer-ladder power-of-two
+    modulus, holding per-bucket density — and the candidate join — at
+    ~``target_bucket`` rows however large the corpus. A FIXED
+    ``n_planes`` freezes bucket count, so per-bucket pairs grow
+    quadratically with the corpus; the ladder is exact integer
+    arithmetic, replayed verbatim by the SQL oracle."""
     from pyspark.sql.window import Window
 
-    b = det_lsh_index(vecs, dim, n_planes, id_col, vec_col)
+    if adaptive_max_planes is not None:
+        b = det_lsh_index_adaptive(
+            vecs, dim, adaptive_max_planes, target_bucket, id_col, vec_col
+        )
+    else:
+        b = det_lsh_index(vecs, dim, n_planes, id_col, vec_col)
     lhs, rhs = b.alias("a"), b.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
@@ -722,39 +807,3 @@ def cosine_topk_ivf_deterministic(
     return pairs.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= k)
 
 
-def cosine_near_dup_pairs_deterministic(
-    vecs: DataFrame,
-    threshold: float = 0.35,
-    dim: int = 64,
-    n_planes: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Near-duplicate candidate pairs (vec_a < vec_b, cos >= threshold)
-    from the deterministic LSH index — exact integer rescoring makes
-    the pair set itself hash-verifiable; fewer planes than the top-k
-    path because near-dup recall wants bigger buckets."""
-    b = det_lsh_index(vecs, dim, n_planes, id_col, vec_col)
-    lhs, rhs = b.alias("a"), b.alias("b")
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        lhs.join(
-            rhs,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            (
-                dot_ab.cast("double")
-                / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double")))
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b")
-    )

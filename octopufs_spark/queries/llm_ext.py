@@ -145,9 +145,13 @@ def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane seed, so each clone's top-1 neighbor must be its source with
     cos_sim ~ 1.0. Output (n_planted, n_top1_hits) — the oracle expects
     them equal; any regression in bucketing/scoring/ranking breaks the
-    equality and flags red."""
+    equality and flags red. n_planes=None sizes the plane count to the
+    corpus (planes ≈ log2(N/32)) so expected bucket occupancy — and the
+    within-bucket pair join — stays bounded as the corpus grows; the
+    contract is plane-count-independent because identical vectors hash
+    identically under any plane set."""
     vecs_u, planted = _planted_vecs(spark, sf_dir, n=20)
-    ann = similarity.cosine_topk_ann(vecs_u, dim=64, k=5, n_planes=8, seed=42)
+    ann = similarity.cosine_topk_ann(vecs_u, dim=64, k=5, n_planes=None, seed=42)
     hits = ann.where(
         (F.col("vec_a") >= _CLONE_OFFSET)
         & (F.col("rn") == 1)
@@ -248,6 +252,42 @@ def q_ext_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found") / F.col("n_exact_pairs") >= 0.9, F.lit(True)
         ).alias("recall_ok"),
     )
+
+
+@register(
+    "q_ext_dedup_minhash_banded",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_clone_pairs
+FROM documents WHERE doc_id < 30
+""",
+)
+def q_ext_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-DataFrame MinHash near-dup with corpus-ADAPTIVE banding —
+    the 100 TB-hardened variant of q_ext_dedup_minhash: no pyspark.ml
+    pipeline (shingles hashed directly by xxhash64, no HashingTF
+    collision layer, no vector UDTs in the shuffle), signature built
+    in ONE aggregate fold, and rows-per-band r climbing an integer
+    ladder with corpus count (llm/dedup.py::adaptive_minhash_params)
+    so background-pair candidate volume stays ~linear while band count
+    re-tunes to hold ≥0.95 recall at the threshold. Verified by the
+    same PLANTED-CLONE contract as the ml path: identical texts give
+    identical shingle sets, hence identical signatures, which collide
+    in EVERY band at any ladder step, and exact-Jaccard verification
+    scores the clone pair at 1.0 ≥ any threshold — so
+    (n_planted, n_clone_pairs) equality is banding-independent."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    pairs = dedup.minhash_near_dup_pairs_df(
+        docs.unionByName(clones), threshold=0.2, num_perm=None, bands=None
+    )
+    found = pairs.where(
+        (F.col("doc_a") < 30) & (F.col("doc_b") == F.col("doc_a") + _CLONE_OFFSET)
+    ).agg(F.count("*").alias("n_clone_pairs"))
+    planted = docs.where(F.col("doc_id") < 30).agg(F.count("*").alias("n_planted"))
+    return planted.crossJoin(found).select("n_planted", "n_clone_pairs")
 
 
 @register(
@@ -608,10 +648,15 @@ def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos_sim ~ 1.0, found in the clone's own home cell). Output
     (n_planted, n_top1_hits); the oracle expects equality — a
     probe/assignment/scoring regression flags red while the benched
-    plan stays the production shuffle-to-cell shape."""
+    plan stays the production shuffle-to-cell shape. n_clusters=None
+    applies the canonical IVF sizing nlist ≈ √N (per-query scan work
+    ~n_probe·√N rows, O(N^1.5) total) instead of a frozen cell count
+    whose cells grow linearly dense; the contract is nlist-independent
+    because identical embeddings share a home cell under any trained
+    centroid set."""
     vecs_u, planted = _planted_vecs(spark, sf_dir, n=20)
     ann = similarity.cosine_topk_ivf(
-        vecs_u, k=5, n_clusters=16, n_probe=2, seed=42
+        vecs_u, k=5, n_clusters=None, n_probe=2, seed=42
     )
     hits = ann.where(
         (F.col("vec_a") >= _CLONE_OFFSET)

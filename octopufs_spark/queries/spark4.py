@@ -645,14 +645,24 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _det_qb_cte(n_planes: int, dim: int) -> str:
     """Shared CTE fragment: quantized vectors with deterministic LSH
-    bucket + exact squared norm (mirrors similarity.det_lsh_index)."""
+    bucket + exact squared norm (mirrors similarity.det_lsh_index).
+    Plane coefficients are inlined as list literals from the SAME
+    Python function the Spark side uses (deterministic_planes), so the
+    two sides cannot drift — and the hash producing them can be
+    finalizer-grade without needing a SQL rendering."""
+    from octopufs_spark.llm.similarity import deterministic_planes
+
+    planes = deterministic_planes(n_planes, dim)
     proj = lambda j: (
         f"list_sum(list_transform(generate_series(1, {dim}), "
-        f"i -> v[i] * (((({j} * {dim}) + i - 1) * 2654435761) % 2001 - 1000)))"
+        f"i -> v[i] * ([{','.join(str(c) for c in planes[j])}])[i]))"
     )
     bucket_terms = " + ".join(
         f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
     )
+    from octopufs_spark.llm.similarity import adaptive_modulus_sql
+
+    mod = adaptive_modulus_sql("SELECT COUNT(*) FROM embeddings", 16, n_planes)
     return f"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS v
@@ -660,17 +670,19 @@ def _det_qb_cte(n_planes: int, dim: int) -> str:
 ), qb AS (
   SELECT vec_id, v,
          CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) AS nn,
-         CAST({bucket_terms} AS BIGINT) AS bucket
+         CAST({bucket_terms} AS BIGINT) % ({mod}) AS bucket
   FROM q
 )"""
 
 
-def _lsh_det_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
-    """DuckDB replay of the deterministic LSH ANN: regenerate the
-    integer hash-planes from the same index formula, re-derive buckets
-    from exact integer projections, score same-bucket pairs with exact
-    integer dots, and rank. Every number is exactly representable, so
-    the top-k hash-matches the Spark plan bit-for-bit."""
+def _lsh_det_oracle(n_planes: int = 16, dim: int = 64, k: int = 5) -> str:
+    """DuckDB replay of the deterministic LSH ANN: inline the literal
+    integer hash-planes (shared Python source with the Spark side),
+    re-derive corpus-adaptive buckets from exact integer projections
+    masked by the integer-ladder modulus, score same-bucket pairs with
+    exact integer dots, and rank. Every number is exactly
+    representable, so the top-k hash-matches the Spark plan
+    bit-for-bit."""
     return f"""
 WITH {_det_qb_cte(n_planes, dim)}
 SELECT vec_a, vec_b, cos_sim, rn FROM (
@@ -697,11 +709,16 @@ def q_ext_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine_topk_ann_deterministic). Upgrades the ANN family from
     weak/rows-only to hash-verified; the seeded-Gaussian production
     variant remains q_ext_ann_lsh. Plan shape is unchanged: shuffle on
-    bucket, per-bucket scoring, no all-pairs product."""
+    bucket, per-bucket scoring, no all-pairs product. Bucket count is
+    corpus-adaptive (16-plane bucket masked by the integer-ladder
+    modulus, replayed verbatim in the oracle) so per-bucket density —
+    and the candidate join — stays bounded as the corpus grows; a
+    fixed plane count was the quadratic-at-scale trap the sf10 probe
+    caught."""
     from octopufs_spark.llm import similarity
 
     return similarity.cosine_topk_ann_deterministic(
-        load(spark, sf_dir, "embeddings"), dim=64, k=5, n_planes=8
+        load(spark, sf_dir, "embeddings"), dim=64, k=5, adaptive_max_planes=16
     )
 
 
@@ -779,11 +796,12 @@ def _semantic_det_oracle(dim: int = 64, threshold: float = 0.4, max_planes: int 
     its min reachable id — the same contract as q_ext_dedup_cluster's
     oracle, but over embedding-similarity edges instead of prefix
     collisions."""
-    from octopufs_spark.llm.similarity import adaptive_modulus_sql
+    from octopufs_spark.llm.similarity import adaptive_modulus_sql, deterministic_planes
 
+    planes = deterministic_planes(max_planes, dim)
     proj = lambda j: (
         f"list_sum(list_transform(generate_series(1, {dim}), "
-        f"i -> v[i] * (((({j} * {dim}) + i - 1) * 2654435761) % 2001 - 1000)))"
+        f"i -> v[i] * ([{','.join(str(c) for c in planes[j])}])[i]))"
     )
     bucket_terms = " + ".join(
         f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(max_planes)
@@ -1569,7 +1587,7 @@ def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_eval_oracle(n_planes: int = 8, dim: int = 64, k: int = 5, qlimit: int = 50) -> str:
+def _ann_eval_oracle(n_planes: int = 16, dim: int = 64, k: int = 5, qlimit: int = 50) -> str:
     """DuckDB replay of the ANN evaluation harness: exact top-k by
     brute force over the quantized vectors, ANN top-k via the
     deterministic LSH, then recall@k and MRR (scaled by 60 = lcm(1..5)
@@ -1616,12 +1634,17 @@ def q_ext_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     here computed entirely in-engine and hash-verified (MRR is scaled
     by 60 = lcm(1..5) so every reciprocal rank is an exact integer).
     The exact side joins a broadcast 50-row query block against the
-    corpus — bounded work, never an n-squared product."""
+    corpus — bounded work, never an n-squared product. The ANN under
+    evaluation is the corpus-adaptive det index (the exact
+    configuration q_ext_ann_lsh_det serves), so the recall/MRR report
+    tracks the production det path at every scale."""
     from pyspark.sql.window import Window
 
     from octopufs_spark.llm import similarity
 
-    b = similarity.det_lsh_index(load(spark, sf_dir, "embeddings"), 64, 8).localCheckpoint()
+    b = similarity.det_lsh_index_adaptive(
+        load(spark, sf_dir, "embeddings"), 64, 16
+    ).localCheckpoint()
     qs = b.where(F.col("vec_id") < 50)
 
     dot = F.aggregate(

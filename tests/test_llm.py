@@ -56,6 +56,40 @@ def test_minhash_finds_planted_near_dup(spark, docs):
         assert (r.doc_id, r.doc_id + 100000) in found
 
 
+def test_adaptive_minhash_params_ladder():
+    """r climbs with corpus count; b re-tunes to hold ≥0.95 recall at
+    the threshold; a given count always maps to the same params."""
+    import math
+
+    for count, want_r in [(1_000, 2), (1_000_000, 2), (1_000_001, 3), (100_000_001, 4)]:
+        num_perm, b, r = dedup.adaptive_minhash_params(count, threshold=0.5)
+        assert r == want_r
+        assert num_perm == b * r
+        assert 1 - (1 - 0.5**r) ** b >= 0.95
+    assert dedup.adaptive_minhash_params(10**12, threshold=0.5)[2] <= 6
+    # determinism
+    assert dedup.adaptive_minhash_params(12345) == dedup.adaptive_minhash_params(12345)
+
+
+def test_minhash_banded_df_finds_planted_near_dup(spark, docs):
+    """The pure-DataFrame adaptive-banding path finds planted edits and
+    never reports a pair below the exact-Jaccard threshold."""
+    base = docs.where(F.size(F.split("text", " ")) > 20).limit(3)
+    edited = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extrawordatend"))
+    )
+    pairs = dedup.minhash_near_dup_pairs_df(
+        base.union(edited).select("doc_id", "text"),
+        threshold=0.5,
+        num_perm=None,
+        bands=None,
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for r in base.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 100000) in found
+    assert all(r.jaccard >= 0.5 for r in pairs)  # exact verification holds
+
+
 def test_ann_lsh_finds_identical_vectors(spark):
     """Duplicated vectors land in the same bucket and rank first."""
     vecs = load(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 20)

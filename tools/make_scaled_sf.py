@@ -67,13 +67,19 @@ def scale_table(df, table: str, k: int):
             )
         if table == "embeddings" and r > 0:
             # sign pattern s[r,i]: exact within-replica cosines, de-
-            # correlated cross-replica (see module docstring)
+            # correlated cross-replica (see module docstring). The
+            # pattern bit MUST come from a full-width hash of (r, i):
+            # a small-modulus formula (the first version used mod 7)
+            # admits only as many distinct patterns as the modulus, so
+            # replicas past that count repeat an earlier pattern
+            # EXACTLY — reintroducing the giant exact-duplicate
+            # clusters this model exists to avoid.
             rep = rep.withColumn(
                 "embedding",
                 F.transform(
                     F.col("embedding"),
                     lambda x, i: F.when(
-                        ((i + 1) * F.lit(2654435761) * (r * 2 + 1)) % 7 < 4, x
+                        F.pmod(F.xxhash64(F.lit(r), i), F.lit(2)) == 0, x
                     ).otherwise(-x),
                 ),
             )
