@@ -275,13 +275,17 @@ def q_ext_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical shingle sets, hence identical signatures, which collide
     in EVERY band at any ladder step, and exact-Jaccard verification
     scores the clone pair at 1.0 ≥ any threshold — so
-    (n_planted, n_clone_pairs) equality is banding-independent."""
+    (n_planted, n_clone_pairs) equality is banding-independent.
+    Threshold 0.5 is the production near-dup operating point: the
+    signature cost num_perm = b·r scales as ~1/s^r (0.2 would need
+    148 permutations where 0.5 needs 22 for the same ≥0.95 recall),
+    so the threshold choice IS the signature budget."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     clones = docs.where(F.col("doc_id") < 30).select(
         (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
     )
     pairs = dedup.minhash_near_dup_pairs_df(
-        docs.unionByName(clones), threshold=0.2, num_perm=None, bands=None
+        docs.unionByName(clones), threshold=0.5, num_perm=None, bands=None
     )
     found = pairs.where(
         (F.col("doc_a") < 30) & (F.col("doc_b") == F.col("doc_a") + _CLONE_OFFSET)
