@@ -56,6 +56,7 @@ FLAGSHIPS = [
     ("q_ext_dedup_semantic_det", "adaptive-plane det LSH: bucket count grows with corpus, pair join density constant"),
     ("q_ext_ann_opq_alt", "full alternating OPQ: k-means centroid refresh + rotation argmin, broadcast codebooks"),
     ("q_ext_delete_vectors_pos", "positional MOR delete: _metadata anti-join, KB commit, no rewrite"),
+    ("q_ext_dedup_minhash_banded", "adaptive-banding MinHash: one-fold signature, (band,key) equi-join, exact verify"),
 ]
 
 
