@@ -77,7 +77,7 @@ def main() -> None:
     funnel.append(("minhash near-dup", surviving.count()))
 
     # 4. semantic dedup on embeddings (vec_id aligns with doc_id here)
-    sem_pairs = similarity.cosine_near_dup_pairs_deterministic(vecs, threshold=0.4)
+    sem_pairs = similarity.cosine_near_dup_pairs_det_adaptive(vecs, threshold=0.4)
     sem_clusters = dedup.connected_components(sem_pairs, partitions=4)
     sem_losers = sem_clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id")

@@ -66,10 +66,25 @@ def list_tree(
         subdirs = [i.path for i in infos if i.type == pafs.FileType.Directory]
         return infos, subdirs
 
-    level = [root]
+    def list_one_tolerant(dir_path: str) -> tuple[list[pafs.FileInfo], list[str]]:
+        # A subdir discovered at level N can vanish before its level
+        # N+1 listing — concurrent writers delete their _temporary
+        # staging dirs constantly. A walk that crashes on a vanished
+        # dir cannot run concurrently with writers at all (vacuum's
+        # whole retention design assumes it can); an already-deleted
+        # dir correctly contributes nothing.
+        try:
+            return list_one(dir_path)
+        except (FileNotFoundError, OSError):
+            return [], []
+
+    level, strict = [root], True
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         while level:
-            results = list(pool.map(list_one, level))
+            # root listing stays strict: a missing tree root is the
+            # caller's signal (versions() relies on FileNotFoundError)
+            results = list(pool.map(list_one if strict else list_one_tolerant, level))
+            strict = False
             next_level: list[str] = []
             for dir_path, (infos, subdirs) in zip(level, results):
                 files = [i for i in infos if i.type != pafs.FileType.Directory]

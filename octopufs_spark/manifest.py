@@ -215,11 +215,7 @@ class ManifestTable:
         pos_dvs = [dv for dv in dvs if dv.get("type") == "positional"]
         key_dvs = [dv for dv in dvs if not dv.get("type")]
         if pos_dvs:
-            marker = self.root_path + "/"
-            fp = _F.col("_metadata.file_path")
-            rel = fp.substr(
-                _F.locate(marker, fp) + len(marker), _F.length(fp)
-            )
+            rel = self._rel_path_col()
             df = df.withColumns({"_dv_file": rel, "_dv_pos": _F.col("_metadata.row_index")})
             for dv in pos_dvs:
                 gone = spark.read.parquet(f"{self.root}/{dv['path']}").select(
@@ -231,6 +227,19 @@ class ManifestTable:
             keys_df = spark.read.parquet(f"{self.root}/{dv['path']}")
             df = df.join(_F.broadcast(keys_df), dv["keys"], "left_anti")
         return df
+
+    def _rel_path_col(self):
+        """Table-relative path of the scanned file, from the parquet
+        reader's ``_metadata.file_path`` virtual column. Positional
+        delete vectors store THIS rendering on the write side and
+        anti-join on it at read — the two sides must agree byte-for-
+        byte or every existing vector silently stops matching, which
+        is why both use this single helper."""
+        from pyspark.sql import functions as _F
+
+        marker = self.root_path + "/"
+        fp = _F.col("_metadata.file_path")
+        return fp.substr(_F.locate(marker, fp) + len(marker), _F.length(fp))
 
     def _check_not_vacuumed(self, m: Manifest) -> None:
         """Raise SnapshotVacuumedError if any file (or delete-vector
@@ -485,13 +494,21 @@ class ManifestTable:
                 for ci in range(g.num_columns):
                     col = g.column(ci)
                     name = col.path_in_schema
-                    st = col.statistics
                     if name in dead:
                         continue
-                    if st is None or not st.has_min_max:
-                        dead.add(name)
-                        continue
-                    mn, mx = canon(st.min), canon(st.max)
+                    try:
+                        st = col.statistics
+                        # .min/.max (not just has_min_max) can raise
+                        # ArrowNotImplementedError for physical types
+                        # pyarrow can't cast stats for (e.g. DECIMAL) —
+                        # that means "no stats", not a crash
+                        mn, mx = (
+                            (canon(st.min), canon(st.max))
+                            if st is not None and st.has_min_max
+                            else (None, None)
+                        )
+                    except Exception:
+                        mn = mx = None
                     if mn is None or mx is None:
                         dead.add(name)
                         continue
@@ -564,6 +581,7 @@ class ManifestTable:
         ``repr(float(v))``; dates/datetimes as ISO strings; bytes
         utf-8-decoded (surrogateescape); everything else ``str``."""
         import datetime as _dt
+        import decimal
         import numbers
 
         if isinstance(value, bytes):
@@ -574,6 +592,12 @@ class ManifestTable:
             value = value.item()  # numpy scalar → python scalar
         if isinstance(value, bool):
             value = int(value)
+        if isinstance(value, decimal.Decimal):
+            # Decimal registers as numbers.Number, NOT numbers.Real —
+            # without this branch a DECIMAL column's stored values hash
+            # as str ('100.00') while an int/float probe hashes '100':
+            # guaranteed false negative = silently pruned rows.
+            value = float(value)
         if isinstance(value, numbers.Real) and not isinstance(value, int):
             f = float(value)
             if f.is_integer():
@@ -711,7 +735,13 @@ class ManifestTable:
             rel = el.path[len(self.root_path) + 1 :]
             if rel.startswith(_MANIFEST_DIR + "/"):
                 m = _VERSION_RE.search(rel)
-                if m and int(m.group(1)) not in keep:
+                # The retention window guards manifests exactly like
+                # data files: a concurrent reader that just resolved
+                # latest_version()==k (or a stream sink walking parent
+                # pointers) must be able to open v{k}.json even while a
+                # writer advances the head — pruning it instantly turns
+                # an in-flight read into FileNotFoundError.
+                if m and int(m.group(1)) not in keep and not _too_young(el.path):
                     self.fs.delete_file(el.path)
                     removed.append(rel)
                 continue
@@ -902,44 +932,65 @@ def promote_table_to_manifest(
     )
 
 
-def _max_committed_stream_batch(table: ManifestTable) -> int | None:
-    """Batch id of the NEWEST stream-append commit, or None.
+def _max_committed_stream_batch(table: ManifestTable, writer_id: str) -> int | None:
+    """Batch id of the newest stream-append commit by ``writer_id``,
+    or None.
 
     Replay detection must not walk the whole commit chain — that is
     O(versions) per micro-batch, quadratic total work at streaming
     rates. Batch ids commit in order for a single streaming writer
     (the sink-ownership model `manifest_stream_writer` assumes), so
     the first stream-append found walking back from the head holds the
-    maximum committed batch id; the walk is bounded by the number of
-    interleaved non-stream commits since the last stream batch."""
+    maximum committed batch id for its writer; the walk is bounded by
+    the number of interleaved non-stream commits since the last stream
+    batch, and stops — returning None, the safe "nothing committed"
+    answer for an all-pruned history — when it reaches a manifest
+    vacuum has pruned (walking past retained versions would crash; a
+    pruned commit can only be older than anything a live writer is
+    replaying)."""
     v = table.latest_version()
     while v is not None:
-        m = table.read_manifest(v)
-        if m.operation == "stream-append" and "batch_id" in m.meta:
+        try:
+            m = table.read_manifest(v)
+        except (FileNotFoundError, OSError):
+            return None  # parent pruned by vacuum: no retained stream commit
+        if (
+            m.operation == "stream-append"
+            and "batch_id" in m.meta
+            and m.meta.get("writer_id", "default") == writer_id
+        ):
             return m.meta["batch_id"]
         v = m.parent
     return None
 
 
-def manifest_stream_writer(stream_df: DataFrame, table: ManifestTable):
+def manifest_stream_writer(
+    stream_df: DataFrame, table: ManifestTable, writer_id: str = "default"
+):
     """Stream sink: land every micro-batch as one atomic manifest
     append commit (``foreachBatch``), giving readers exactly-once
     VISIBLE snapshots — a plain file sink makes in-flight files
     observable; here a batch's files appear all-or-nothing.
 
-    Exactly-once across restarts: the batch id is recorded in the
-    commit meta, and a replayed batch (checkpoint recovery re-runs the
-    last uncommitted-to-sink batch) is detected by scanning retained
-    manifests for its id and skipped — the standard idempotent
-    foreachBatch pattern, with the manifest log doubling as the
-    transaction log. Returns a DataStreamWriter; caller starts it with
-    its checkpoint location.
+    Exactly-once across restarts: ``(writer_id, batch_id)`` is
+    recorded in the commit meta, and a replayed batch (checkpoint
+    recovery re-runs the last uncommitted-to-sink batch) is detected
+    by finding the writer's newest committed id ≥ the incoming one and
+    skipped — the Delta ``txnAppId``/``txnVersion`` idempotent-sink
+    contract, with the manifest log doubling as the transaction log.
+    The contract's obligation travels WITH the checkpoint: batch ids
+    restart from 0 when a query starts over with a FRESH checkpoint,
+    so a fresh checkpoint must come with a fresh ``writer_id`` (or a
+    truncated table) — otherwise the old incarnation's high-water mark
+    would silently swallow the new stream's early batches, exactly as
+    in Delta. Returns a DataStreamWriter; caller starts it with its
+    checkpoint location.
     """
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = _max_committed_stream_batch(table)
+        committed = _max_committed_stream_batch(table, writer_id)
         if committed is not None and committed >= batch_id:
-            return  # replayed batch: already committed
+            return  # replayed batch: already committed by this writer
         staged = f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
         batch_df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
 
@@ -947,7 +998,9 @@ def manifest_stream_writer(stream_df: DataFrame, table: ManifestTable):
             base = parent.files if parent else []
             return sorted(base + table._data_files_under(staged))
 
-        table._commit_with_retry(build, "stream-append", {"batch_id": batch_id})
+        table._commit_with_retry(
+            build, "stream-append", {"batch_id": batch_id, "writer_id": writer_id}
+        )
 
     return stream_df.writeStream.foreachBatch(commit_batch)
 

@@ -179,23 +179,43 @@ def delete_where_mor_positional(
     - at 100 TB a delete touching 0.1% of rows commits KBs, and
       compaction later materializes it (rewrite commits retain no
       parent files, so `_carry_delete_vectors` drops the vector).
+
+    Because the vector is FILE-scoped, a concurrent rewrite of the
+    scanned files is a true conflict: if a compaction publishes
+    between the scan and this commit, the vector would name files the
+    new snapshot no longer reads — the commit would "succeed" while
+    deleting nothing (a lost update). The commit therefore verifies at
+    publish time that every scanned file is still in the parent
+    snapshot and aborts with :class:`ConcurrentModificationError`
+    otherwise (the same publish-time reconciliation
+    ``compact_and_commit`` does from the other side; concurrent
+    APPENDS add files the vector never references and pass through).
     """
     import uuid
 
+    from octopufs_spark.manifest import ConcurrentModificationError
+
     m = table.read_manifest()
+    scanned = set(m.files)
     scan = spark.read.parquet(*[f"{table.root}/{p}" for p in m.files])
-    marker = table.root_path + "/"
-    fp = F.col("_metadata.file_path")
-    rel = fp.substr(F.locate(marker, fp) + len(marker), F.length(fp))
     dv_rel = f"_dv/dvp-{uuid.uuid4().hex[:12]}.parquet"
     hits = scan.where(F.expr(predicate)).select(
-        rel.alias("file"), F.col("_metadata.row_index").cast("long").alias("pos")
+        table._rel_path_col().alias("file"),
+        F.col("_metadata.row_index").cast("long").alias("pos"),
     )
     hits.write.mode("errorifexists").parquet(f"{table.root}/{dv_rel}")
 
     def build(parent):
         if parent is None:
             raise ValueError("MOR delete requires an existing snapshot")
+        rewritten = scanned - set(parent.files)
+        if rewritten:
+            raise ConcurrentModificationError(
+                f"positional delete on {table.root} conflicts with a "
+                f"concurrent rewrite: {len(rewritten)} scanned file(s) "
+                f"left the snapshot, e.g. {sorted(rewritten)[0]!r} — "
+                "re-run the delete against the new snapshot"
+            )
         return list(parent.files)
 
     parent = table.read_manifest()

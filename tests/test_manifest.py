@@ -719,11 +719,23 @@ def test_n_writer_contention_linearizable_history(spark, table):
                 with lock:
                     failed.append(lo)
 
+    vacuum_errors: list[BaseException] = []
+    vacuum_passes = [0]
+
     def vacuumer():
+        # A swallowed crash here makes the vacuum assertions pass
+        # vacuously (the thread dies, vacuum_removed stays [] for the
+        # wrong reason) — collect exceptions and fail the test on them.
         while not stop.is_set():
-            removed = table.vacuum()  # default retention: must be a no-op
+            try:
+                removed = table.vacuum()  # default retention: must be a no-op
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    vacuum_errors.append(e)
+                return
             with lock:
                 vacuum_removed.extend(removed)
+                vacuum_passes[0] += 1
 
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
     vt = threading.Thread(target=vacuumer)
@@ -736,6 +748,8 @@ def test_n_writer_contention_linearizable_history(spark, table):
     stop.set()
     vt.join()
 
+    assert not vacuum_errors, f"vacuum crashed racing writers: {vacuum_errors[0]!r}"
+    assert vacuum_passes[0] > 0  # the property was actually exercised
     assert vacuum_removed == []  # retention window protected every young file
     versions = table.versions()
     assert versions == list(range(1, len(versions) + 1))  # contiguous
@@ -865,9 +879,113 @@ def test_stream_sink_replay_check_is_bounded(spark, table):
 
     mod.ManifestTable.read_manifest = counting
     try:
-        assert _max_committed_stream_batch(table) == 4
+        assert _max_committed_stream_batch(table, "default") == 4
     finally:
         mod.ManifestTable.read_manifest = orig
     # chain is 11 commits deep; the walk reads at most the interleaved
     # append plus the newest stream commit
     assert len(calls) <= 2
+
+
+def test_stream_replay_check_scoped_to_writer_id(spark, table):
+    """A NEW stream incarnation (fresh checkpoint => fresh writer_id)
+    must not have its early batches swallowed by an OLD incarnation's
+    high-water mark — the Delta txnAppId contract. Same writer_id,
+    same-or-lower batch id stays a replay."""
+    from octopufs_spark.manifest import _max_committed_stream_batch
+
+    write_and_commit(_df(spark, 0, 5), table)
+    spark.range(0, 3).write.parquet(f"{table.root}/batch-42-x")
+
+    def build(parent):
+        return sorted(parent.files + table._data_files_under("batch-42-x"))
+
+    table._commit_with_retry(
+        build, "stream-append", {"batch_id": 42, "writer_id": "run-a"}
+    )
+    assert _max_committed_stream_batch(table, "run-a") == 42
+    # the old incarnation's 42 is invisible to a fresh writer: its
+    # batch 0 commits instead of being dropped as a "replay"
+    assert _max_committed_stream_batch(table, "run-b") is None
+
+
+def test_stream_replay_walk_survives_pruned_parents(spark, table):
+    """Attaching a stream sink to a table whose old manifests were
+    vacuumed must not crash the parent-pointer walk — a pruned commit
+    can only be older than anything a live writer replays, so the walk
+    answers None (nothing committed among retained versions)."""
+    from octopufs_spark.manifest import _max_committed_stream_batch
+
+    write_and_commit(_df(spark, 0, 5), table)
+    for lo in (10, 20, 30):
+        write_and_commit(_df(spark, lo, lo + 5), table, mode="append")
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    assert any("v1.json" in r for r in removed)
+    assert _max_committed_stream_batch(table, "default") is None
+
+
+def test_vacuum_retention_protects_manifests(spark, table):
+    """Manifest pruning honors the retention window exactly like data
+    files: a concurrent reader that just resolved latest_version()==k
+    (or a stream sink walking parents) must still be able to open
+    v{k}.json while a writer advances the head."""
+    write_and_commit(_df(spark, 0, 5), table)
+    write_and_commit(_df(spark, 10, 15), table)
+    assert table.vacuum(keep_versions=1) == []  # default 24h window
+    assert table.read_manifest(1).version == 1  # old manifest intact
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    assert any("v1.json" in r for r in removed)
+
+
+def test_positional_delete_aborts_on_concurrent_rewrite(spark, table):
+    """A compaction publishing between the positional delete's scan
+    and its commit rewrites the files the vector names — committing
+    anyway would 'succeed' while deleting nothing (lost update). The
+    publish-time reconciliation must abort instead."""
+    from octopufs_spark.manifest import ConcurrentModificationError, Manifest
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 100), table)
+
+    real = ManifestTable._commit_with_retry
+
+    def racing(self, files_or_build, operation, meta):
+        # simulate the race: the parent this commit resolves references
+        # a compacted file set that no longer contains the scanned files
+        fake_parent = Manifest(
+            version=2,
+            files=["compacted/part-00000.parquet"],
+            operation="compact",
+            parent=1,
+        )
+        files_or_build(fake_parent)
+        raise AssertionError("build accepted a rewritten parent")
+
+    ManifestTable._commit_with_retry = racing
+    try:
+        with pytest.raises(ConcurrentModificationError, match="concurrent rewrite"):
+            delete_where_mor_positional(spark, table, "id < 10")
+    finally:
+        ManifestTable._commit_with_retry = real
+
+
+def test_bloom_decimal_column_no_false_negative(spark, table):
+    """Write-side Decimal canonicalization: a DECIMAL column's stored
+    values arrive from the parquet footer as decimal.Decimal (which is
+    NOT a numbers.Real subclass) — they must hash identically to the
+    int/float renderings a probe uses, or point lookups silently prune
+    files that contain the key."""
+    from decimal import Decimal
+
+    df = spark.range(0, 400).select(
+        F.col("id").cast("decimal(15,2)").alias("amount")
+    )
+    write_and_commit(df, table, stats=True, bloom_columns=["amount"])
+    keep_int, _ = table.prune_plan([("amount", "=", 17)])
+    keep_float, _ = table.prune_plan([("amount", "=", 17.0)])
+    keep_dec, _ = table.prune_plan([("amount", "=", Decimal("17.00"))])
+    assert keep_int == keep_float == keep_dec
+    assert len(keep_int) > 0  # the key's file survived pruning
+    # verify against ground truth: the kept set covers the actual row
+    got = {r.amount for r in table.read_pruned(spark, [("amount", "=", 17)]).collect()}
+    assert Decimal("17.00") in got
