@@ -200,3 +200,61 @@ def test_resize_png_property(w, h, dw, dh, seed):
 
     same = decode_png(resize_png(png, w, h))[3]
     assert same == src
+
+
+@given(
+    count=st.integers(min_value=0, max_value=10**14),
+    threshold=st.floats(min_value=0.2, max_value=0.9),
+)
+@settings(deadline=None)  # first example pays the module import
+def test_adaptive_minhash_params_properties(count, threshold):
+    """The corpus-count banding ladder: recall at the threshold stays
+    ≥ 0.95 at every step, r is monotone in count (never shrinking the
+    suppression exponent as the corpus grows), num_perm = b·r exactly,
+    and the map is deterministic."""
+    from octopufs_spark.llm.dedup import adaptive_minhash_params
+
+    num_perm, b, r = adaptive_minhash_params(count, threshold=threshold)
+    assert num_perm == b * r and b >= 2 and 2 <= r <= 6
+    assert 1 - (1 - threshold**r) ** b >= 0.95
+    bigger = adaptive_minhash_params(count * 100 + 1, threshold=threshold)
+    assert bigger[2] >= r
+    assert adaptive_minhash_params(count, threshold=threshold) == (num_perm, b, r)
+
+
+@given(count=st.integers(min_value=0, max_value=10**14))
+@settings(deadline=None)
+def test_adaptive_n_planes_density_bound(count):
+    """Plane count tracks the corpus so expected bucket occupancy is
+    bounded: below the cap, count / 2^planes ≤ target; planes never
+    leave [floor, cap]; monotone in count."""
+    from octopufs_spark.llm.similarity import adaptive_n_planes
+
+    planes = adaptive_n_planes(count, target_bucket=32, floor=8, cap=24)
+    assert 8 <= planes <= 24
+    if planes < 24:
+        assert count <= 32 * (1 << planes)
+    if planes > 8:
+        # one fewer plane would overflow the target density — the
+        # ladder takes the SMALLEST sufficient plane count
+        assert count > 32 * (1 << (planes - 1))
+    assert adaptive_n_planes(count * 2 + 1) >= adaptive_n_planes(count)
+
+
+@given(
+    j=st.integers(min_value=0, max_value=31),
+    dim=st.integers(min_value=1, max_value=128),
+)
+@settings(deadline=None)
+def test_deterministic_planes_pure_and_bounded(j, dim):
+    """Plane coefficients are a pure function of (row, col) — the
+    property both engines rely on to inline identical literals — and
+    stay inside the quantization range."""
+    from octopufs_spark.llm.similarity import deterministic_planes
+
+    a = deterministic_planes(j + 1, dim)
+    b = deterministic_planes(j + 1, dim)
+    assert a == b
+    assert all(-1000 <= c <= 1000 for row in a for c in row)
+    # prefix stability: plane i of a larger matrix equals plane i alone
+    assert deterministic_planes(j + 2, dim)[: j + 1] == a
