@@ -169,12 +169,15 @@ FROM documents WHERE doc_id < 30
 """,
 )
 def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates — the PRODUCTION scale
-    path alone (Spark ML MinHashLSH banded bucket join; split out of
-    the combined recall entry in round 4 so the bench measures the
-    path a 100 TB pipeline runs, not the exact ground-truth sweep —
-    that lives in q_ext_dedup_minhash_recall, and the value-level
-    hash-verified variant in q_ext_dedup_minhash_det). Verified by a
+    """MinHash-LSH near-duplicate candidates via ``pyspark.ml``
+    MinHashLSH — the API-PARITY path (split out of the combined recall
+    entry in round 4; the exact ground-truth sweep lives in
+    q_ext_dedup_minhash_recall, the value-level hash-verified variant
+    in q_ext_dedup_minhash_det). For the 100 TB route use
+    q_ext_dedup_minhash_banded: the sf10 probe measured this ML path
+    at ~90 s / 500k docs (HashingTF feature detour + r=1 hash tables:
+    any single shared min-hash is a candidate) vs ~11 s for the
+    banded pure-DataFrame path with corpus-adaptive r. Verified by a
     PLANTED-CLONE contract: the texts of doc_id < 30 are re-ingested
     under offset ids; an identical token stream produces identical
     shingles, hence identical MinHash signatures in every hash table
