@@ -50,6 +50,7 @@ def list_tree(
     uri: str,
     drop_file_detail: bool = False,
     max_workers: int = DEFAULT_LIST_WORKERS,
+    tolerate_vanished: bool = False,
 ) -> list[FsElement]:
     """Recursive listing of a tree as FsElements.
 
@@ -57,6 +58,19 @@ def list_tree(
     ``drop_file_detail`` collapses each folder's files into one
     synthetic ``summed_up_files`` element to bound memory on huge trees
     (reference: sumUpFiles, fs/package.scala:59-62).
+
+    ``tolerate_vanished`` lets a SUBDIR that disappears between
+    discovery (level N) and its own listing (level N+1) contribute
+    nothing instead of raising — concurrent writers delete their
+    ``_temporary`` staging dirs constantly, and a maintenance walk
+    (vacuum) that crashes on a vanished dir cannot run alongside
+    writers at all. It is strictly OPT-IN and narrowed to
+    FileNotFoundError: a commit-time file discovery or a distributed
+    copy must NEVER treat a transient listing failure as an empty
+    directory (a throttling OSError swallowed there would publish a
+    manifest silently missing a partition), and the tree ROOT stays
+    strict in every mode (a missing root is the caller's signal —
+    ``versions()`` relies on it).
     """
     filesystem, root = get_filesystem(uri)
     out: list[FsElement] = []
@@ -67,23 +81,18 @@ def list_tree(
         return infos, subdirs
 
     def list_one_tolerant(dir_path: str) -> tuple[list[pafs.FileInfo], list[str]]:
-        # A subdir discovered at level N can vanish before its level
-        # N+1 listing — concurrent writers delete their _temporary
-        # staging dirs constantly. A walk that crashes on a vanished
-        # dir cannot run concurrently with writers at all (vacuum's
-        # whole retention design assumes it can); an already-deleted
-        # dir correctly contributes nothing.
         try:
             return list_one(dir_path)
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             return [], []
 
     level, strict = [root], True
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         while level:
-            # root listing stays strict: a missing tree root is the
-            # caller's signal (versions() relies on FileNotFoundError)
-            results = list(pool.map(list_one if strict else list_one_tolerant, level))
+            sub_lister = (
+                list_one_tolerant if (tolerate_vanished and not strict) else list_one
+            )
+            results = list(pool.map(sub_lister, level))
             strict = False
             next_level: list[str] = []
             for dir_path, (infos, subdirs) in zip(level, results):

@@ -668,14 +668,16 @@ def cosine_near_dup_pairs_det_adaptive(
         lambda acc, x: acc + x,
     )
     return (
+        # det_lsh_index normalizes the id column to "vec_id" whatever
+        # id_col was, so the join/select below use that fixed name
         lhs.join(
             rhs,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
             (
                 dot_ab.cast("double")
                 / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double")))

@@ -436,6 +436,22 @@ class ManifestTable:
                 merged.append(dv)
         return {**meta, "delete_vectors": merged}
 
+    @staticmethod
+    def _carry_stream_txn(parent: Manifest | None, meta: dict) -> dict:
+        """Merge the parent's per-writer stream high-water marks into
+        ``meta`` on EVERY commit — the Delta ``SetTransaction`` model.
+        Because the newest manifest always carries the full map, the
+        sink's replay check reads exactly ONE manifest (no parent
+        walk), and the answer survives vacuum pruning arbitrary
+        history: a pruned chain can never silently reset a writer's
+        mark and let a replayed batch commit twice."""
+        parent_txn = dict(parent.meta.get("stream_txn", {})) if parent else {}
+        for w, b in meta.get("stream_txn", {}).items():
+            parent_txn[w] = max(b, parent_txn.get(w, b))
+        if not parent_txn:
+            return meta
+        return {**meta, "stream_txn": parent_txn}
+
     def _commit_with_retry(self, files_or_build, operation: str, meta: dict | None) -> int:
         for _ in range(5):  # reference-style bounded retry
             latest = self.latest_version()
@@ -446,7 +462,9 @@ class ManifestTable:
                 files=files,
                 operation=operation,
                 parent=latest,
-                meta=self._carry_delete_vectors(parent, files, meta or {}),
+                meta=self._carry_stream_txn(
+                    parent, self._carry_delete_vectors(parent, files, meta or {})
+                ),
             )
             try:
                 return self._publish(m)
@@ -702,7 +720,17 @@ class ManifestTable:
         unreferenced file younger than the threshold (by store mtime;
         unknown mtime counts as young). Pass ``retention_seconds=0``
         only when no writer can be in flight (tests, single-writer
-        maintenance windows)."""
+        maintenance windows).
+
+        The retention window applies to MANIFESTS too, and a manifest
+        that survives (whether in ``keep_versions`` or merely young)
+        keeps its WHOLE SNAPSHOT readable: its data files and delete
+        vectors count as live, so a concurrent reader that resolved
+        an older-but-recent version never opens v{k}.json only to
+        fail mid-scan on a deleted data file. The tree walk tolerates
+        staging dirs vanishing mid-listing (concurrent writers delete
+        ``_temporary`` constantly) — an already-deleted dir correctly
+        contributes nothing to a DELETION pass."""
         import datetime as _dt
 
         vs = self.versions()
@@ -717,11 +745,35 @@ class ManifestTable:
                 return True  # unknown age: never delete inside the window
             now = _dt.datetime.now(tz=mtime.tzinfo) if mtime.tzinfo else _dt.datetime.now()
             return (now - mtime).total_seconds() < retention_seconds
+
         keep = set(vs[-keep_versions:])
+        entries = [
+            el for el in list_tree(self.root, tolerate_vanished=True) if not el.is_dir
+        ]
+        # Pass 1 over the manifest dir: decide which versions SURVIVE
+        # (retained by policy or protected by the retention window).
+        survivors: set[int] = set()
+        manifest_drops: list[tuple[str, str]] = []
+        for el in entries:
+            rel = el.path[len(self.root_path) + 1 :]
+            if not rel.startswith(_MANIFEST_DIR + "/"):
+                continue
+            m = _VERSION_RE.search(rel)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v in keep or _too_young(el.path):
+                survivors.add(v)
+            else:
+                manifest_drops.append((el.path, rel))
+        # Every surviving manifest's snapshot stays fully readable.
         live: set[str] = set()
         live_prefixes: set[str] = set()
-        for v in keep:
-            m = self.read_manifest(v)
+        for v in survivors:
+            try:
+                m = self.read_manifest(v)
+            except (FileNotFoundError, OSError):
+                continue  # raced another vacuum: its files are gone too
             live.update(m.files)
             # merge-on-read delete vectors are live data too; each
             # vector path is a parquet DIRECTORY, so protect by prefix
@@ -729,21 +781,12 @@ class ManifestTable:
                 dv["path"].rstrip("/") for dv in m.meta.get("delete_vectors", [])
             )
         removed: list[str] = []
-        for el in list_tree(self.root):
-            if el.is_dir:
-                continue
+        for path, rel in manifest_drops:
+            self.fs.delete_file(path)
+            removed.append(rel)
+        for el in entries:
             rel = el.path[len(self.root_path) + 1 :]
             if rel.startswith(_MANIFEST_DIR + "/"):
-                m = _VERSION_RE.search(rel)
-                # The retention window guards manifests exactly like
-                # data files: a concurrent reader that just resolved
-                # latest_version()==k (or a stream sink walking parent
-                # pointers) must be able to open v{k}.json even while a
-                # writer advances the head — pruning it instantly turns
-                # an in-flight read into FileNotFoundError.
-                if m and int(m.group(1)) not in keep and not _too_young(el.path):
-                    self.fs.delete_file(el.path)
-                    removed.append(rel)
                 continue
             if (
                 rel.endswith(".parquet")
@@ -933,35 +976,39 @@ def promote_table_to_manifest(
 
 
 def _max_committed_stream_batch(table: ManifestTable, writer_id: str) -> int | None:
-    """Batch id of the newest stream-append commit by ``writer_id``,
-    or None.
+    """Highest batch id committed by ``writer_id``, or None.
 
-    Replay detection must not walk the whole commit chain — that is
-    O(versions) per micro-batch, quadratic total work at streaming
-    rates. Batch ids commit in order for a single streaming writer
-    (the sink-ownership model `manifest_stream_writer` assumes), so
-    the first stream-append found walking back from the head holds the
-    maximum committed batch id for its writer; the walk is bounded by
-    the number of interleaved non-stream commits since the last stream
-    batch, and stops — returning None, the safe "nothing committed"
-    answer for an all-pruned history — when it reaches a manifest
-    vacuum has pruned (walking past retained versions would crash; a
-    pruned commit can only be older than anything a live writer is
-    replaying)."""
+    O(1): every commit carries the full per-writer high-water map
+    forward (``_carry_stream_txn``, the Delta ``SetTransaction``
+    model), so the answer is in the NEWEST manifest — no parent walk,
+    no O(versions) work per micro-batch, and vacuum pruning any
+    amount of history cannot reset a writer's mark (the failure mode
+    of walking the chain: a pruned walk answering "nothing committed"
+    would let a replayed batch append its rows a second time).
+    Tables predating the txn map fall back to a parent walk over
+    retained manifests; a transient read error PROPAGATES — failing
+    the micro-batch (safe: checkpoint recovery retries it) instead of
+    being mistaken for "nothing committed"."""
     v = table.latest_version()
-    while v is not None:
-        try:
-            m = table.read_manifest(v)
-        except (FileNotFoundError, OSError):
-            return None  # parent pruned by vacuum: no retained stream commit
+    if v is None:
+        return None
+    m = table.read_manifest(v)
+    if "stream_txn" in m.meta:
+        return m.meta["stream_txn"].get(writer_id)
+    # legacy fallback: tables whose commits predate the txn map
+    while True:
         if (
             m.operation == "stream-append"
             and "batch_id" in m.meta
             and m.meta.get("writer_id", "default") == writer_id
         ):
             return m.meta["batch_id"]
-        v = m.parent
-    return None
+        if m.parent is None:
+            return None
+        try:
+            m = table.read_manifest(m.parent)
+        except FileNotFoundError:
+            return None  # chain pruned before any legacy stream commit
 
 
 def manifest_stream_writer(
@@ -999,7 +1046,13 @@ def manifest_stream_writer(
             return sorted(base + table._data_files_under(staged))
 
         table._commit_with_retry(
-            build, "stream-append", {"batch_id": batch_id, "writer_id": writer_id}
+            build,
+            "stream-append",
+            {
+                "batch_id": batch_id,
+                "writer_id": writer_id,
+                "stream_txn": {writer_id: batch_id},
+            },
         )
 
     return stream_df.writeStream.foreachBatch(commit_batch)

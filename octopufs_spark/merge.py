@@ -218,9 +218,11 @@ def delete_where_mor_positional(
             )
         return list(parent.files)
 
-    parent = table.read_manifest()
-    meta = dict(parent.meta)
-    meta["delete_vectors"] = list(parent.meta.get("delete_vectors", [])) + [
+    # meta built from the snapshot already in hand (m); a racer's
+    # vectors landing in between are merged by _carry_delete_vectors
+    # at publish time, so a second read here would buy nothing
+    meta = dict(m.meta)
+    meta["delete_vectors"] = list(m.meta.get("delete_vectors", [])) + [
         {"path": dv_rel, "type": "positional"}
     ]
     return table._commit_with_retry(build, "delete_mor", meta)

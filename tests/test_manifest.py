@@ -989,3 +989,55 @@ def test_bloom_decimal_column_no_false_negative(spark, table):
     # verify against ground truth: the kept set covers the actual row
     got = {r.amount for r in table.read_pruned(spark, [("amount", "=", 17)]).collect()}
     assert Decimal("17.00") in got
+
+
+def test_stream_txn_map_survives_vacuum(spark, table):
+    """The per-writer high-water map rides on EVERY commit (Delta
+    SetTransaction model), so the replay check answers from the newest
+    manifest alone — vacuum pruning the stream commit itself cannot
+    reset the mark and let a replayed batch double-commit."""
+    from octopufs_spark.manifest import _max_committed_stream_batch
+
+    write_and_commit(_df(spark, 0, 5), table)
+    spark.range(0, 3).write.parquet(f"{table.root}/batch-42-x")
+
+    def build(parent):
+        return sorted(parent.files + table._data_files_under("batch-42-x"))
+
+    table._commit_with_retry(
+        build,
+        "stream-append",
+        {"batch_id": 42, "writer_id": "run-a", "stream_txn": {"run-a": 42}},
+    )
+    for lo in (100, 200, 300):
+        write_and_commit(_df(spark, lo, lo + 5), table, mode="append")
+    # every later commit carries the map forward
+    assert table.read_manifest().meta["stream_txn"] == {"run-a": 42}
+    table.vacuum(keep_versions=1, retention_seconds=0)  # stream commit pruned
+    assert _max_committed_stream_batch(table, "run-a") == 42
+    assert _max_committed_stream_batch(table, "run-b") is None
+
+
+def test_vacuum_keeps_young_manifests_snapshots_readable(spark, table):
+    """A manifest protected by the retention window keeps its WHOLE
+    snapshot readable: its data files count as live even when they are
+    old and absent from the kept versions — otherwise a reader that
+    resolved that version opens the manifest fine and then dies
+    mid-scan on a vacuumed data file."""
+    import os
+    import time as _time
+
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 100, 110), table)  # overwrite: v1 files unreferenced
+    old = _time.time() - 3 * 86400
+    for f in table.read_manifest(1).files:
+        os.utime(f"{table.root}/{f}", (old, old))
+    # v1.json itself stays young => survives => its files must survive
+    removed = table.vacuum(keep_versions=1)
+    assert removed == []
+    assert {r.id for r in table.read(spark, version=1).collect()} == set(range(10))
+    # age the manifest too: now the whole v1 snapshot is reclaimable
+    os.utime(f"{table.root}/_manifest/v1.json", (old, old))
+    removed = table.vacuum(keep_versions=1)
+    assert any("v1.json" in r for r in removed)
+    assert any(r.endswith(".parquet") for r in removed)

@@ -22,13 +22,16 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parents[1])
 
 _CHILD = r"""
 import sys, time, json
-sys.path.insert(0, "/root/repo")
+name, sf_dir, repo = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
 from octopufs_spark.session import get_spark
 from octopufs_spark.registry import all_queries
-name, sf_dir = sys.argv[1], sys.argv[2]
 spark = get_spark("sf_probe"); spark.sparkContext.setLogLevel("ERROR")
 q = all_queries()[name]
 out = {}
@@ -40,13 +43,17 @@ print("SF_PROBE_RESULT " + json.dumps(out))
 """
 
 
-def probe(sf_dir: str, name: str) -> dict:
-    p = subprocess.run(
-        [sys.executable, "-c", _CHILD, name, sf_dir],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+def probe(sf_dir: str, name: str, timeout: int = 3600) -> dict:
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _CHILD, name, sf_dir, REPO],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        # a wedged query is a RESULT (record it), not a sweep abort
+        return {"error": f"timeout after {timeout}s"}
     for line in p.stdout.splitlines():
         if line.startswith("SF_PROBE_RESULT "):
             return json.loads(line[len("SF_PROBE_RESULT ") :])
