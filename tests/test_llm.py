@@ -384,3 +384,21 @@ def test_adaptive_bucket_modulus_ladder(spark):
     assert mod_for(2000) == 128
     assert mod_for(20000) == 2048  # density 9.8 <= target
     assert mod_for(16 * (1 << 15) + 1) == 65536  # cap at 2^16
+
+
+def test_det_adaptive_near_dup_honors_id_col(spark):
+    """det_lsh_index normalizes any id column to vec_id internally;
+    the pair join must keep working — and return the caller's ids —
+    for a non-default id_col (regression: a parametrized join column
+    broke this, since the index's output name is always vec_id)."""
+    v = load(spark, SF_DIR, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    pairs = similarity.cosine_near_dup_pairs_det_adaptive(
+        v, threshold=0.35, id_col="doc_id"
+    ).collect()
+    default = similarity.cosine_near_dup_pairs_det_adaptive(
+        load(spark, SF_DIR, "embeddings"), threshold=0.35
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {
+        (r.doc_a, r.doc_b) for r in default
+    }
+    assert len(pairs) > 0
