@@ -1027,11 +1027,12 @@ def manifest_stream_writer(
     contract, with the manifest log doubling as the transaction log.
     The contract's obligation travels WITH the checkpoint: batch ids
     restart from 0 when a query starts over with a FRESH checkpoint,
-    so a fresh checkpoint must come with a fresh ``writer_id`` (or a
-    truncated table) — otherwise the old incarnation's high-water mark
-    would silently swallow the new stream's early batches, exactly as
-    in Delta. Returns a DataStreamWriter; caller starts it with its
-    checkpoint location.
+    so a fresh checkpoint must come with a fresh ``writer_id`` —
+    otherwise the old incarnation's high-water mark (which every
+    commit carries forward, surviving overwrites and vacuum) silently
+    swallows the new stream's early batches, exactly as in Delta.
+    Returns a DataStreamWriter; caller starts it with its checkpoint
+    location.
     """
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
