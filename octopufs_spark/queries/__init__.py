@@ -23,3 +23,8 @@ from octopufs_spark.queries import (  # noqa: F401
     tsq,
     windows,
 )
+
+# Imported last ON PURPOSE: registration order feeds the registry's
+# fresh-first driver-sample ordering — brand-new queries must queue
+# behind previously unsampled ones so the verification ledger drains.
+from octopufs_spark.queries import trainprep  # noqa: E402,F401
