@@ -115,6 +115,17 @@ def main() -> None:
     for warm in ("q_scan_parquet", "q_agg_sum_group", "q_join_multi"):
         execute(queries[warm](spark, sf_dir))
 
+    # BENCH_ONLY=q_a,q_b restricts the timed run (targeted scale probes
+    # at sf1/sf10 of a new query family without re-sweeping the
+    # registry); warm-up above always uses the full dict.
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in names if n not in queries]
+        if missing:
+            print(f"bench: unknown BENCH_ONLY queries: {missing}", file=sys.stderr)
+        queries = {n: queries[n] for n in names if n in queries}
+
     verbose = os.environ.get("BENCH_VERBOSE")
     # min-of-N (default 2): the first iteration of a query still pays
     # per-plan codegen JIT; the min of two warm runs tracks the plan's
@@ -158,10 +169,14 @@ def main() -> None:
     }
     # BENCH_OUT redirects the full per-query record (e.g. BENCH_SF1.json
     # for the scale sweep) so off-default runs don't clobber the sf0.1
-    # record the plan-metrics gate baselines against.
+    # record the plan-metrics gate baselines against. A BENCH_ONLY
+    # subset run never writes BENCH_FULL.json implicitly for the same
+    # reason — a targeted probe must not replace the full-registry
+    # record with a 2-query one.
+    default_name = "BENCH_PARTIAL.json" if only else "BENCH_FULL.json"
     full_path = os.environ.get(
         "BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     try:
         with open(full_path, "w") as f:
