@@ -447,6 +447,215 @@ def q_ext_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_mix_temperature",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), s AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens FROM t GROUP BY source
+), w AS (
+  SELECT source, tokens, ROUND(sqrt(CAST(tokens AS DOUBLE)), 9) AS wgt FROM s
+), tot AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+         CAST(SUM(CAST(wgt AS DECIMAL(38,9))) AS DOUBLE) AS wsum
+  FROM w
+)
+SELECT source, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / total, 9) AS nat_share,
+       ROUND(wgt / wsum, 9) AS temp_share,
+       ROUND((wgt / wsum) / (CAST(tokens AS DOUBLE) / total), 9) AS upsample
+FROM w, tot
+""",
+)
+def q_ext_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture (T = 0.5): per-source sampling
+    share proportional to tokens^T, the standard flattening that keeps
+    giant sources from drowning small ones (UniMax / multilingual-LM
+    practice). Output: natural share, temperature share, and the
+    upsample factor each source's dataloader weight gets.
+
+    T = 0.5 on purpose: tokens^0.5 is ``sqrt`` — a single
+    correctly-rounded IEEE op, bit-identical in Spark and DuckDB —
+    whereas a general ``pow(x, 0.7)`` is a libm transcendental whose
+    last ulp differs across engines. Per-source stats are a bounded
+    aggregate; the weight normalizer sums ROUND(sqrt,9) as DECIMAL so
+    accumulation order never drifts. One corpus scan at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", _ntok().alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    w = s.select(
+        "source", "tokens", F.round(F.sqrt(F.col("tokens").cast("double")), 9).alias("wgt")
+    )
+    tot = w.agg(
+        F.sum("tokens").alias("total"),
+        F.sum(F.col("wgt").cast("decimal(38,9)")).cast("double").alias("wsum"),
+    )
+    nat = F.col("tokens").cast("double") / F.col("total")
+    tshare = F.col("wgt") / F.col("wsum")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.round(nat, 9).alias("nat_share"),
+        F.round(tshare, 9).alias("temp_share"),
+        F.round(tshare / nat, 9).alias("upsample"),
+    )
+
+
+@register(
+    "q_ext_shuffle_order",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 64 AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':o'), 1, 8)) AS BIGINT) AS ordk
+  FROM documents
+), p AS (
+  SELECT shard, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ordk, doc_id) AS pos
+  FROM t
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS perm_checksum
+FROM p GROUP BY shard
+""",
+)
+def q_ext_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized deterministic global shuffle: every doc gets a
+    reproducible (shard, position) — shard from one hash of the id,
+    intra-shard position by ranking an INDEPENDENT second hash. Output
+    folds the permutation into a per-shard checksum
+    (sum of pos * (doc_id mod 1000003)) so the oracle verifies the
+    EXACT position of every document, not just counts.
+
+    This is the training-order contract: epoch order is a pure function
+    of doc_id, so any worker can recompute its slice without a central
+    shuffle service. The rank window is PARTITIONED by shard — 64
+    parallel sorts, never a global single-task sort; at 100 TB the
+    shard count is the knob (pick shards so corpus/shards fits a task,
+    e.g. 8192), and the same expression still assigns shards without
+    re-reading state. Integer checksum arithmetic is order-independent
+    and exact in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    ordk = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":o"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    t = docs.select(
+        "doc_id", _md5_bucket(F.col("doc_id"), 64), ordk.alias("ordk")
+    )
+    w = Window.partitionBy("shard").orderBy("ordk", "doc_id")
+    p = t.select("shard", "doc_id", F.row_number().over(w).alias("pos"))
+    return p.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("pos") * (F.col("doc_id") % 1000003)).alias("perm_checksum"),
+    )
+
+
+@register(
+    "q_ext_curriculum_order",
+    oracle="""
+WITH f AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('a', 'the'))) AS BIGINT) AS n_stop
+  FROM documents
+), sc AS (
+  SELECT source, n_tok,
+         LEAST(1.0, n_tok / 256.0) * 0.5
+           + LEAST(1.0, 5.0 * (n_stop / CAST(GREATEST(n_tok, 1) AS DOUBLE))) * 0.3
+           + CASE WHEN n_tok >= 16 THEN 0.2 ELSE 0.0 END AS score
+  FROM f
+), s AS (
+  SELECT source,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens,
+         ROUND(CAST(SUM(CAST(ROUND(score, 9) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 9) AS avg_score
+  FROM sc GROUP BY source
+), tot AS (
+  SELECT CAST(FLOOR(CAST(SUM(tokens) AS DOUBLE) / 2) AS BIGINT) AS budget FROM s
+), c AS (
+  SELECT source, tokens, avg_score,
+         CAST(SUM(tokens) OVER (ORDER BY avg_score DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT source, tokens, avg_score, cum_tokens,
+       CASE WHEN cum_tokens <= (SELECT budget FROM tot) THEN 1 ELSE 0 END AS in_budget
+FROM c
+""",
+)
+def q_ext_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first curriculum plan: sources rank by mean ensemble
+    quality score (same fixed-weight score as q_ext_quality_ensemble),
+    tokens accumulate down the ranking, and sources inside the first
+    half of the token budget are flagged — the "train on the best half
+    first" curriculum cut, decided from one corpus scan.
+
+    The running-total window is over the PER-SOURCE aggregate (tens to
+    thousands of rows at any corpus size), so the unpartitioned window
+    is bounded post-aggregate state, not a base-table sort — the same
+    justification as the per-day rollup windows. Mean scores sum
+    DECIMAL-rounded contributions, the ranking orders by the ROUNDED
+    mean with the source name as tiebreak, and the cumsum is integer —
+    every engine replays the identical order and totals."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    words = _words()
+    f = docs.select(
+        "source",
+        F.size(words).cast("long").alias("n_tok"),
+        F.size(F.filter(words, lambda x: x.isin("a", "the"))).cast("long").alias("n_stop"),
+    )
+    score = (
+        F.least(F.lit(1.0), F.col("n_tok") / F.lit(256.0)) * F.lit(0.5)
+        + F.least(
+            F.lit(1.0),
+            F.lit(5.0) * (F.col("n_stop") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double")),
+        )
+        * F.lit(0.3)
+        + F.when(F.col("n_tok") >= 16, 0.2).otherwise(0.0)
+    )
+    s = (
+        f.select("source", "n_tok", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tokens"),
+            F.round(
+                F.sum(F.round(F.col("score"), 9).cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("avg_score"),
+        )
+    )
+    tot = s.agg(
+        F.floor(F.sum("tokens").cast("double") / 2).cast("long").alias("budget")
+    )
+    w = (
+        Window.orderBy(F.col("avg_score").desc(), F.col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.select(
+        "source", "tokens", "avg_score", F.sum("tokens").over(w).alias("cum_tokens")
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "avg_score",
+        "cum_tokens",
+        F.when(F.col("cum_tokens") <= F.col("budget"), 1).otherwise(0).alias("in_budget"),
+    )
+
+
+@register(
     "q_ext_quality_ensemble",
     oracle="""
 WITH f AS (
