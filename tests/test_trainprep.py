@@ -135,3 +135,66 @@ def test_corpus_mix_budget_caps_at_equal_share(spark):
         assert r["budget_tokens"] <= equal + 1
         assert 0 < r["share"] < 1
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+
+
+def test_mix_temperature_flattens_toward_uniform(spark):
+    rows = trainprep.q_ext_mix_temperature(spark, SF_DIR).collect()
+    assert abs(sum(r["nat_share"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-6
+    mean_tokens = sum(r["tokens"] for r in rows) / len(rows)
+    for r in rows:
+        # sqrt-scaling moves every share TOWARD uniform: sources above
+        # the mean get downweighted (upsample < 1), below upweighted.
+        if r["tokens"] > mean_tokens * 1.05:
+            assert r["upsample"] < 1.0
+        if 0 < r["tokens"] < mean_tokens * 0.95:
+            assert r["upsample"] > 1.0
+        # temp share sits between natural share and uniform 1/n
+        lo, hi = sorted((r["nat_share"], 1.0 / len(rows)))
+        assert lo - 1e-9 <= r["temp_share"] <= hi + 1e-9
+
+
+def test_shuffle_order_is_an_exact_permutation(spark):
+    rows = trainprep.q_ext_shuffle_order(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # Recompute checksums independently: positions within a shard must
+    # be exactly 1..n in the order of the second hash (tie: doc_id).
+    import hashlib
+
+    docs = [r["doc_id"] for r in load(spark, SF_DIR, "documents").select("doc_id").collect()]
+    per_shard: dict[int, list[tuple[int, int]]] = {}
+    for d in docs:
+        h = hashlib.md5(str(d).encode()).hexdigest()
+        shard = int(h[:4], 16) % 64
+        ordk = int(hashlib.md5(f"{d}:o".encode()).hexdigest()[:8], 16)
+        per_shard.setdefault(shard, []).append((ordk, d))
+    expect = {}
+    for shard, items in per_shard.items():
+        items.sort()
+        expect[shard] = sum(pos * (d % 1000003) for pos, (_, d) in enumerate(items, 1))
+    got = {r["shard"]: r["perm_checksum"] for r in rows}
+    assert got == expect
+    # Determinism: a second run reproduces the identical permutation.
+    again = {r["shard"]: r["perm_checksum"] for r in trainprep.q_ext_shuffle_order(spark, SF_DIR).collect()}
+    assert again == got
+
+
+def test_curriculum_order_prefix_property(spark):
+    rows = trainprep.q_ext_curriculum_order(spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r["cum_tokens"])
+    # cum_tokens strictly increases down the ranking and each step adds
+    # exactly that source's tokens.
+    acc = 0
+    for r in rows:
+        acc += r["tokens"]
+        assert r["cum_tokens"] == acc
+    # ranking is by avg_score desc (tiebreak source asc)
+    keys = [(-r["avg_score"], r["source"]) for r in rows]
+    assert keys == sorted(keys)
+    # in_budget is a PREFIX of the ranking: once outside, never back in
+    flags = [r["in_budget"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    total = sum(r["tokens"] for r in rows)
+    for r in rows:
+        assert r["in_budget"] == (1 if r["cum_tokens"] <= total // 2 else 0)
