@@ -57,6 +57,8 @@ FLAGSHIPS = [
     ("q_ext_ann_opq_alt", "full alternating OPQ: k-means centroid refresh + rotation argmin, broadcast codebooks"),
     ("q_ext_delete_vectors_pos", "positional MOR delete: _metadata anti-join, KB commit, no rewrite"),
     ("q_ext_dedup_minhash_banded", "adaptive-banding MinHash: one-fold signature, (band,key) equi-join, exact verify"),
+    ("q_ext_shuffle_order", "deterministic training shuffle: per-shard parallel rank windows, no global sort"),
+    ("q_ext_logreg_train", "distributed GD: map-side-combinable gradient agg, model-only driver traffic"),
 ]
 
 
