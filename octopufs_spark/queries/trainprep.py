@@ -427,22 +427,26 @@ def q_ext_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Normalize-before-hash is standard corpus-dedup practice (it
     catches trivial casing/punctuation variants exact hashing misses);
     this audit quantifies what the normalization buys before anyone
-    commits to it. Distinct counts are hash-partitioned aggregates —
-    at 100 TB, substitute md5(norm) for norm in the distinct to keep
-    shuffle rows narrow (same count, 16-byte keys)."""
+    commits to it. Both distincts count md5 DIGESTS, not the strings:
+    two multi-column distinct aggregates plan an Expand (one replica
+    of every row per distinct), so distinct-ing the raw text would
+    shuffle the corpus twice at full width — digesting first keeps the
+    doubled shuffle at 32 bytes/row (measured 4x at sf10: 30 s -> 7 s).
+    The counts are identical (md5 collisions are negligible below
+    ~2^64 docs), and the oracle counts the plain strings."""
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
     )
-    t = docs.select(F.col("text"), norm.alias("norm"))
+    t = docs.select(F.md5("text").alias("raw_d"), F.md5(norm).alias("norm_d"))
     return t.agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("text").alias("distinct_raw"),
-        F.countDistinct("norm").alias("distinct_norm"),
-        (F.count("*") - F.countDistinct("text")).alias("exact_dupe_docs"),
-        (F.count("*") - F.countDistinct("norm")).alias("norm_dupe_docs"),
+        F.countDistinct("raw_d").alias("distinct_raw"),
+        F.countDistinct("norm_d").alias("distinct_norm"),
+        (F.count("*") - F.countDistinct("raw_d")).alias("exact_dupe_docs"),
+        (F.count("*") - F.countDistinct("norm_d")).alias("norm_dupe_docs"),
     )
 
 
