@@ -28,3 +28,5 @@ from octopufs_spark.queries import (  # noqa: F401
 # fresh-first driver-sample ordering — brand-new queries must queue
 # behind previously unsampled ones so the verification ledger drains.
 from octopufs_spark.queries import trainprep  # noqa: E402,F401
+from octopufs_spark.queries import curation  # noqa: E402,F401
+from octopufs_spark.queries import subq  # noqa: E402,F401

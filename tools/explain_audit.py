@@ -59,6 +59,10 @@ FLAGSHIPS = [
     ("q_ext_dedup_minhash_banded", "adaptive-banding MinHash: one-fold signature, (band,key) equi-join, exact verify"),
     ("q_ext_shuffle_order", "deterministic training shuffle: per-shard parallel rank windows, no global sort"),
     ("q_ext_logreg_train", "distributed GD: map-side-combinable gradient agg, model-only driver traffic"),
+    ("q_ext_source_contamination", "single tokenize pass: digest shingles, collect_list fold-out, no self-join"),
+    ("q_ext_char_entropy", "27 fused len-replace counters per row, no explode, codegen scan"),
+    ("q_sql_scalar_subquery", "correlated scalars decorrelated to one grouped left join + 1-row broadcast"),
+    ("q_graph_components", "label propagation on derived edges: bounded per-round shuffles"),
 ]
 
 
