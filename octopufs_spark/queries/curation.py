@@ -286,7 +286,7 @@ def q_ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram bit-identical in Spark and DuckDB."""
     docs = load(spark, sf_dir, "documents")
     cnts = [
-        (F.length("text") - F.length(F.regexp_replace("text", f"[{ch}]" if ch != " " else "[ ]", ""))).cast("long")
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch), F.lit("")))).cast("long")
         for ch in _ALPHABET
     ]
     known = cnts[0]

@@ -79,13 +79,15 @@ def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subqueries, correlated and not: per-nation customer count
     and max balance (correlated aggregates over customer) plus an
     uncorrelated global-count denominator turned into an integer
-    per-mille share. Catalyst rewrites the correlated scalars into ONE
-    left outer join against a grouped customer aggregate (both count
-    and max fold into the same subtree) and the uncorrelated count into
-    a reusable 1-row broadcast — nation never loops over customer.
-    share_milli uses BIGINT floor division on both sides (Spark's
-    integer `/`-then-CAST truncates; the oracle spells FLOOR per the
-    DuckDB rounding-cast gotcha)."""
+    per-mille share. Catalyst decorrelates each scalar into a grouped
+    customer aggregate broadcast into a left outer join (observed plan:
+    three aggregate subtrees — Spark 4 does not CSE the repeated count
+    subquery — each a narrow 1-2 column scan with map-side partial
+    aggregation, so the per-nation loop a naive executor would run
+    never happens), and the uncorrelated count into a 1-row
+    single-partition aggregate (bounded by definition). share_milli
+    uses BIGINT floor division on both sides (Spark `DIV`; the oracle
+    spells FLOOR per the DuckDB rounding-cast gotcha)."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("_ss_customer")
     load(spark, sf_dir, "nation").createOrReplaceTempView("_ss_nation")
     return spark.sql(
