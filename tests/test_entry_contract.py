@@ -96,3 +96,19 @@ def test_registry_order_is_stable_and_fresh_first(tmp_path, monkeypatch):
     assert set(refreshed[len(exp_fresh) :]) == set(done) | set(newly)
     # relative order inside the done group is also stable
     assert [n for n in refreshed if n in set(done)] == done
+
+
+def test_fresh_query_budget_fits_one_driver_sample():
+    """The driver hard-verifies a ~50-query prefix per round. The repo's
+    working rule (NEXT.md): never let the never-driver-verified group
+    grow past 50, or the ledger stops being closable in one round.
+    This guard makes the rule mechanical — if it fails, STOP adding
+    queries until a CORRECTNESS refresh drains the fresh group."""
+    from octopufs_spark import registry
+
+    seen = registry._previously_verified()
+    fresh = [n for n in entrymod.queries() if n not in seen]
+    assert len(fresh) <= 50, (
+        f"{len(fresh)} never-driver-verified queries exceed one driver "
+        f"sample; do not register more until the ledger drains"
+    )
