@@ -79,7 +79,8 @@ def q_ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = _words()
     nw = F.size(words).cast("long")
-    wlen = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast("long")
+    # bigint accumulator: an int one would wrap past 2^31 total chars.
+    wlen = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
     f = docs.select(
         nw.alias("nw"),
@@ -323,8 +324,8 @@ WITH per AS (
   SELECT source, tokens, (2 * total) // n_src AS share FROM per CROSS JOIN tot
 )
 SELECT source, tokens,
-       CAST(LEAST(4000, (share * 1000) // tokens) AS BIGINT) AS epochs_milli,
-       CAST((tokens * LEAST(4000, (share * 1000) // tokens)) // 1000 AS BIGINT)
+       CAST(LEAST(4000, (share * 1000) // GREATEST(tokens, 1)) AS BIGINT) AS epochs_milli,
+       CAST((tokens * LEAST(4000, (share * 1000) // GREATEST(tokens, 1))) // 1000 AS BIGINT)
          AS effective_tokens
 FROM plan
 """,
@@ -345,15 +346,17 @@ def q_ext_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(
         F.sum("tokens").cast("long").alias("total"), F.count("*").cast("long").alias("n_src")
     )
+    # greatest(tokens, 1): a zero-token source must not hit engine-
+    # divergent division-by-zero semantics (Spark NULL vs DuckDB error).
     plan = per.crossJoin(F.broadcast(tot)).withColumn(
         "share", F.expr("(2 * total) div n_src")
     )
-    epochs = F.least(F.lit(4000), F.expr("(share * 1000) div tokens"))
+    epochs = F.least(F.lit(4000), F.expr("(share * 1000) div greatest(tokens, 1)"))
     return plan.select(
         "source",
         "tokens",
         epochs.cast("long").alias("epochs_milli"),
-        F.expr(f"(tokens * least(4000, (share * 1000) div tokens)) div 1000")
+        F.expr("(tokens * least(4000, (share * 1000) div greatest(tokens, 1))) div 1000")
         .cast("long")
         .alias("effective_tokens"),
     )

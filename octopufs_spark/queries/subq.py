@@ -110,7 +110,7 @@ FROM _ss_nation n
     oracle="""
 WITH k AS (
   SELECT c_mktsegment, c_name, c_acctbal,
-         CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey AS ord_key
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS ord_key
   FROM customer
 )
 SELECT c_mktsegment,
@@ -127,15 +127,16 @@ def q_agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_if. The ordering key packs (balance cents, custkey) into one
     BIGINT so ties on balance break deterministically by key — without
     that, max_by's tie choice is engine-defined and the hash compare
-    would be flaky. Single hash aggregate, map-side combinable: max_by
-    carries one (key, value) pair per partition, the same cost as MAX
-    at any scale."""
+    would be flaky. The 10^7 stride keeps the packing collision-free up
+    to 10M customers (~sf66). Single hash aggregate, map-side
+    combinable: max_by carries one (key, value) pair per partition,
+    the same cost as MAX at any scale."""
     cust = load(spark, sf_dir, "customer")
     k = cust.select(
         "c_mktsegment",
         "c_name",
         "c_acctbal",
-        (F.round(F.col("c_acctbal") * 100).cast("long") * 100000 + F.col("c_custkey")).alias(
+        (F.round(F.col("c_acctbal") * 100).cast("long") * 10000000 + F.col("c_custkey")).alias(
             "ord_key"
         ),
     )
