@@ -273,21 +273,15 @@ FROM ent GROUP BY 1
 """
 
 
-@register("q_ext_char_entropy", oracle=_entropy_sql())
-def q_ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-entropy quality bands over the a-z+space alphabet: a
-    low-entropy document is boilerplate/repetition, a filter every
-    curation stack runs. Per-char counts come from the
-    ``len - len(replace)`` trick — 27 fused JVM expressions per row, NO
-    explode, so the scan stays one pass with whole-stage codegen and
-    the only shuffle is the ~40-key band histogram. Each entropy term
-    is quantized at 6 dp before DECIMAL-summing (single log2 calls are
-    ulp-stable across engines at that precision — the q_ext_dp_release
-    pattern), making the per-doc entropy, its decibit band, and the
-    histogram bit-identical in Spark and DuckDB."""
-    docs = load(spark, sf_dir, "documents")
+def entropy_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """[band, n_docs]: decibit character-entropy histogram over the
+    a-z+space alphabet. Factored out of the registered query so a
+    property test can drive it with arbitrary generated strings against
+    a pure-Python entropy reference."""
     cnts = [
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch), F.lit("")))).cast("long")
+        (
+            F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(ch), F.lit("")))
+        ).cast("long")
         for ch in _ALPHABET
     ]
     known = cnts[0]
@@ -309,6 +303,21 @@ def q_ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.groupBy(F.floor(F.col("ent") * 10).cast("long").alias("band")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+@register("q_ext_char_entropy", oracle=_entropy_sql())
+def q_ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality bands over the a-z+space alphabet: a
+    low-entropy document is boilerplate/repetition, a filter every
+    curation stack runs. Per-char counts come from the
+    ``len - len(replace)`` trick — 27 fused JVM expressions per row, NO
+    explode, so the scan stays one pass with whole-stage codegen and
+    the only shuffle is the ~40-key band histogram. Each entropy term
+    is quantized at 6 dp before DECIMAL-summing (single log2 calls are
+    ulp-stable across engines at that precision — the q_ext_dp_release
+    pattern), making the per-doc entropy, its decibit band, and the
+    histogram bit-identical in Spark and DuckDB."""
+    return entropy_bands(load(spark, sf_dir, "documents"))
 
 
 @register(

@@ -133,3 +133,34 @@ def test_interval_arithmetic_invariants(spark):
         assert 0 <= r["month_span"] <= 2
         assert 0 <= r["first_month_orders"] <= r["n_orders"]
         assert r["days_to_eom"] >= 0
+
+
+def test_entropy_bands_match_python_reference_on_generated_strings(spark):
+    """The 27-counter len-replace construction must equal a direct
+    per-doc entropy computation (same 6dp term quantization) on
+    arbitrary a-z+space strings — including repetition extremes the
+    fixtures never hit (single-char docs: entropy 0, band 0)."""
+    import random
+    from collections import Counter
+    from decimal import Decimal
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    texts = ["aaaa", "ab", "the quick brown fox", " ", "zz zz zz"]
+    for _ in range(40):
+        n = rng.randint(1, 80)
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+
+    def ref_band(s: str) -> int:
+        counts = Counter(ch for ch in s if ch in alphabet)
+        known = sum(counts.values())
+        ent = Decimal(0)
+        for c in counts.values():
+            term = round(c / known * math.log2(known / c), 6)
+            ent += Decimal(str(term)).quantize(Decimal("0.000001"))
+        return int(ent * 10 // 1)
+
+    expected = Counter(ref_band(t) for t in texts)
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {r["band"]: r["n_docs"] for r in curation.entropy_bands(df).collect()}
+    assert got == dict(expected)
