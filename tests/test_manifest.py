@@ -1041,3 +1041,116 @@ def test_vacuum_keeps_young_manifests_snapshots_readable(spark, table):
     removed = table.vacuum(keep_versions=1)
     assert any("v1.json" in r for r in removed)
     assert any(r.endswith(".parquet") for r in removed)
+
+
+def test_mixed_op_contention_serializable_outcome(spark, table):
+    """Mixed-operation fuzz: concurrent appenders, MOR deleters, a
+    compactor, and a vacuumer against one table. The outcome must be
+    the SERIALIZABLE composition of the successful operations:
+
+      final ids = seed  -  (successfully deleted ranges)
+                        +  (successfully appended ranges)
+
+    with compaction content-neutral (it may carry racers' appends
+    forward or abort with ConcurrentModificationError — never drop or
+    duplicate rows), every failed op atomic (no partial deletes, no
+    half-appended files), the version chain linear, and vacuum a
+    retention-window no-op throughout."""
+    import random
+
+    from octopufs_spark.manifest import ConcurrentModificationError, compact_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    rng = random.Random(7)
+    # seed: ids 0..100 over several files so compaction has work
+    write_and_commit(_df(spark, 0, 100).repartition(8), table)
+
+    lock = threading.Lock()
+    appended: list[range] = []
+    deleted: list[range] = []
+    failed_deletes: list[range] = []
+    compactions = {"ok": 0, "noop": 0, "conflict": 0}
+    vacuum_removed: list[str] = []
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def appender(w: int):
+        for r in range(2):
+            lo = 1000 * (w + 1) + 100 * r
+            try:
+                write_and_commit(_df(spark, lo, lo + 10), table, mode="append")
+                with lock:
+                    appended.append(range(lo, lo + 10))
+            except RuntimeError:
+                pass  # retry exhaustion: atomicity asserted below
+
+    def deleter(d: int):
+        tgt = range(10 * d, 10 * d + 10)  # a seeded decile
+        try:
+            delete_where_mor(spark, table, spark.range(tgt.start, tgt.stop), ["id"])
+            with lock:
+                deleted.append(tgt)
+        except (RuntimeError, ConcurrentModificationError):
+            with lock:
+                failed_deletes.append(tgt)
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+                with lock:
+                    compactions["ok" if v else "noop"] += 1
+            except ConcurrentModificationError:
+                with lock:
+                    compactions["conflict"] += 1
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                removed = table.vacuum()
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+            with lock:
+                vacuum_removed.extend(removed)
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in range(4)]
+    threads += [threading.Thread(target=deleter, args=(d,)) for d in range(3)]
+    ct, vt = threading.Thread(target=compactor), threading.Thread(target=vacuumer)
+    ct.start()
+    vt.start()
+    rng.shuffle(threads)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    ct.join()
+    vt.join()
+
+    assert not errors, f"maintenance thread crashed: {errors[0]!r}"
+    assert vacuum_removed == []  # retention window protected everything
+    # the property must actually have been exercised
+    assert compactions["ok"] + compactions["conflict"] >= 1
+    assert appended and deleted
+
+    versions = table.versions()
+    assert versions == list(range(1, len(versions) + 1))
+    for v in versions[1:]:
+        assert table.read_manifest(v).parent == v - 1
+
+    ids = {r.id for r in table.read(spark).collect()}
+    expect = set(range(100))
+    for rg in deleted:
+        expect -= set(rg)
+    for rg in appended:
+        expect |= set(rg)
+    assert ids == expect
+    # failed deletes were atomic: their targets are fully present
+    for rg in failed_deletes:
+        assert set(rg) <= ids
