@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql.window import Window  # noqa: E402
 
 from octopufs_spark.llm import clustering, dedup, similarity  # noqa: E402
+from octopufs_spark.queries import curation  # noqa: E402
 from octopufs_spark.session import get_spark  # noqa: E402
 from octopufs_spark.tables import load  # noqa: E402
 
@@ -40,6 +41,13 @@ def main() -> None:
     docs = load(spark, sf_dir, "documents")
     vecs = load(spark, sf_dir, "embeddings")
     funnel = [("raw corpus", docs.count())]
+
+    # 0. pre-flight audits (report, not filter): Gopher-style rule
+    #    failure counts and cross-source shingle contamination — the
+    #    numbers a data team reads BEFORE choosing gate thresholds.
+    gopher = curation.q_ext_gopher_rules(spark, sf_dir).first()
+    contam = curation.q_ext_source_contamination(spark, sf_dir)
+    worst_contam = contam.orderBy(F.desc("shared_milli")).first()
 
     # 1. quality gate: drop docs that are too short or too repetitive
     toks = F.split("text", " ")
@@ -113,6 +121,17 @@ def main() -> None:
         .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("tokens"))
     )
     n_bins = packed.count()
+
+    print("\n=== pre-flight audits ===")
+    print(
+        f"gopher rules: {gopher['pass_all']}/{gopher['n_docs']} docs pass all "
+        f"(fail_len={gopher['fail_len']} fail_wlen={gopher['fail_wlen']} "
+        f"fail_stop={gopher['fail_stop']}), retained tokens {gopher['retained_tokens']}"
+    )
+    print(
+        f"most cross-contaminated source: {worst_contam['source']} "
+        f"({worst_contam['shared_milli']}‰ of its 5-gram shingles shared)"
+    )
 
     print("\n=== curation funnel ===")
     for stage, n in funnel:
