@@ -104,13 +104,64 @@ def merge_upsert_manifest(
     current snapshot, apply :func:`merge_upsert`, stage the merged
     rows, publish ONE commit. Readers flip from the pre-merge to the
     post-merge snapshot in a single manifest version; a crashed merge
-    leaves only an uncommitted staging dir for ``vacuum``."""
+    leaves only an uncommitted staging dir for ``vacuum``.
+
+    Concurrency (same publish-time reconciliation as
+    ``compact_and_commit``, from the MERGE side): the build runs
+    against the LATEST manifest, not the snapshot that was merged. A
+    concurrent APPEND landing between the merge's read and its publish
+    has its files carried forward into the merged commit — without
+    this, the full-snapshot publish would silently drop the racer's
+    committed rows (the Delta model: MERGE rewrites its read set and
+    leaves unread files alone). A concurrent rewrite of files this
+    merge sourced, or a MOR delete vector the merge did not apply,
+    is a true conflict and aborts with
+    :class:`ConcurrentModificationError` — carrying on would duplicate
+    the rewritten rows / resurrect the racer's deleted keys."""
     import uuid
 
-    merged = merge_upsert(table.read(spark), source, keys, deletes=deletes)
+    from octopufs_spark.manifest import ConcurrentModificationError
+
+    src = table.read_manifest()
+    merged = merge_upsert(table.read(spark, version=src.version), source, keys, deletes=deletes)
     staged = f"merge-{uuid.uuid4().hex[:12]}"
     merged.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
-    return table.commit_overwrite(staged, operation="merge", meta={"keys": keys})
+    src_files = set(src.files)
+    src_dvs = {dv["path"] for dv in src.meta.get("delete_vectors", [])}
+    staged_files = table._data_files_under(staged)
+
+    def build(parent):
+        if parent is None:
+            return sorted(staged_files)
+        parent_files = set(parent.files)
+        rewritten = src_files - parent_files
+        new_vectors = [
+            dv["path"]
+            for dv in parent.meta.get("delete_vectors", [])
+            if dv["path"] not in src_dvs
+        ]
+        if rewritten or new_vectors:
+            raise ConcurrentModificationError(
+                f"merge into {table.root} conflicts with a concurrent commit: "
+                f"{len(rewritten)} sourced file(s) rewritten, "
+                f"{len(new_vectors)} new delete vector(s) since v{src.version}"
+            )
+        carried = sorted(parent_files - src_files)
+        if carried and src_dvs:
+            # The staged rewrite MATERIALIZED src's vectors (so they
+            # must not apply to it — a merge may re-insert a deleted
+            # key), but the carried appends were never filtered (so the
+            # vectors MUST still apply to them). Snapshot-global
+            # equality vectors cannot express both; surface the race
+            # instead of silently picking a side.
+            raise ConcurrentModificationError(
+                f"merge into {table.root} raced an append while "
+                f"{len(src_dvs)} merge-on-read vector(s) were live — "
+                "re-run the merge against the new snapshot"
+            )
+        return sorted(staged_files + carried)
+
+    return table._commit_with_retry(build, "merge", {"keys": keys})
 
 
 def delete_where_mor(

@@ -1154,3 +1154,94 @@ def test_mixed_op_contention_serializable_outcome(spark, table):
     # failed deletes were atomic: their targets are fully present
     for rg in failed_deletes:
         assert set(rg) <= ids
+
+
+def _race(table, racer):
+    """Patch the table handle so `racer` (given a FRESH handle on the
+    same root) commits between an operation's snapshot read and its
+    publish — deterministic replay of the read/publish window."""
+    orig = table._commit_with_retry
+    fired = {"done": False}
+
+    def wrapped(build, operation, meta):
+        if not fired["done"]:
+            fired["done"] = True
+            racer(ManifestTable(table.root))
+        return orig(build, operation, meta)
+
+    table._commit_with_retry = wrapped
+    return fired
+
+
+def test_merge_carries_concurrent_append_forward(spark, table):
+    """A blind append landing between a MERGE's snapshot read and its
+    publish must survive in the merged commit (Delta model: MERGE
+    rewrites its read set, unread files carry forward) — before the
+    build-time reconciliation the full-snapshot publish silently
+    dropped the racer's rows."""
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    write_and_commit(_df(spark, 0, 50), table)
+
+    def racer(t2):
+        write_and_commit(_df(spark, 500, 510), t2, mode="append")
+
+    fired = _race(table, racer)
+    changes = _df(spark, 40, 60)  # updates 40..50, inserts 50..60
+    merge_upsert_manifest(spark, table, changes, keys=["id"])
+    assert fired["done"]
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(60)) | set(range(500, 510))
+
+
+def test_merge_aborts_on_concurrent_rewrite(spark, table):
+    """A compaction racing the MERGE rewrote files the merge sourced —
+    carrying on would duplicate those rows, so the merge must abort."""
+    from octopufs_spark.manifest import ConcurrentModificationError, compact_and_commit
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    write_and_commit(_df(spark, 0, 50).repartition(6), table)
+
+    def racer(t2):
+        assert compact_and_commit(spark, t2, target_file_bytes=512 * 1024 * 1024)
+
+    _race(table, racer)
+    with pytest.raises(ConcurrentModificationError):
+        merge_upsert_manifest(spark, table, _df(spark, 40, 60), keys=["id"])
+
+
+def test_merge_aborts_on_concurrent_mor_delete(spark, table):
+    """A MOR delete vector added after the merge's read was never
+    applied by the merge's rewrite — publishing would resurrect the
+    racer's deleted keys, so the merge must abort."""
+    from octopufs_spark.manifest import ConcurrentModificationError
+    from octopufs_spark.merge import delete_where_mor, merge_upsert_manifest
+
+    write_and_commit(_df(spark, 0, 50), table)
+
+    def racer(t2):
+        delete_where_mor(spark, t2, spark.range(0, 5), ["id"])
+
+    _race(table, racer)
+    with pytest.raises(ConcurrentModificationError):
+        merge_upsert_manifest(spark, table, _df(spark, 40, 60), keys=["id"])
+
+
+def test_merge_aborts_racing_append_while_vectors_live(spark, table):
+    """With live equality vectors, a racing append cannot be carried:
+    the staged rewrite materialized the vectors (they must not apply
+    to it) while the carried files were never filtered (they must) —
+    snapshot-global vectors cannot express both, so the merge
+    surfaces the race instead of silently picking a side."""
+    from octopufs_spark.manifest import ConcurrentModificationError
+    from octopufs_spark.merge import delete_where_mor, merge_upsert_manifest
+
+    write_and_commit(_df(spark, 0, 50), table)
+    delete_where_mor(spark, table, spark.range(0, 5), ["id"])
+
+    def racer(t2):
+        write_and_commit(_df(spark, 500, 510), t2, mode="append")
+
+    _race(table, racer)
+    with pytest.raises(ConcurrentModificationError):
+        merge_upsert_manifest(spark, table, _df(spark, 40, 60), keys=["id"])
