@@ -197,12 +197,16 @@ def delete_where_mor(
             raise ValueError("MOR delete requires an existing snapshot")
         return list(parent.files)
 
-    # carry parent's vectors + meta forward; add the new one
+    # carry parent meta (zone-map/Bloom stats stay valid: the file set
+    # is unchanged) but contribute ONLY the new vector — the LIVE
+    # parent's vectors are merged at publish time by
+    # _carry_delete_vectors. Pre-merging this snapshot's vector list
+    # here would resurrect vectors a racing compaction had already
+    # materialized and dropped, re-shadowing keys legitimately
+    # re-inserted after that compaction.
     parent = table.read_manifest()
     meta = dict(parent.meta)
-    meta["delete_vectors"] = list(parent.meta.get("delete_vectors", [])) + [
-        {"path": dv_rel, "keys": keys}
-    ]
+    meta["delete_vectors"] = [{"path": dv_rel, "keys": keys}]
     return table._commit_with_retry(build, "delete_mor", meta)
 
 
@@ -269,11 +273,11 @@ def delete_where_mor_positional(
             )
         return list(parent.files)
 
-    # meta built from the snapshot already in hand (m); a racer's
-    # vectors landing in between are merged by _carry_delete_vectors
-    # at publish time, so a second read here would buy nothing
+    # carry parent meta (stats stay valid: file set unchanged) but
+    # contribute ONLY the new vector — the LIVE parent's vectors merge
+    # at publish time via _carry_delete_vectors. Pre-merging this
+    # snapshot's list would resurrect vectors a racing compaction had
+    # already materialized and dropped (see delete_where_mor).
     meta = dict(m.meta)
-    meta["delete_vectors"] = list(m.meta.get("delete_vectors", [])) + [
-        {"path": dv_rel, "type": "positional"}
-    ]
+    meta["delete_vectors"] = [{"path": dv_rel, "type": "positional"}]
     return table._commit_with_retry(build, "delete_mor", meta)

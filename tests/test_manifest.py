@@ -1245,3 +1245,28 @@ def test_merge_aborts_racing_append_while_vectors_live(spark, table):
     _race(table, racer)
     with pytest.raises(ConcurrentModificationError):
         merge_upsert_manifest(spark, table, _df(spark, 40, 60), keys=["id"])
+
+
+def test_mor_delete_does_not_resurrect_compacted_vectors(spark, table):
+    """A MOR delete racing a compaction+re-insert must contribute ONLY
+    its own vector: pre-merging its read-time vector list would
+    re-publish vectors the compaction already materialized and
+    dropped, re-shadowing keys legitimately re-inserted afterwards."""
+    from octopufs_spark.manifest import compact_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 50).repartition(4), table)
+    delete_where_mor(spark, table, spark.range(0, 5), ["id"])  # vector V1
+
+    def racer(t2):
+        # materializes V1 and drops it...
+        assert compact_and_commit(spark, t2, target_file_bytes=512 * 1024 * 1024)
+        # ...then ids 0..4 are legitimately re-inserted
+        write_and_commit(_df(spark, 0, 5), t2, mode="append")
+
+    _race(table, racer)
+    delete_where_mor(spark, table, spark.range(40, 45), ["id"])
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(40)) | set(range(45, 50))  # 0..4 stay visible
+    # and exactly one live vector (the second delete's)
+    assert len(table.read_manifest().meta["delete_vectors"]) == 1
