@@ -1073,6 +1073,16 @@ def promote_partitions_to_manifest(
     then publish ONE commit that swaps exactly the matched partition
     prefixes. Readers never see a half-replaced partition; a failed
     copy aborts with nothing committed.
+
+    Concurrency: the segment-match drop runs against the LATEST
+    manifest, so racing pure appends carry forward. But if a
+    concurrent compaction consumed the replaced partition's files into
+    rewritten files whose paths no longer carry the partition segment,
+    the segment filter would KEEP those files (they still contain the
+    old partition's rows) next to the staged replacement — duplicated
+    rows. The build therefore verifies every partition file it read is
+    either still present (and thus dropped by the filter) at publish
+    and aborts with :class:`ConcurrentModificationError` otherwise.
     """
     from octopufs_spark import catalog
     from octopufs_spark.fs.distributed import copy_folder
@@ -1091,11 +1101,23 @@ def promote_partitions_to_manifest(
         if failed:
             raise RuntimeError(f"copy failed for partition {name}: {failed[0].path}")
 
+    latest = table.latest_version()
+    src_files = set(table.read_manifest(latest).files) if latest is not None else set()
+    replaced_at_read = {f for f in src_files if set(f.split("/")) & set(part_names)}
+
     def build(parent):
         # a file belongs to partition `year=2024` iff that path segment
         # appears in its root-relative path (staging prefixes don't
         # collide: they never contain '=')
         base = parent.files if parent else []
+        rewritten = replaced_at_read - set(base)
+        if rewritten:
+            raise ConcurrentModificationError(
+                f"partition promote into {table.root} conflicts with a "
+                f"concurrent rewrite: {len(rewritten)} file(s) of the "
+                f"replaced partition(s) left the snapshot, e.g. "
+                f"{sorted(rewritten)[0]!r}"
+            )
         kept = [f for f in base if not set(f.split("/")) & set(part_names)]
         return sorted(kept + table._data_files_under(staged))
 

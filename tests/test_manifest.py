@@ -1270,3 +1270,47 @@ def test_mor_delete_does_not_resurrect_compacted_vectors(spark, table):
     assert ids == set(range(40)) | set(range(45, 50))  # 0..4 stay visible
     # and exactly one live vector (the second delete's)
     assert len(table.read_manifest().meta["delete_vectors"]) == 1
+
+
+def test_promote_partitions_races(spark, table, tmp_path):
+    """Partition promote racing (a) a pure append: carried forward;
+    (b) a full rewrite that consumed the replaced partition's files:
+    abort — the segment filter would otherwise KEEP the rewritten
+    files (old partition rows inside) next to the staged replacement,
+    duplicating rows."""
+    from octopufs_spark.manifest import (
+        ConcurrentModificationError,
+        promote_partitions_to_manifest,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mfdb4")
+    loc = tmp_path / "src_part4"
+    src = _df(spark, 0, 60).withColumn("year", (2020 + F.col("id") % 3).cast("int"))
+    src.write.partitionBy("year").option("path", str(loc)).saveAsTable(
+        "mfdb4.src_part4", mode="overwrite"
+    )
+    try:
+        spark.table("mfdb4.src_part4").write.partitionBy("year").parquet(
+            f"{table.root}/data-full"
+        )
+        table.commit_overwrite("data-full")
+
+        # (a) racing append carries forward
+        def appender(t2):
+            write_and_commit(_df(spark, 900, 910), t2, mode="append")
+
+        fired = _race(table, appender)
+        promote_partitions_to_manifest(spark, "mfdb4.src_part4", ["year=2020"], table)
+        assert fired["done"]
+        assert table.read(spark).count() == 70  # 60 promoted-domain rows + 10 racer rows
+
+        # (b) racing full rewrite aborts
+        def rewriter(t2):
+            write_and_commit(_df(spark, 0, 5), t2)  # overwrite: partition files leave
+
+        _race(table, rewriter)
+        with pytest.raises(ConcurrentModificationError):
+            promote_partitions_to_manifest(spark, "mfdb4.src_part4", ["year=2021"], table)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mfdb4.src_part4")
+        spark.sql("DROP DATABASE IF EXISTS mfdb4")
