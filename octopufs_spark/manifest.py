@@ -1036,16 +1036,41 @@ def manifest_stream_writer(
     """
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = _max_committed_stream_batch(table, writer_id)
-        if committed is not None and committed >= batch_id:
-            return  # replayed batch: already committed by this writer
-        staged = f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
-        batch_df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+        _commit_stream_batch(table, batch_df, batch_id, writer_id)
 
-        def build(parent):
-            base = parent.files if parent else []
-            return sorted(base + table._data_files_under(staged))
+    return stream_df.writeStream.foreachBatch(commit_batch)
 
+
+class _BatchAlreadyCommitted(Exception):
+    """Publish-time signal: this (writer_id, batch_id) already landed."""
+
+
+def _commit_stream_batch(
+    table: ManifestTable, batch_df: DataFrame, batch_id: int, writer_id: str
+) -> None:
+    """One micro-batch → one atomic append commit, idempotent on
+    (writer_id, batch_id). The replay check runs TWICE: a cheap
+    pre-check (skip before staging any bytes), and again INSIDE the
+    commit's build against the live parent — two zombie instances of
+    the same writer replaying one batch can both pass the pre-check,
+    and only an atomic check-and-commit (Delta's txnAppId model)
+    stops the loser from landing the batch a second time. The loser's
+    staged files stay uncommitted for ``vacuum``, like any crashed
+    writer's."""
+    committed = _max_committed_stream_batch(table, writer_id)
+    if committed is not None and committed >= batch_id:
+        return  # replayed batch: already committed by this writer
+    staged = f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
+    batch_df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+
+    def build(parent):
+        mark = (parent.meta.get("stream_txn", {}) if parent else {}).get(writer_id)
+        if mark is not None and mark >= batch_id:
+            raise _BatchAlreadyCommitted()
+        base = parent.files if parent else []
+        return sorted(base + table._data_files_under(staged))
+
+    try:
         table._commit_with_retry(
             build,
             "stream-append",
@@ -1055,8 +1080,8 @@ def manifest_stream_writer(
                 "stream_txn": {writer_id: batch_id},
             },
         )
-
-    return stream_df.writeStream.foreachBatch(commit_batch)
+    except _BatchAlreadyCommitted:
+        return  # a racing instance of this writer landed the batch first
 
 
 def promote_partitions_to_manifest(

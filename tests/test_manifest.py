@@ -1314,3 +1314,27 @@ def test_promote_partitions_races(spark, table, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mfdb4.src_part4")
         spark.sql("DROP DATABASE IF EXISTS mfdb4")
+
+
+def test_stream_batch_zombie_double_commit_blocked(spark, table):
+    """Two instances of the SAME writer replaying one batch (zombie
+    driver during failover) can both pass the cheap pre-check; the
+    atomic check inside the commit's build must stop the loser from
+    landing the batch twice."""
+    from octopufs_spark.manifest import _commit_stream_batch
+
+    write_and_commit(_df(spark, 0, 10), table, meta={})
+
+    def zombie(t2):
+        # the other instance lands batch 7 first
+        _commit_stream_batch(t2, _df(spark, 100, 110), 7, "w1")
+
+    fired = _race(table, zombie)
+    _commit_stream_batch(table, _df(spark, 100, 110), 7, "w1")
+    assert fired["done"]
+    got = [r.id for r in table.read(spark).collect()]
+    assert sorted(got) == list(range(10)) + list(range(100, 110))  # no duplicates
+    assert table.read_manifest().meta["stream_txn"] == {"w1": 7}
+    # a genuinely new batch still lands
+    _commit_stream_batch(table, _df(spark, 200, 205), 8, "w1")
+    assert table.read(spark).count() == 25
