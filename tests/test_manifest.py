@@ -1156,6 +1156,167 @@ def test_mixed_op_contention_serializable_outcome(spark, table):
         assert set(rg) <= ids
 
 
+def test_mixed_op_contention_with_mergers_and_stream(spark, table):
+    """Second fuzz round covering the THREE write paths the first one
+    leaves out — MERGE (full-snapshot rewrite with publish-time
+    reconciliation), the stream sink (idempotent (writer_id, batch_id)
+    commits), and their interaction with appenders / MOR deleters /
+    compaction / vacuum. Serializable outcome:
+
+      final ids = seed - deleted + appended + (successful merge inserts)
+                  + stream batches (each EXACTLY once, replay included)
+
+    and each merger owns a private update decile, so a SUCCESSFUL
+    merge must leave that decile's ``v`` at the merged value while a
+    failed merge must leave it untouched — a torn merge (some rows
+    updated, commit aborted) would show up as a mixed decile."""
+    import random
+
+    from octopufs_spark.manifest import (
+        ConcurrentModificationError,
+        _commit_stream_batch,
+        compact_and_commit,
+    )
+    from octopufs_spark.merge import delete_where_mor, merge_upsert_manifest
+
+    rng = random.Random(11)
+    write_and_commit(_df(spark, 0, 100).repartition(8), table)
+
+    lock = threading.Lock()
+    appended: list[range] = []
+    deleted: list[range] = []
+    merged_ok: dict[int, range] = {}  # merger idx -> inserted range
+    merge_failed: list[int] = []
+    stream_ranges: list[range] = []
+    errors: list[BaseException] = []
+    compactions = {"ok": 0, "noop": 0, "conflict": 0}
+    vacuum_removed: list[str] = []
+    stop = threading.Event()
+
+    def appender(w: int):
+        for r in range(2):
+            lo = 1000 * (w + 1) + 100 * r
+            try:
+                write_and_commit(_df(spark, lo, lo + 10), table, mode="append")
+                with lock:
+                    appended.append(range(lo, lo + 10))
+            except RuntimeError:
+                pass
+
+    def deleter(d: int):
+        tgt = range(10 * d, 10 * d + 10)
+        try:
+            delete_where_mor(spark, table, spark.range(tgt.start, tgt.stop), ["id"])
+            with lock:
+                deleted.append(tgt)
+        except (RuntimeError, ConcurrentModificationError):
+            pass
+
+    def merger(m: int):
+        upd = range(60 + 10 * m, 70 + 10 * m)  # private decile, never deleted
+        ins = range(5000 + 100 * m, 5000 + 100 * m + 10)
+        src = (
+            spark.range(upd.start, upd.stop)
+            .withColumn("v", F.col("id") * 2 + 777)
+            .unionByName(spark.range(ins.start, ins.stop).withColumn("v", F.col("id") * 2 + 777))
+        )
+        try:
+            merge_upsert_manifest(spark, table, src, ["id"])
+            with lock:
+                merged_ok[m] = ins
+        except (RuntimeError, ConcurrentModificationError):
+            with lock:
+                merge_failed.append(m)
+
+    def stream_writer():
+        for b in (0, 1, 2, 1):  # batch 1 replayed: must land once
+            lo = 9000 + 10 * b
+            try:
+                _commit_stream_batch(table, _df(spark, lo, lo + 10), b, "fuzz-writer")
+                with lock:
+                    if b != 1 or range(lo, lo + 10) not in stream_ranges:
+                        stream_ranges.append(range(lo, lo + 10))
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+                with lock:
+                    compactions["ok" if v else "noop"] += 1
+            except ConcurrentModificationError:
+                with lock:
+                    compactions["conflict"] += 1
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                removed = table.vacuum()
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+            with lock:
+                vacuum_removed.extend(removed)
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in range(3)]
+    threads += [threading.Thread(target=deleter, args=(d,)) for d in range(2)]
+    threads += [threading.Thread(target=merger, args=(m,)) for m in range(2)]
+    threads.append(threading.Thread(target=stream_writer))
+    ct, vt = threading.Thread(target=compactor), threading.Thread(target=vacuumer)
+    ct.start()
+    vt.start()
+    rng.shuffle(threads)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    ct.join()
+    vt.join()
+
+    assert not errors, f"background thread crashed: {errors[0]!r}"
+    assert vacuum_removed == []
+    assert len(merged_ok) + len(merge_failed) == 2  # every merge resolved
+
+    versions = table.versions()
+    assert versions == list(range(1, len(versions) + 1))
+    for v in versions[1:]:
+        assert table.read_manifest(v).parent == v - 1
+
+    rows = table.read(spark).collect()
+    ids = {r.id for r in rows}
+    assert len(rows) == len(ids), "duplicate rows: a commit landed twice"
+    expect = set(range(100))
+    for rg in deleted:
+        expect -= set(rg)
+    for rg in appended:
+        expect |= set(rg)
+    for ins in merged_ok.values():
+        expect |= set(ins)
+    for rg in stream_ranges:
+        expect |= set(rg)
+    assert ids == expect
+    # stream exactly-once incl. the replay: all three batch ranges present
+    assert {9000 + 10 * b for b in (0, 1, 2)} <= {rg.start for rg in stream_ranges}
+    # merge atomicity: a merger's private decile is all-updated or all-original
+    vals = {r.id: r.v for r in rows}
+    for m in range(2):
+        upd = range(60 + 10 * m, 70 + 10 * m)
+        got = {vals[i] for i in upd}
+        if m in merged_ok:
+            assert got == {i * 2 + 777 for i in upd}, f"merger {m} torn/lost"
+        else:
+            assert got == {i * 2 for i in upd}, f"failed merger {m} leaked writes"
+
+
 def _race(table, racer):
     """Patch the table handle so `racer` (given a FRESH handle on the
     same root) commits between an operation's snapshot read and its
