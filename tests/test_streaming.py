@@ -369,3 +369,57 @@ def test_stream_join_watermark_bounds_state(spark, tmp_path):
     # sides), never the whole history
     assert final_state <= 2 * 2 * 20, f"state unbounded: {final_state} rows"
     assert final_state < 2 * fed
+
+
+def test_manifest_to_manifest_pipeline_restart_exactly_once(spark, tmp_path):
+    """End-to-end lakehouse pipeline: manifest table -> manifest_stream
+    source -> transformation -> manifest_stream_writer sink, driven
+    through a STOP/RESTART with new source commits landing in between.
+    The source's version offsets live in the checkpoint and the sink's
+    (writer_id, batch_id) marks live in the target's manifest log, so
+    the restarted query must neither re-emit the pre-restart rows nor
+    skip the commits made while it was down — the target table ends up
+    with every source row exactly once, transform applied."""
+    from octopufs_spark.manifest import ManifestTable, manifest_stream_writer, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    src = ManifestTable(str(tmp_path / "pipe_src"))
+    dst = ManifestTable(str(tmp_path / "pipe_dst"))
+    ckpt = str(tmp_path / "pipe_ckpt")
+    write_and_commit(spark.range(0, 100).withColumn("v", F.col("id") * 2), src)
+
+    def run_pipeline():
+        stream = (
+            spark.readStream.format("manifest_stream")
+            .option("path", src.root)
+            .load()
+            .withColumn("dbl", F.col("v") * 2)
+        )
+        q = (
+            manifest_stream_writer(stream, dst, writer_id="pipe")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_pipeline()
+    first = {r.id for r in dst.read(spark).collect()}
+    assert first == set(range(100))
+
+    # two more source commits while the pipeline is down
+    write_and_commit(spark.range(500, 550).withColumn("v", F.col("id") * 2), src, mode="append")
+    write_and_commit(spark.range(900, 925).withColumn("v", F.col("id") * 2), src, mode="append")
+    run_pipeline()
+
+    rows = dst.read(spark).collect()
+    want = set(range(100)) | set(range(500, 550)) | set(range(900, 925))
+    assert len(rows) == len(want), "restart re-emitted or skipped rows"
+    assert {r.id for r in rows} == want
+    assert all(r.dbl == r.v * 2 for r in rows)  # transform applied end-to-end
+    # sink log: every data commit is a stream-append carrying the writer mark
+    ops = [dst.read_manifest(v) for v in dst.versions()]
+    assert ops and all(m.operation == "stream-append" for m in ops)
+    assert max(m.meta["stream_txn"]["pipe"] for m in ops) >= 1
