@@ -109,10 +109,10 @@ class SynthStreamReader(DataSourceStreamReader):
         return [RangePartition(start["offset"], end["offset"])]
 
     def read(self, partition: RangePartition) -> Iterator:
-        # Stream readers must yield tuples (Arrow batches are a
-        # batch-reader-only optimization in the current API).
-        for i in range(partition.start, partition.end):
-            yield (i, i % N_DEVICES, ((i * MULT) % MOD) / 100.0)
+        # Stream partitions go through the same Arrow-batch execution
+        # path as batch reads, so yield one vectorized batch instead of
+        # per-row tuples.
+        yield _batch_for_range(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
         self._current = max(self._current, end["offset"])
@@ -285,7 +285,11 @@ class ManifestStreamReader(DataSourceStreamReader):
 
         fs, root = get_filesystem(partition.root)
         t = pq.read_table(f"{root}/{partition.rel_file}", filesystem=fs)
-        return iter(t.to_pandas().itertuples(index=False, name=None))
+        # Yield Arrow RecordBatches, not tuples: the Python data source
+        # worker consumes them zero-copy, skipping the
+        # pandas-then-per-row materialization entirely (the read stays
+        # Arrow end-to-end from parquet footer to JVM).
+        return iter(t.to_batches())
 
     def commit(self, end: dict) -> None:
         pass
