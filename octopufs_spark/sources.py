@@ -204,9 +204,10 @@ class SyntheticTelemetrySource(DataSource):
 
 
 class ManifestFilePartition(InputPartition):
-    def __init__(self, root: str, rel_file: str):
+    def __init__(self, root: str, rel_file: str, row_groups: list[int] | None = None):
         self.root = root
         self.rel_file = rel_file
+        self.row_groups = row_groups  # None = whole file
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -274,7 +275,40 @@ class ManifestStreamReader(DataSourceStreamReader):
         if not added:
             # Spark requires >=1 partition; an empty file list yields 0 rows
             return [ManifestFilePartition(self.path, "")]
-        return [ManifestFilePartition(self.path, f) for f in added]
+        return self._split_partitions(added)
+
+    # below this many files per micro-batch, a commit is likely a few
+    # LARGE files (a compaction, a big batch landing as one part) and a
+    # file-per-task plan serializes the read — spend one footer read
+    # per file to split into row-group tasks (~128 MB each for default
+    # writers). At or above it the plan is already parallel and the
+    # per-file footer reads would only tax the driver.
+    _SPLIT_FILE_THRESHOLD = 16
+
+    def _split_partitions(self, added: list[str]):
+        if len(added) >= self._SPLIT_FILE_THRESHOLD:
+            return [ManifestFilePartition(self.path, f) for f in added]
+        import pyarrow.parquet as pq
+
+        from octopufs_spark.fs.core import get_filesystem
+
+        fs, root = get_filesystem(self.path)
+        parts = []
+        for f in added:
+            try:
+                n = pq.ParquetFile(
+                    fs.open_input_file(f"{root}/{f}")
+                ).metadata.num_row_groups
+            except OSError:
+                n = 1  # unreadable footer: executor surfaces the real error
+            if n <= 1:
+                parts.append(ManifestFilePartition(self.path, f))
+            else:
+                parts.extend(
+                    ManifestFilePartition(self.path, f, row_groups=[g])
+                    for g in range(n)
+                )
+        return parts
 
     def read(self, partition: ManifestFilePartition):
         if not partition.rel_file:
@@ -284,12 +318,12 @@ class ManifestStreamReader(DataSourceStreamReader):
         from octopufs_spark.fs.core import get_filesystem
 
         fs, root = get_filesystem(partition.root)
-        t = pq.read_table(f"{root}/{partition.rel_file}", filesystem=fs)
-        # Yield Arrow RecordBatches, not tuples: the Python data source
-        # worker consumes them zero-copy, skipping the
-        # pandas-then-per-row materialization entirely (the read stays
-        # Arrow end-to-end from parquet footer to JVM).
-        return iter(t.to_batches())
+        # Stream row-group RecordBatches instead of materializing the
+        # whole file: the Python data source worker consumes Arrow
+        # batches zero-copy, and peak executor memory stays one row
+        # group (not one file) regardless of file size.
+        pf = pq.ParquetFile(fs.open_input_file(f"{root}/{partition.rel_file}"))
+        return pf.iter_batches(row_groups=partition.row_groups)
 
     def commit(self, end: dict) -> None:
         pass

@@ -343,3 +343,39 @@ def test_manifest_stream_delete_mor_raises_unless_skipped(spark, tmp_path):
     parts = skipping.partitions({"version": 0}, {"version": 2})
     rels = {p.rel_file for p in parts}
     assert rels == set(table.read_manifest(1).files)  # v1's files only; v2 skipped
+
+
+def test_manifest_stream_splits_large_files_by_row_group(spark, tmp_path):
+    """A commit landing as ONE multi-row-group file must not read in a
+    single task: below the footer-read budget the planner splits it
+    into per-row-group partitions, and the streamed result still holds
+    every row exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.sources import ManifestStreamReader
+
+    table = ManifestTable(str(tmp_path / "mtbl_rg"))
+    (tmp_path / "mtbl_rg" / "seed").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": list(range(1000)), "v": [2 * i for i in range(1000)]}),
+        str(tmp_path / "mtbl_rg" / "seed" / "part-0.parquet"),
+        row_group_size=100,
+    )
+    table._commit_with_retry(["seed/part-0.parquet"], "seed", {})
+
+    reader = ManifestStreamReader({"path": table.root})
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == 10  # one per row group, not one per file
+    assert {p.row_groups[0] for p in parts} == set(range(10))
+    got = []
+    for p in parts:
+        for b in reader.read(p):
+            got.extend(b.column("id").to_pylist())
+    assert sorted(got) == list(range(1000))
+    # a many-file commit stays file-per-task (no footer reads)
+    many = [f"seed/part-{i}.parquet" for i in range(20)]
+    assert all(
+        p.row_groups is None for p in reader._split_partitions(many)
+    )
