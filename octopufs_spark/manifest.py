@@ -74,6 +74,13 @@ class Manifest:
     operation: str = "commit"
     parent: int | None = None
     meta: dict = field(default_factory=dict)
+    # Files this commit ADDED vs its parent, recorded at publish time
+    # (the commit already holds both file lists). Lets the streaming
+    # source resolve a version's new files with ONE manifest read —
+    # no parent fetch, and no dependency on the parent manifest still
+    # existing after vacuum. None on pre-upgrade manifests; consumers
+    # fall back to a parent diff.
+    added: list[str] | None = None
 
 
 class ManifestTable:
@@ -158,6 +165,7 @@ class ManifestTable:
             operation=d.get("operation", "commit"),
             parent=d.get("parent"),
             meta=d.get("meta", {}),
+            added=d.get("added"),
         )
 
     def read(
@@ -304,6 +312,7 @@ class ManifestTable:
                 "operation": manifest.operation,
                 "parent": manifest.parent,
                 "meta": manifest.meta,
+                **({"added": manifest.added} if manifest.added is not None else {}),
             },
             indent=1,
         ).encode()
@@ -457,6 +466,7 @@ class ManifestTable:
             latest = self.latest_version()
             parent = self.read_manifest(latest) if latest is not None else None
             files = files_or_build(parent) if callable(files_or_build) else files_or_build
+            parent_files = set(parent.files) if parent else set()
             m = Manifest(
                 version=(latest or 0) + 1 if latest is not None else 1,
                 files=files,
@@ -465,6 +475,7 @@ class ManifestTable:
                 meta=self._carry_stream_txn(
                     parent, self._carry_delete_vectors(parent, files, meta or {})
                 ),
+                added=[f for f in files if f not in parent_files],
             )
             try:
                 return self._publish(m)

@@ -238,6 +238,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        self.starting_version = options.get("startingVersion", "0")
 
     def _table(self):
         from octopufs_spark.manifest import ManifestTable
@@ -245,7 +246,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         return ManifestTable(self.path)
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        """``startingVersion`` (Delta semantics): the first streamed
+        commit. ``"latest"`` skips all existing history and streams
+        only commits made after the query starts; an integer N streams
+        from version N (inclusive); default 0 replays everything."""
+        if str(self.starting_version).lower() == "latest":
+            return {"version": self._table().latest_version() or 0}
+        return {"version": max(0, int(self.starting_version) - 1)}
 
     def latestOffset(self) -> dict:
         latest = self._table().latest_version()
@@ -255,7 +262,14 @@ class ManifestStreamReader(DataSourceStreamReader):
         table = self._table()
         added: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            m = table.read_manifest(v)
+            try:
+                m = table.read_manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"manifest_stream: version v{v} of {self.path} was pruned "
+                    "by vacuum before this stream consumed it — restart with a "
+                    "fresh checkpoint (optionally startingVersion=latest)"
+                ) from None
             if m.operation == "delete_mor":
                 if self.skip_change_commits:
                     continue  # adds no files; visible-row change skipped by opt-in
@@ -270,8 +284,14 @@ class ManifestStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"manifest_stream is append-only: v{v} is a {m.operation!r} commit"
                 )
-            prev = set(table.read_manifest(m.parent).files) if m.parent else set()
-            added.extend(f for f in m.files if f not in prev)
+            if m.added is not None:
+                # publish-time added-file list: one manifest read per
+                # version, no parent fetch (and no dependency on the
+                # parent manifest surviving vacuum)
+                added.extend(m.added)
+            else:  # pre-upgrade manifest: fall back to the parent diff
+                prev = set(table.read_manifest(m.parent).files) if m.parent else set()
+                added.extend(f for f in m.files if f not in prev)
         if not added:
             # Spark requires >=1 partition; an empty file list yields 0 rows
             return [ManifestFilePartition(self.path, "")]

@@ -379,3 +379,37 @@ def test_manifest_stream_splits_large_files_by_row_group(spark, tmp_path):
     assert all(
         p.row_groups is None for p in reader._split_partitions(many)
     )
+
+
+def test_manifest_stream_added_files_and_starting_version(spark, tmp_path):
+    """Commits record their added-file list at publish, so the stream
+    plans a version with ONE manifest read and no parent dependency;
+    startingVersion=latest skips existing history; consuming a
+    vacuum-pruned version fails with a clear error, not a raw
+    FileNotFoundError."""
+    import pytest as _pytest
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import ManifestStreamReader
+
+    table = ManifestTable(str(tmp_path / "mtbl_add"))
+    write_and_commit(spark.range(0, 10).withColumn("v", F.col("id")), table)
+    write_and_commit(
+        spark.range(10, 20).withColumn("v", F.col("id")), table, mode="append"
+    )
+    m2 = table.read_manifest(2)
+    assert m2.added is not None
+    assert set(m2.added) == set(m2.files) - set(table.read_manifest(1).files)
+
+    reader = ManifestStreamReader({"path": table.root})
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert {p.rel_file for p in parts if p.rel_file} == set(m2.added)
+
+    latest = ManifestStreamReader({"path": table.root, "startingVersion": "latest"})
+    assert latest.initialOffset() == {"version": 2}
+    from_v2 = ManifestStreamReader({"path": table.root, "startingVersion": "2"})
+    assert from_v2.initialOffset() == {"version": 1}
+
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    with _pytest.raises(ValueError, match="pruned by vacuum"):
+        reader.partitions({"version": 0}, {"version": 2})
