@@ -239,6 +239,15 @@ class ManifestStreamReader(DataSourceStreamReader):
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
         self.starting_version = options.get("startingVersion", "0")
+        mft = options.get("maxFilesPerTrigger")
+        self.max_files = int(mft) if mft is not None else None
+        # newest version this reader instance knows is consumed/planned;
+        # advanced by initialOffset/partitions/commit. None right after
+        # a checkpoint restart (Spark owns the committed offset) — the
+        # first post-restart batch is then uncapped, and the cap applies
+        # from the second batch on, the same wrinkle the synthetic
+        # stream reader documents.
+        self._pos: int | None = None
 
     def _table(self):
         from octopufs_spark.manifest import ManifestTable
@@ -251,15 +260,32 @@ class ManifestStreamReader(DataSourceStreamReader):
         only commits made after the query starts; an integer N streams
         from version N (inclusive); default 0 replays everything."""
         if str(self.starting_version).lower() == "latest":
-            return {"version": self._table().latest_version() or 0}
-        return {"version": max(0, int(self.starting_version) - 1)}
+            self._pos = self._table().latest_version() or 0
+        else:
+            self._pos = max(0, int(self.starting_version) - 1)
+        return {"version": self._pos}
 
     def latestOffset(self) -> dict:
-        latest = self._table().latest_version()
-        return {"version": latest or 0}
+        """Newest available offset, rate-limited by ``maxFilesPerTrigger``:
+        instead of handing Spark the head of the log (one giant batch
+        after downtime), walk versions forward from the consumed
+        position until the added-file budget is spent — one cheap
+        manifest read per version walked, bounded by the budget."""
+        table = self._table()
+        latest = table.latest_version() or 0
+        start = self._pos
+        if self.max_files is None or start is None or start >= latest:
+            return {"version": latest}
+        v, n_files = start, 0
+        while v < latest and n_files < self.max_files:
+            v += 1
+            m = table.read_manifest(v)
+            n_files += len(m.added if m.added is not None else m.files)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         table = self._table()
+        self._pos = max(self._pos if self._pos is not None else 0, end["version"])
         added: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             try:
@@ -346,7 +372,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         return pf.iter_batches(row_groups=partition.row_groups)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._pos = max(self._pos if self._pos is not None else 0, end["version"])
 
 
 class ManifestStreamSource(DataSource):

@@ -413,3 +413,36 @@ def test_manifest_stream_added_files_and_starting_version(spark, tmp_path):
     table.vacuum(keep_versions=1, retention_seconds=0)
     with _pytest.raises(ValueError, match="pruned by vacuum"):
         reader.partitions({"version": 0}, {"version": 2})
+
+
+def test_manifest_stream_max_files_per_trigger(spark, tmp_path):
+    """Rate limiting: latestOffset walks versions forward until the
+    added-file budget is spent instead of jumping to the head of the
+    log, so a stream catching up on many commits drains in bounded
+    micro-batches."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import ManifestStreamReader
+
+    table = ManifestTable(str(tmp_path / "mtbl_mft"))
+    write_and_commit(spark.range(0, 10).coalesce(1), table)  # v1: 1 file
+    for k in range(4):  # v2..v5: 2 files each
+        write_and_commit(
+            spark.range(100 * k, 100 * k + 10).repartition(2), table, mode="append"
+        )
+
+    reader = ManifestStreamReader({"path": table.root, "maxFilesPerTrigger": "3"})
+    off = reader.initialOffset()
+    assert off == {"version": 0}
+    # budget 3: v1 (1 file) + v2 (2 files) -> stop at v2
+    assert reader.latestOffset() == {"version": 2}
+    reader.partitions({"version": 0}, {"version": 2})
+    # next trigger: v3 (2) then v4 (2 files, budget crossed) -> v4
+    assert reader.latestOffset() == {"version": 4}
+    reader.commit({"version": 4})
+    assert reader.latestOffset() == {"version": 5}
+    reader.commit({"version": 5})
+    assert reader.latestOffset() == {"version": 5}  # caught up: no-op
+    # unbounded reader still jumps straight to the head
+    plain = ManifestStreamReader({"path": table.root})
+    plain.initialOffset()
+    assert plain.latestOffset() == {"version": 5}
