@@ -380,9 +380,14 @@ class ManifestStreamSource(DataSource):
     def name(cls) -> str:
         return "manifest_stream"
 
-    def schema(self) -> str:
-        """DDL derived from the current snapshot's first parquet file."""
+    def schema(self):
+        """Spark schema derived from the current snapshot's first
+        parquet file footer, via pyspark's canonical arrow-to-Spark
+        conversion — covers arrays, decimals, nested structs, and
+        timestamp units, not just the scalar types a hand-rolled DDL
+        map would."""
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
 
         from octopufs_spark.fs.core import get_filesystem
         from octopufs_spark.manifest import ManifestTable
@@ -390,27 +395,7 @@ class ManifestStreamSource(DataSource):
         table = ManifestTable(self.options["path"])
         m = table.read_manifest()
         fs, root = get_filesystem(self.options["path"])
-        schema = pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs)
-        type_map = {
-            "int64": "bigint",
-            "int32": "int",
-            "double": "double",
-            "float": "float",
-            "string": "string",
-            "large_string": "string",
-            "bool": "boolean",
-            "date32[day]": "date",
-            "timestamp[us]": "timestamp",
-            "timestamp[ns]": "timestamp",
-            "binary": "binary",
-        }
-        parts = []
-        for f in schema:
-            t = type_map.get(str(f.type))
-            if t is None:
-                raise NotImplementedError(f"manifest_stream: unmapped type {f.type}")
-            parts.append(f"{f.name} {t}")
-        return ", ".join(parts)
+        return from_arrow_schema(pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs))
 
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(self.options)

@@ -446,3 +446,39 @@ def test_manifest_stream_max_files_per_trigger(spark, tmp_path):
     plain = ManifestStreamReader({"path": table.root})
     plain.initialOffset()
     assert plain.latestOffset() == {"version": 5}
+
+
+def test_manifest_stream_complex_types(spark, tmp_path):
+    """Schema inference covers arrays and decimals (an embeddings
+    table can stream), and the Arrow-batch read path round-trips the
+    values exactly."""
+    from decimal import Decimal
+
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    table = ManifestTable(str(tmp_path / "mtbl_cplx"))
+    src = spark.range(0, 50).select(
+        F.col("id"),
+        F.array(F.col("id").cast("float"), (F.col("id") * 2).cast("float")).alias("emb"),
+        (F.col("id") * 1.5).cast("decimal(18,2)").alias("price"),
+    )
+    write_and_commit(src, table)
+
+    stream = spark.readStream.format("manifest_stream").option("path", table.root).load()
+    assert dict(stream.dtypes) == {
+        "id": "bigint", "emb": "array<float>", "price": "decimal(18,2)"
+    }
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("m_cplx")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cplx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = {r.id: r for r in spark.table("m_cplx").collect()}
+    assert len(rows) == 50
+    assert rows[3].emb == [3.0, 6.0] and rows[3].price == Decimal("4.50")
