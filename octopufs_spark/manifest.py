@@ -896,6 +896,8 @@ def compact_and_commit(
     spark: SparkSession,
     table: ManifestTable,
     target_file_bytes: int = 100 * 1024 * 1024,
+    zorder_by: tuple[str, str] | None = None,
+    stats: bool | None = None,
 ) -> int | None:
     """Atomic small-file compaction of a manifest table: rewrite the
     current snapshot into ceil(total_bytes/target) files and publish as
@@ -917,9 +919,24 @@ def compact_and_commit(
     compaction sourced — or a MOR delete adding vectors the rewrite
     did not apply — aborts with :class:`ConcurrentModificationError`
     (Delta aborts OPTIMIZE on conflicting commits the same way).
+
+    ``zorder_by=(c1, c2)`` re-clusters the rewrite on the Morton curve
+    of the two columns (range-partition + sort on the interleaved-bit
+    key, ``scale.zorder_key``) — Delta's OPTIMIZE ZORDER: every output
+    file covers a small rectangle of the 2-D space, so footer/zone-map
+    stats prune on BOTH columns. A zorder rewrite runs even when the
+    file count would not shrink (it is a re-layout, not just a merge).
+
+    Data-skipping metadata SURVIVES compaction: when the source
+    snapshot carried ``file_stats``/``bloom_index`` (or ``stats=True``
+    forces it), the rewrite recollects them for the new files —
+    without this, OPTIMIZE would silently turn a pruning table into a
+    scan-everything table. A racing append's carried files simply have
+    no entries (unpruned: an optimization, never a correctness
+    filter), same as the append-race note on ``write_and_commit``.
     """
     m = table.read_manifest()
-    if len(m.files) < 2:
+    if len(m.files) < 2 and zorder_by is None:
         return None
     import pyarrow.fs as pafs
 
@@ -929,10 +946,30 @@ def compact_and_commit(
         if info.type == pafs.FileType.File:
             total += info.size or 0
     n = max(1, -(-total // target_file_bytes))  # ceil
-    if n >= len(m.files):
+    if n >= len(m.files) and zorder_by is None:
         return None  # files already at/above target size
     staged = f"compact-{uuid.uuid4().hex[:12]}"
-    table.read(spark, version=m.version).coalesce(n).write.parquet(f"{table.root}/{staged}")
+    src_df = table.read(spark, version=m.version)
+    if zorder_by is not None:
+        from pyspark.sql import functions as _F
+
+        from octopufs_spark.scale import zorder_key
+
+        c1, c2 = zorder_by
+        b = src_df.agg(_F.min(c1), _F.max(c1), _F.min(c2), _F.max(c2)).collect()[0]
+        if b[0] is None or b[2] is None:  # all-NULL/empty snapshot
+            src_df = src_df.coalesce(n)
+        else:
+            key = zorder_key(_F.col(c1), _F.col(c2), b[0], b[1], b[2], b[3])
+            src_df = (
+                src_df.withColumn("_z", key)
+                .repartitionByRange(n, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+    else:
+        src_df = src_df.coalesce(n)
+    src_df.write.parquet(f"{table.root}/{staged}")
     src_files = set(m.files)
     src_dvs = [dv["path"] for dv in m.meta.get("delete_vectors", [])]
 
@@ -953,7 +990,18 @@ def compact_and_commit(
         carried = sorted(parent_files - src_files)
         return sorted(carried + table._data_files_under(staged))
 
-    return table._commit_with_retry(build, "compact", {"target_file_bytes": target_file_bytes})
+    meta: dict = {"target_file_bytes": target_file_bytes}
+    if zorder_by is not None:
+        meta["zorder_by"] = list(zorder_by)
+    staged_files = table._data_files_under(staged)
+    if stats if stats is not None else bool(m.meta.get("file_stats")):
+        meta["file_stats"] = table.collect_file_stats(staged_files)
+    bloom_cols = list(m.meta.get("bloom_index", {}))
+    if bloom_cols:
+        meta["bloom_index"] = {
+            c: table.collect_bloom_index(staged_files, c) for c in bloom_cols
+        }
+    return table._commit_with_retry(build, "compact", meta)
 
 
 def promote_table_to_manifest(
