@@ -446,6 +446,42 @@ class ManifestTable:
         return {**meta, "delete_vectors": merged}
 
     @staticmethod
+    def _carry_skipping_meta(parent: Manifest | None, files: list[str], meta: dict) -> dict:
+        """Carry the parent's data-skipping metadata (zone-map
+        ``file_stats`` and ``bloom_index``) forward for every parent
+        file this commit RETAINS, merged under the commit's own
+        entries, and trimmed to the live file set so the manifest
+        never accumulates entries for vacuumed files. Without this, a
+        plain append or a MOR delete — commits that keep the parent's
+        files byte-identical — would publish a snapshot whose reads
+        prune nothing. Stats describe file CONTENTS, so they stay
+        valid under delete vectors (pruning picks files; the read
+        applies vectors after)."""
+        if parent is None:
+            return meta
+        fset = set(files)
+        out = dict(meta)
+        p_stats = parent.meta.get("file_stats") or {}
+        stats = {
+            **{f: s for f, s in p_stats.items() if f in fset},
+            **out.get("file_stats", {}),
+        }
+        if stats:
+            out["file_stats"] = stats
+        p_bloom = parent.meta.get("bloom_index") or {}
+        bloom: dict = {}
+        for col in set(p_bloom) | set(out.get("bloom_index", {})):
+            merged = {
+                **{f: b for f, b in p_bloom.get(col, {}).items() if f in fset},
+                **out.get("bloom_index", {}).get(col, {}),
+            }
+            if merged:
+                bloom[col] = merged
+        if bloom:
+            out["bloom_index"] = bloom
+        return out
+
+    @staticmethod
     def _carry_stream_txn(parent: Manifest | None, meta: dict) -> dict:
         """Merge the parent's per-writer stream high-water marks into
         ``meta`` on EVERY commit — the Delta ``SetTransaction`` model.
@@ -473,7 +509,12 @@ class ManifestTable:
                 operation=operation,
                 parent=latest,
                 meta=self._carry_stream_txn(
-                    parent, self._carry_delete_vectors(parent, files, meta or {})
+                    parent,
+                    self._carry_skipping_meta(
+                        parent,
+                        files,
+                        self._carry_delete_vectors(parent, files, meta or {}),
+                    ),
                 ),
                 added=[f for f in files if f not in parent_files],
             )
@@ -874,15 +915,9 @@ def write_and_commit(
     if mode == "overwrite":
         return table.commit_overwrite(staged, meta=meta)
     if mode == "append":
-        if stats:
-            # carry the parent snapshot's zone maps forward; a racing
-            # writer's files merely stay unpruned (stats are an
-            # optimization, never a correctness filter)
-            try:
-                parent_stats = table.read_manifest().meta.get("file_stats", {})
-            except FileNotFoundError:
-                parent_stats = {}
-            meta["file_stats"] = {**parent_stats, **meta["file_stats"]}
+        # the parent's zone maps / blooms carry forward at publish time
+        # (_carry_skipping_meta), against the LIVE parent rather than a
+        # pre-staging snapshot read
 
         def build(parent):
             base = parent.files if parent else []

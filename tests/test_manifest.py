@@ -1576,3 +1576,36 @@ def test_compaction_zorder_clusters_both_dimensions(spark, table):
     assert [r.id for r in rect.collect()] == [3 * 64 + 3]
     # rewrite is content-neutral
     assert table.read(spark).agg(F.sum("id")).collect()[0][0] == 4096 * 4095 // 2
+
+
+def test_skipping_meta_survives_plain_appends_and_mor_deletes(spark, table):
+    """Zone maps and blooms carry forward through ANY commit that
+    retains the parent's files — a stats=False append or a MOR delete
+    must not silently disable pruning for the whole table — and
+    entries are trimmed to the live file set."""
+    from octopufs_spark.manifest import compact_and_commit, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(
+        spark.range(0, 1000).repartition(4), table, stats=True, bloom_columns=["id"]
+    )
+    v1_files = set(table.read_manifest().files)
+    # plain append, no stats requested
+    write_and_commit(spark.range(5000, 5100), table, mode="append")
+    m = table.read_manifest()
+    assert v1_files <= set(m.meta["file_stats"]), "append dropped zone maps"
+    assert v1_files <= set(m.meta["bloom_index"]["id"])
+    keep, skipped = table.prune_plan([("id", ">=", 5000)])
+    assert skipped >= 4  # the v1 files still prune
+    # MOR delete retains every file: stats stay, pruned read stays exact
+    delete_where_mor(spark, table, spark.range(0, 10), ["id"])
+    m = table.read_manifest()
+    assert v1_files <= set(m.meta["file_stats"])
+    got = table.read_pruned(spark, [("id", ">=", 5000)]).where(F.col("id") >= 5000)
+    assert got.count() == 100
+    assert table.read(spark).where(F.col("id") < 10).count() == 0
+    # a full rewrite trims dead entries: only live files keep metadata
+    compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+    m = table.read_manifest()
+    assert set(m.meta.get("file_stats", {})).issubset(set(m.files))
+    assert all(set(v) <= set(m.files) for v in m.meta.get("bloom_index", {}).values())
