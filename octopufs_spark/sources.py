@@ -242,11 +242,14 @@ class ManifestStreamReader(DataSourceStreamReader):
         mft = options.get("maxFilesPerTrigger")
         self.max_files = int(mft) if mft is not None else None
         # newest version this reader instance knows is consumed/planned;
-        # advanced by initialOffset/partitions/commit. None right after
-        # a checkpoint restart (Spark owns the committed offset) — the
-        # first post-restart batch is then uncapped, and the cap applies
-        # from the second batch on, the same wrinkle the synthetic
-        # stream reader documents.
+        # advanced by initialOffset/partitions/commit. None until Spark
+        # reveals a position: the engine resolves latestOffset BEFORE
+        # initialOffset on a fresh checkpoint and owns the committed
+        # offset after a restart, so the FIRST batch of any run is
+        # uncapped and the cap applies from the second batch on.
+        # (Seeding _pos inside latestOffset would be wrong: after a
+        # restart it could return an offset BEHIND the checkpoint and
+        # re-emit rows.)
         self._pos: int | None = None
 
     def _table(self):
@@ -285,7 +288,11 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         table = self._table()
-        self._pos = max(self._pos if self._pos is not None else 0, end["version"])
+        self._pos = max(
+            self._pos if self._pos is not None else 0,
+            start["version"],
+            end["version"],
+        )
         added: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             try:
