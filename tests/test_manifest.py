@@ -1242,9 +1242,18 @@ def test_mixed_op_contention_with_mergers_and_stream(spark, table):
                 return
 
     def compactor():
+        flip = 0
         while not stop.is_set():
+            flip += 1
             try:
-                v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+                # alternate plain merges with Z-order rewrites so the
+                # re-clustering path faces the same contention
+                v = compact_and_commit(
+                    spark,
+                    table,
+                    target_file_bytes=512 * 1024 * 1024,
+                    zorder_by=("id", "v") if flip % 2 == 0 else None,
+                )
                 with lock:
                     compactions["ok" if v else "noop"] += 1
             except ConcurrentModificationError:
