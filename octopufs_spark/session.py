@@ -38,6 +38,9 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) (events.ts) is read as long nanos and
     # converted to timestamp in tables.load — Spark has no ns type.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let Python Data Source readers implementing pushFilters receive
+    # catalyst predicates (synthgen narrows its generated id range).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

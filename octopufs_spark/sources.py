@@ -68,12 +68,50 @@ class SynthBatchReader(DataSourceReader):
     def __init__(self, options):
         self.total = int(options.get("total", 10_000))
         self.numparts = int(options.get("partitions", 8))
+        # row range after filter pushdown; narrowed by pushFilters
+        self.lo = 0
+        self.hi = self.total
+
+    def pushFilters(self, filters):
+        """Source-level predicate pushdown (Python Data Source API,
+        Spark 4.1): range/point predicates on the generator key ``id``
+        narrow the generated row range itself, so a selective scan
+        GENERATES only the matching rows instead of materializing
+        ``total`` rows for Spark to filter. Anything not a simple
+        ``id`` comparison is handed back for post-scan evaluation."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            bound = getattr(f, "value", None)
+            if getattr(f, "attribute", None) == ("id",) and isinstance(bound, int):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, bound)
+                    self.hi = min(self.hi, bound + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, bound + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, bound)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, bound)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, bound + 1)
+                else:
+                    yield f
+                continue
+            yield f
 
     def partitions(self):
-        step = max(1, math.ceil(self.total / self.numparts))
+        lo, hi = self.lo, max(self.lo, self.hi)
+        step = max(1, math.ceil((hi - lo) / self.numparts))
         return [
-            RangePartition(s, min(s + step, self.total)) for s in range(0, self.total, step)
-        ]
+            RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ] or [RangePartition(lo, lo)]
 
     def read(self, partition: RangePartition) -> Iterator:
         yield _batch_for_range(partition.start, partition.end)
@@ -409,7 +447,13 @@ class ManifestStreamSource(DataSource):
 
 
 def register_synthgen(spark) -> None:
-    """Idempotently register the synthgen source on a session."""
+    """Idempotently register the synthgen source on a session.
+
+    Also enables Python data source filter pushdown (runtime conf):
+    a reader implementing ``pushFilters`` on a session with the conf
+    off is a hard planning error, and callers (the driver harness
+    included) may hand us sessions built without our defaults."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticTelemetrySource)
 
 

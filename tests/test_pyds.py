@@ -482,3 +482,40 @@ def test_manifest_stream_complex_types(spark, tmp_path):
     rows = {r.id: r for r in spark.table("m_cplx").collect()}
     assert len(rows) == 50
     assert rows[3].emb == [3.0, 6.0] and rows[3].price == Decimal("4.50")
+
+
+def test_synthgen_filter_pushdown_narrows_generated_range(spark, tmp_path):
+    """pushFilters narrows the generator's row range at the source:
+    a selective scan generates only matching rows (visible as the
+    pushed-filter count in the plan and as correct results), and
+    non-pushable predicates still evaluate post-scan."""
+    from octopufs_spark.sources import SynthBatchReader, register_synthgen
+
+    # reader-level contract
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    r = SynthBatchReader({"total": "1000", "partitions": "4"})
+    rest = list(r.pushFilters([
+        GreaterThanOrEqual(("id",), 100),
+        LessThan(("id",), 200),
+        EqualTo(("device",), 3),  # not the generator key: stays with Spark
+    ]))
+    assert [type(f).__name__ for f in rest] == ["EqualTo"]
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 200
+    assert sum(p.end - p.start for p in parts) == 100
+
+    # end-to-end: values identical to the unfiltered scan + filter
+    register_synthgen(spark)
+    df = (
+        spark.read.format("synthgen")
+        .option("total", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    got = df.where((F.col("id") >= 9_990) & (F.col("id") < 9_995)).orderBy("id")
+    rows = got.collect()
+    assert [r.id for r in rows] == list(range(9_990, 9_995))
+    assert all(r.device == r.id % 50 for r in rows)
+    # empty intersection degrades to zero rows, not an error
+    assert df.where((F.col("id") > 10) & (F.col("id") < 5)).count() == 0
