@@ -89,7 +89,11 @@ class SynthBatchReader(DataSourceReader):
 
         for f in filters:
             bound = getattr(f, "value", None)
-            if getattr(f, "attribute", None) == ("id",) and isinstance(bound, int):
+            if (
+                getattr(f, "attribute", None) == ("id",)
+                and isinstance(bound, int)
+                and not isinstance(bound, bool)
+            ):
                 if isinstance(f, EqualTo):
                     self.lo = max(self.lo, bound)
                     self.hi = min(self.hi, bound + 1)

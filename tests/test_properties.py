@@ -258,3 +258,57 @@ def test_deterministic_planes_pure_and_bounded(j, dim):
     assert all(-1000 <= c <= 1000 for row in a for c in row)
     # prefix stability: plane i of a larger matrix equals plane i alone
     assert deterministic_planes(j + 2, dim)[: j + 1] == a
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(min_value=-50, max_value=1100),
+        ),
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_synthgen_pushdown_interval_equivalence(preds, nparts):
+    """The reader's pushed-down [lo, hi) must select EXACTLY the ids a
+    row-by-row evaluation of the conjunction selects — never a
+    superset (rows Spark would have to re-filter are fine to generate,
+    but the reader claims full pushdown by consuming the filter) and
+    never a subset (lost rows are a correctness bug)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from octopufs_spark.sources import SynthBatchReader
+
+    total = 1000
+    cls = {
+        "=": EqualTo,
+        "<": LessThan,
+        "<=": LessThanOrEqual,
+        ">": GreaterThan,
+        ">=": GreaterThanOrEqual,
+    }
+    ops = {
+        "=": lambda i, v: i == v,
+        "<": lambda i, v: i < v,
+        "<=": lambda i, v: i <= v,
+        ">": lambda i, v: i > v,
+        ">=": lambda i, v: i >= v,
+    }
+    r = SynthBatchReader({"total": str(total), "partitions": str(nparts)})
+    rest = list(r.pushFilters([cls[op](("id",), v) for op, v in preds]))
+    assert rest == []  # every interval predicate on id is consumed
+    generated = set()
+    for p in r.partitions():
+        generated |= set(range(p.start, p.end))
+    expected = {
+        i for i in range(total) if all(ops[op](i, v) for op, v in preds)
+    }
+    assert generated == expected
