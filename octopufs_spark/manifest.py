@@ -966,9 +966,10 @@ def compact_and_commit(
     snapshot carried ``file_stats``/``bloom_index`` (or ``stats=True``
     forces it), the rewrite recollects them for the new files —
     without this, OPTIMIZE would silently turn a pruning table into a
-    scan-everything table. A racing append's carried files simply have
-    no entries (unpruned: an optimization, never a correctness
-    filter), same as the append-race note on ``write_and_commit``.
+    scan-everything table. A racing append's carried files keep
+    whatever entries the racer committed (``_carry_skipping_meta``
+    merges them at publish); a stats-less racer's files just stay
+    unpruned — an optimization, never a correctness filter.
     """
     m = table.read_manifest()
     if len(m.files) < 2 and zorder_by is None:

@@ -324,7 +324,14 @@ class ManifestStreamReader(DataSourceStreamReader):
         v, n_files = start, 0
         while v < latest and n_files < self.max_files:
             v += 1
-            m = table.read_manifest(v)
+            try:
+                m = table.read_manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"manifest_stream: version v{v} of {self.path} was pruned "
+                    "by vacuum before this stream consumed it — restart with a "
+                    "fresh checkpoint (optionally startingVersion=latest)"
+                ) from None
             n_files += len(m.added if m.added is not None else m.files)
         return {"version": v}
 
