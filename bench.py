@@ -46,7 +46,7 @@ class StageMetrics:
             self._gw = sc._gateway
         except Exception:
             self._ok = False
-        self._seen: set[tuple[int, int]] = set()
+        self._max_seen = -1
 
     def _stages(self):
         quant = self._gw.new_array(self._jvm.double, 1)
@@ -57,14 +57,22 @@ class StageMetrics:
         )
 
     def snapshot(self) -> None:
-        """Mark all stages seen so far; collect() reports only newer ones."""
+        """Mark the newest stage id; collect() reports only newer ones.
+
+        stageList returns stages NEWEST-FIRST (descending stage id), so
+        the boundary is one py4j call here and collect() walks only the
+        new prefix — the previous (id, attempt)-set implementation
+        re-walked EVERY stage ever run on every call, several JVM
+        round-trips each, which made the metrics pass quadratic in
+        registry size (~half the bench's wall clock by 243 queries).
+        A retried attempt of a pre-snapshot stage keeps its old id and
+        is deliberately not re-counted."""
         if not self._ok:
             return
         try:
             stages = self._stages()
-            for i in range(stages.size()):
-                s = stages.apply(i)
-                self._seen.add((s.stageId(), s.attemptId()))
+            if stages.size() > 0:
+                self._max_seen = max(self._max_seen, stages.apply(0).stageId())
         except Exception:
             self._ok = False
 
@@ -78,9 +86,8 @@ class StageMetrics:
             peak_task = 0
             for i in range(stages.size()):
                 s = stages.apply(i)
-                key = (s.stageId(), s.attemptId())
-                if key in self._seen:
-                    continue
+                if s.stageId() <= self._max_seen:
+                    break  # descending list: the rest predate the snapshot
                 n += 1
                 swb += s.shuffleWriteBytes()
                 srb += s.shuffleReadBytes()
