@@ -83,11 +83,30 @@ class SynthBatchReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
+            IsNotNull,
             LessThan,
             LessThanOrEqual,
         )
 
         for f in filters:
+            if getattr(f, "attribute", None) == ("id",):
+                if isinstance(f, IsNotNull):
+                    continue  # generator key is never null: fully consumed
+                if isinstance(f, In):
+                    in_list = getattr(f, "value", ()) or ()
+                    vals = [
+                        v
+                        for v in in_list
+                        if isinstance(v, int) and not isinstance(v, bool)
+                    ]
+                    if vals and len(vals) == len(in_list):
+                        # PARTIAL pushdown: narrow to the value span but
+                        # hand the filter back for exact re-evaluation
+                        self.lo = max(self.lo, min(vals))
+                        self.hi = min(self.hi, max(vals) + 1)
+                    yield f
+                    continue
             bound = getattr(f, "value", None)
             if (
                 getattr(f, "attribute", None) == ("id",)

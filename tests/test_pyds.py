@@ -519,3 +519,23 @@ def test_synthgen_filter_pushdown_narrows_generated_range(spark, tmp_path):
     assert all(r.device == r.id % 50 for r in rows)
     # empty intersection degrades to zero rows, not an error
     assert df.where((F.col("id") > 10) & (F.col("id") < 5)).count() == 0
+
+
+def test_synthgen_pushdown_in_and_isnotnull(spark):
+    """IN narrows the generated span but stays with Spark for exact
+    re-evaluation (partial pushdown); IS NOT NULL on the never-null
+    generator key is consumed outright. End-to-end results exact."""
+    from pyspark.sql.datasource import In, IsNotNull
+
+    from octopufs_spark.sources import SynthBatchReader, register_synthgen
+
+    r = SynthBatchReader({"total": "1000", "partitions": "4"})
+    rest = list(r.pushFilters([In(("id",), (700, 750, 720)), IsNotNull(("id",))]))
+    assert [type(f).__name__ for f in rest] == ["In"]
+    parts = r.partitions()
+    assert parts[0].start == 700 and parts[-1].end == 751
+
+    register_synthgen(spark)
+    df = spark.read.format("synthgen").option("total", 10_000).load()
+    got = df.where(F.col("id").isin(42, 9_999, 5_000)).orderBy("id")
+    assert [x.id for x in got.collect()] == [42, 5_000, 9_999]
