@@ -992,7 +992,30 @@ def compact_and_commit(
         from octopufs_spark.scale import zorder_key
 
         c1, c2 = zorder_by
-        b = src_df.agg(_F.min(c1), _F.max(c1), _F.min(c2), _F.max(c2)).collect()[0]
+
+        def _bounds_from_zone_maps(col: str) -> tuple | None:
+            # global min/max from the snapshot's own zone maps when
+            # EVERY file has stats for the column — saves the pre-scan
+            st = m.meta.get("file_stats") or {}
+            los, his = [], []
+            for f in m.files:
+                e = st.get(f)
+                if not e or col not in e.get("min", {}):
+                    return None
+                lo, hi = e["min"][col], e["max"][col]
+                # zorder normalization needs numerics; stats may hold
+                # canon()-stringified dates — those fall back to the scan
+                if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+                    return None
+                los.append(lo)
+                his.append(hi)
+            return (min(los), max(his)) if los else None
+
+        b1, b2 = _bounds_from_zone_maps(c1), _bounds_from_zone_maps(c2)
+        if b1 is not None and b2 is not None:
+            b = [b1[0], b1[1], b2[0], b2[1]]
+        else:
+            b = src_df.agg(_F.min(c1), _F.max(c1), _F.min(c2), _F.max(c2)).collect()[0]
         if b[0] is None or b[2] is None:  # all-NULL/empty snapshot
             src_df = src_df.coalesce(n)
         else:

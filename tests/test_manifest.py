@@ -1618,3 +1618,30 @@ def test_skipping_meta_survives_plain_appends_and_mor_deletes(spark, table):
     m = table.read_manifest()
     assert set(m.meta.get("file_stats", {})).issubset(set(m.files))
     assert all(set(v) <= set(m.files) for v in m.meta.get("bloom_index", {}).values())
+
+
+def test_zorder_bounds_from_zone_maps(spark, table):
+    """When the source snapshot carries zone maps for both z-order
+    columns, the rewrite derives global bounds from them (no pre-scan)
+    and must cluster exactly as the scan-derived path does."""
+    from octopufs_spark.manifest import compact_and_commit, write_and_commit
+
+    df = (
+        spark.range(0, 4096)
+        .withColumn("x", F.col("id") % 64)
+        .withColumn("y", (F.col("id") / 64).cast("long"))
+    )
+    write_and_commit(df.repartition(8), table, stats=True)
+    assert set(table.read_manifest().meta["file_stats"]) == set(
+        table.read_manifest().files
+    )
+    compact_and_commit(
+        spark, table, target_file_bytes=4 * 1024, zorder_by=("x", "y"), stats=True
+    )
+    keep_x, skip_x = table.prune_plan([("x", "=", 3)])
+    keep_y, skip_y = table.prune_plan([("y", "=", 3)])
+    assert skip_x >= 1 and skip_y >= 1
+    got = table.read_pruned(spark, [("x", "=", 3), ("y", "=", 3)]).where(
+        (F.col("x") == 3) & (F.col("y") == 3)
+    )
+    assert [r.id for r in got.collect()] == [3 * 64 + 3]
