@@ -194,13 +194,86 @@ class ManifestTable:
         m = self.read_manifest(version)
         if version is not None:
             self._check_not_vacuumed(m)
-        paths = [f"{self.root}/{p}" for p in m.files]
-        if not paths:
+        if not m.files:
             raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return self._apply_delete_vectors(spark, reader.parquet(*paths), m)
+        df = self._scan_files(
+            spark,
+            m.files,
+            merge_schema=merge_schema,
+            annotate_positions=self._has_positional_dvs(m),
+        )
+        return self._apply_delete_vectors(spark, df, m)
+
+    @staticmethod
+    def _has_positional_dvs(m: Manifest) -> bool:
+        return any(
+            dv.get("type") == "positional" for dv in m.meta.get("delete_vectors", [])
+        )
+
+    def _annotate_positions(self, df: DataFrame) -> DataFrame:
+        """Attach (_dv_file, _dv_pos) from the parquet virtual metadata
+        columns. Must bind on a file-source scan DIRECTLY — after a
+        union, ``_metadata`` no longer resolves."""
+        from pyspark.sql import functions as _F
+
+        return df.withColumns(
+            {"_dv_file": self._rel_path_col(), "_dv_pos": _F.col("_metadata.row_index")}
+        )
+
+    def _scan_files(
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        merge_schema: bool = False,
+        annotate_positions: bool = False,
+    ) -> DataFrame:
+        """Parquet scan over snapshot-relative files with hive partition
+        columns RECOVERED. Explicit file lists disable Spark's partition
+        discovery, so a ``partition_by`` table read naively loses its
+        partition columns; and a single ``basePath`` at the table root
+        fails with CONFLICTING_DIRECTORY_STRUCTURES because each commit
+        stages under its own top-level directory. One commit's layout
+        IS internally consistent, though — so files group by their
+        top-level staging dir, each group scans with ``basePath`` at
+        that dir (k=v segments surface as columns again), and groups
+        union by name. Cost: one scan relation per contributing commit,
+        bounded by log length and collapsed by compaction. A group
+        missing a column another group has (pre-evolution commits)
+        unions only under ``merge_schema`` (NULL-filled), else errors —
+        the same contract as the flat read."""
+        has_parts = any(
+            "=" in seg for f in rel_files for seg in f.split("/")[1:-1]
+        )
+
+        def reader(base: str | None = None):
+            r = spark.read
+            if merge_schema:
+                r = r.option("mergeSchema", "true")
+            if base is not None:
+                r = r.option("basePath", base)
+            return r
+
+        def finish(df: DataFrame) -> DataFrame:
+            return self._annotate_positions(df) if annotate_positions else df
+
+        if not has_parts:
+            return finish(reader().parquet(*[f"{self.root}/{f}" for f in rel_files]))
+        groups: dict[str, list[str]] = {}
+        for f in rel_files:
+            top = f.split("/", 1)[0] if "/" in f else ""
+            groups.setdefault(top, []).append(f)
+        dfs = [
+            finish(
+                reader(f"{self.root}/{top}" if top else None).parquet(
+                    *[f"{self.root}/{f}" for f in rels]
+                )
+            )
+            for top, rels in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=merge_schema)
+        return out
 
     def _apply_delete_vectors(self, spark: SparkSession, df: DataFrame, m: Manifest) -> DataFrame:
         """Apply the snapshot's merge-on-read delete vectors to a raw
@@ -223,8 +296,10 @@ class ManifestTable:
         pos_dvs = [dv for dv in dvs if dv.get("type") == "positional"]
         key_dvs = [dv for dv in dvs if not dv.get("type")]
         if pos_dvs:
-            rel = self._rel_path_col()
-            df = df.withColumns({"_dv_file": rel, "_dv_pos": _F.col("_metadata.row_index")})
+            if "_dv_file" not in df.columns:
+                # unioned scans carry the annotation already (attached
+                # per scan — _metadata does not resolve post-union)
+                df = self._annotate_positions(df)
             for dv in pos_dvs:
                 gone = spark.read.parquet(f"{self.root}/{dv['path']}").select(
                     _F.col("file").alias("_dv_file"), _F.col("pos").alias("_dv_pos")
@@ -750,9 +825,10 @@ class ManifestTable:
         m = self.read_manifest(version)
         if not keep:
             # preserve schema with an empty, zero-file-cost scan
-            first = f"{self.root}/{m.files[0]}"
-            return spark.read.parquet(first).limit(0)
-        df = spark.read.parquet(*[f"{self.root}/{p}" for p in keep])
+            return self._scan_files(spark, [m.files[0]]).limit(0)
+        df = self._scan_files(
+            spark, keep, annotate_positions=self._has_positional_dvs(m)
+        )
         return self._apply_delete_vectors(spark, df, m)
 
     # ---------- maintenance ----------
@@ -933,6 +1009,7 @@ def compact_and_commit(
     target_file_bytes: int = 100 * 1024 * 1024,
     zorder_by: tuple[str, str] | None = None,
     stats: bool | None = None,
+    prefix: str | None = None,
 ) -> int | None:
     """Atomic small-file compaction of a manifest table: rewrite the
     current snapshot into ceil(total_bytes/target) files and publish as
@@ -970,22 +1047,50 @@ def compact_and_commit(
     whatever entries the racer committed (``_carry_skipping_meta``
     merges them at publish); a stats-less racer's files just stay
     unpruned — an optimization, never a correctness filter.
+
+    ``prefix`` scopes the rewrite to the files under one relative-path
+    prefix (a hive partition dir, a stream-batch staging family) — the
+    OPTIMIZE ... WHERE a 100 TB table actually runs: one partition's
+    small files merge/re-cluster while the other 99.99% of the table
+    is untouched metadata. Unlike the full rewrite, a partial rewrite
+    RETAINS the other parent files, so merge-on-read delete vectors
+    stay in force for the whole snapshot (the rewritten files simply
+    no longer contain the deleted keys), and a vector landed by a
+    racing delete still applies — only a race that would DROP such a
+    vector (the rewrite consumed every remaining file) aborts.
     """
     m = table.read_manifest()
-    if len(m.files) < 2 and zorder_by is None:
+    matched = (
+        m.files if prefix is None else [f for f in m.files if f.startswith(prefix)]
+    )
+    if not matched:
+        return None
+    if len(matched) < 2 and zorder_by is None:
         return None
     import pyarrow.fs as pafs
 
     total = 0
-    for f in m.files:
+    for f in matched:
         info = table.fs.get_file_info(f"{table.root_path}/{f}")
         if info.type == pafs.FileType.File:
             total += info.size or 0
     n = max(1, -(-total // target_file_bytes))  # ceil
-    if n >= len(m.files) and zorder_by is None:
+    if n >= len(matched) and zorder_by is None:
         return None  # files already at/above target size
     staged = f"compact-{uuid.uuid4().hex[:12]}"
-    src_df = table.read(spark, version=m.version)
+    if prefix is None:
+        src_df = table.read(spark, version=m.version)
+    else:
+        # the scoped subset, partition columns recovered and the
+        # snapshot's delete vectors applied (materialized for the
+        # rewritten files; they stay carried for the rest of the table)
+        src_df = table._apply_delete_vectors(
+            spark,
+            table._scan_files(
+                spark, matched, annotate_positions=table._has_positional_dvs(m)
+            ),
+            m,
+        )
     if zorder_by is not None:
         from pyspark.sql import functions as _F
 
@@ -998,7 +1103,7 @@ def compact_and_commit(
             # EVERY file has stats for the column — saves the pre-scan
             st = m.meta.get("file_stats") or {}
             los, his = [], []
-            for f in m.files:
+            for f in matched:
                 e = st.get(f)
                 if not e or col not in e.get("min", {}):
                     return None
@@ -1029,7 +1134,7 @@ def compact_and_commit(
     else:
         src_df = src_df.coalesce(n)
     src_df.write.parquet(f"{table.root}/{staged}")
-    src_files = set(m.files)
+    src_files = set(matched)
     src_dvs = [dv["path"] for dv in m.meta.get("delete_vectors", [])]
 
     def build(parent):
@@ -1039,19 +1144,41 @@ def compact_and_commit(
         ]
         compacted_away = src_files - parent_files
         new_vectors = [p for p in parent_dvs if p not in src_dvs]
-        if compacted_away or new_vectors:
+        if prefix is None:
+            # full rewrite: retains no parent files, so vectors DROP at
+            # publish — a racer's new vector (or removed source file)
+            # would be silently lost; abort instead
+            if compacted_away or new_vectors:
+                raise ConcurrentModificationError(
+                    f"compaction of {table.root} conflicts with a concurrent commit: "
+                    f"{len(compacted_away)} sourced file(s) removed, "
+                    f"{len(new_vectors)} new delete vector(s) since v{m.version}"
+                )
+            # a racer's pure appends carry forward into the compacted snapshot
+            carried = sorted(parent_files - src_files)
+            return sorted(carried + table._data_files_under(staged))
+        # scoped rewrite: everything outside the prefix is untouched
+        # metadata, and carried vectors keep applying snapshot-wide —
+        # a racer's NEW vector is only at risk when no parent file
+        # survives to carry it on
+        if compacted_away:
             raise ConcurrentModificationError(
-                f"compaction of {table.root} conflicts with a concurrent commit: "
-                f"{len(compacted_away)} sourced file(s) removed, "
-                f"{len(new_vectors)} new delete vector(s) since v{m.version}"
+                f"compaction of {table.root} prefix {prefix!r} conflicts with a "
+                f"concurrent commit: {len(compacted_away)} sourced file(s) removed"
             )
-        # a racer's pure appends carry forward into the compacted snapshot
-        carried = sorted(parent_files - src_files)
-        return sorted(carried + table._data_files_under(staged))
+        kept = [f for f in parent.files if f not in src_files]
+        if new_vectors and not kept:
+            raise ConcurrentModificationError(
+                f"compaction of {table.root} prefix {prefix!r} would drop "
+                f"{len(new_vectors)} delete vector(s) landed since v{m.version}"
+            )
+        return sorted(kept + table._data_files_under(staged))
 
     meta: dict = {"target_file_bytes": target_file_bytes}
     if zorder_by is not None:
         meta["zorder_by"] = list(zorder_by)
+    if prefix is not None:
+        meta["compacted_prefix"] = prefix
     staged_files = table._data_files_under(staged)
     if stats if stats is not None else bool(m.meta.get("file_stats")):
         meta["file_stats"] = table.collect_file_stats(staged_files)

@@ -434,6 +434,7 @@ class ManifestStreamReader(DataSourceStreamReader):
     def read(self, partition: ManifestFilePartition):
         if not partition.rel_file:
             return iter(())
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from octopufs_spark.fs.core import get_filesystem
@@ -442,12 +443,36 @@ class ManifestStreamReader(DataSourceStreamReader):
         # Stream row-group RecordBatches instead of materializing the
         # whole file: the Python data source worker consumes Arrow
         # batches zero-copy, and peak executor memory stays one row
-        # group (not one file) regardless of file size.
+        # group (not one file) regardless of file size. Hive k=v path
+        # segments (partition_by layouts store those columns in dir
+        # names, not file bytes) are re-attached as constant string
+        # columns, matching schema()'s contract.
+        parts = _hive_segments(partition.rel_file)
         pf = pq.ParquetFile(fs.open_input_file(f"{root}/{partition.rel_file}"))
-        return pf.iter_batches(row_groups=partition.row_groups)
+        for batch in pf.iter_batches(row_groups=partition.row_groups):
+            if parts:
+                arrays = list(batch.columns)
+                names = list(batch.schema.names)
+                for k, v in parts:
+                    arrays.append(pa.array([v] * batch.num_rows, type=pa.string()))
+                    names.append(k)
+                batch = pa.RecordBatch.from_arrays(arrays, names=names)
+            yield batch
 
     def commit(self, end: dict) -> None:
         self._pos = max(self._pos if self._pos is not None else 0, end["version"])
+
+
+def _hive_segments(rel_file: str) -> list[tuple[str, str]]:
+    """k=v directory segments of a snapshot-relative file path — the
+    hive-partition columns a ``partition_by`` commit stores in dir
+    names rather than file bytes."""
+    out = []
+    for seg in rel_file.split("/")[1:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out.append((k, v))
+    return out
 
 
 class ManifestStreamSource(DataSource):
@@ -460,9 +485,12 @@ class ManifestStreamSource(DataSource):
         parquet file footer, via pyspark's canonical arrow-to-Spark
         conversion — covers arrays, decimals, nested structs, and
         timestamp units, not just the scalar types a hand-rolled DDL
-        map would."""
+        map would. Hive k=v path segments (``partition_by`` layouts)
+        are appended as string columns, matching what read()
+        re-attaches per batch."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StringType, StructField
 
         from octopufs_spark.fs.core import get_filesystem
         from octopufs_spark.manifest import ManifestTable
@@ -470,7 +498,10 @@ class ManifestStreamSource(DataSource):
         table = ManifestTable(self.options["path"])
         m = table.read_manifest()
         fs, root = get_filesystem(self.options["path"])
-        return from_arrow_schema(pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs))
+        st = from_arrow_schema(pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs))
+        for k, _ in _hive_segments(m.files[0]):
+            st = st.add(StructField(k, StringType(), False))
+        return st
 
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(self.options)

@@ -1467,7 +1467,15 @@ def test_promote_partitions_races(spark, table, tmp_path):
 
         # (a) racing append carries forward
         def appender(t2):
-            write_and_commit(_df(spark, 900, 910), t2, mode="append")
+            # schema-compatible append (partition column included) — a
+            # partitioned table's reads recover `year`, so an append
+            # WITHOUT it is a schema mismatch surfaced at read time
+            write_and_commit(
+                _df(spark, 900, 910).withColumn("year", F.lit(2031)),
+                t2,
+                mode="append",
+                partition_by=["year"],
+            )
 
         fired = _race(table, appender)
         promote_partitions_to_manifest(spark, "mfdb4.src_part4", ["year=2020"], table)
@@ -1645,3 +1653,120 @@ def test_zorder_bounds_from_zone_maps(spark, table):
         (F.col("x") == 3) & (F.col("y") == 3)
     )
     assert [r.id for r in got.collect()] == [3 * 64 + 3]
+
+
+def test_partition_scoped_compaction(spark, table):
+    """OPTIMIZE ... WHERE: prefix-scoped compaction rewrites only one
+    partition's files, leaves every other file untouched (same paths),
+    keeps values identical, and carried delete vectors stay in force
+    snapshot-wide."""
+    from octopufs_spark.manifest import compact_and_commit, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    df = spark.range(0, 1000).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    write_and_commit(df.repartition(8), table, partition_by=["bucket"], stats=True)
+    m1 = table.read_manifest()
+    pfx = next(f for f in m1.files if "/bucket=3/" in f).split("/bucket=3/")[0] + "/bucket=3"
+    n_b3 = sum(1 for f in m1.files if f.startswith(pfx))
+    assert n_b3 >= 2
+    # a MOR delete in ANOTHER bucket, before the scoped rewrite
+    delete_where_mor(spark, table, spark.range(0, 20), ["id"])
+
+    v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024, prefix=pfx)
+    assert v is not None
+    m2 = table.read_manifest()
+    assert m2.meta["compacted_prefix"] == pfx
+    untouched = [f for f in m1.files if not f.startswith(pfx)]
+    assert set(untouched) <= set(m2.files), "files outside the prefix were rewritten"
+    assert not any(f.startswith(pfx) for f in m2.files), "old partition files kept"
+    assert sum(1 for f in m2.files if f.startswith("compact-")) < n_b3
+    # vector carried: the deleted keys stay invisible after the rewrite
+    got = table.read(spark)
+    ids = {r.id for r in got.collect()}
+    assert ids == set(range(20, 1000))
+    # stats for the rewritten files recollected, stale prefix entries gone
+    assert set(m2.meta["file_stats"]) == set(m2.files)
+
+
+def test_partition_scoped_compaction_carries_racing_vector(spark, table):
+    """A delete vector landing between the scoped rewrite's read and
+    its publish is NOT a conflict (unlike the full rewrite): the
+    commit retains other parent files, so the vector carries and keeps
+    applying to the whole snapshot — including the staged rewrite."""
+    from octopufs_spark.manifest import compact_and_commit, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    write_and_commit(df.repartition(6), table, partition_by=["bucket"])
+    m1 = table.read_manifest()
+    pfx = next(f for f in m1.files if "/bucket=1/" in f).split("/bucket=1/")[0] + "/bucket=1"
+
+    def racer(t2):
+        # delete odd ids 1..39 (they live in bucket=1 — the partition
+        # being rewritten) while the compaction is in its window
+        delete_where_mor(spark, t2, spark.range(1, 40, 2), ["id"])
+
+    _race(table, racer)
+    v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024, prefix=pfx)
+    assert v is not None
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(400)) - set(range(1, 40, 2)), "racing delete lost"
+
+
+def test_partitioned_table_read_recovers_partition_columns(spark, table):
+    """Explicit file lists disable Spark's partition discovery — a
+    partition_by table's read must still surface the partition column
+    (grouped basePath scans), across appends, through read_pruned, and
+    through a full compaction (which previously LOST the column: the
+    rewrite read had no `bucket` to write into the new files)."""
+    from octopufs_spark.manifest import compact_and_commit, write_and_commit
+
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    write_and_commit(df, table, partition_by=["bucket"], stats=True)
+    got = table.read(spark)
+    assert "bucket" in got.columns
+    assert got.where(F.col("bucket") == 3).count() == 100
+    # append (its own staging dir) keeps the column via grouped scans
+    write_and_commit(
+        spark.range(1000, 1100).withColumn("bucket", F.lit(7).cast("int")),
+        table, mode="append", partition_by=["bucket"],
+    )
+    got = table.read(spark)
+    assert got.groupBy("bucket").count().count() == 5
+    # pruned reads go through the same scan path
+    pruned = table.read_pruned(spark, [("id", ">=", 1000)]).where(F.col("id") >= 1000)
+    assert pruned.where(F.col("bucket") == 7).count() == 100
+    # full compaction materializes the column into the rewritten data
+    v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+    assert v is not None
+    got = table.read(spark)
+    assert {r.bucket for r in got.select("bucket").distinct().collect()} == {0, 1, 2, 3, 7}
+    assert got.count() == 500
+
+
+def test_manifest_stream_surfaces_partition_columns(spark, tmp_path):
+    """The streaming source re-attaches hive k=v segments as string
+    columns (they live in dir names, not file bytes), consistent
+    between schema() and the batches."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    t = ManifestTable(str(tmp_path / "mtbl_hive"))
+    df = spark.range(0, 200).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    write_and_commit(df, t, partition_by=["bucket"])
+    stream = spark.readStream.format("manifest_stream").option("path", t.root).load()
+    assert dict(stream.dtypes)["bucket"] == "string"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("m_hive")
+        .option("checkpointLocation", str(tmp_path / "ck_hive"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = spark.table("m_hive")
+    assert rows.count() == 200
+    assert {r.bucket for r in rows.select("bucket").distinct().collect()} == {"0", "1"}
+    assert rows.where((F.col("id") % 2).cast("int").cast("string") != F.col("bucket")).count() == 0
