@@ -83,6 +83,19 @@ class Manifest:
     added: list[str] | None = None
 
 
+def _hive_segments_of(rel_file: str) -> list[tuple[str, str]]:
+    """k=v directory segments of a snapshot-relative file path — the
+    hive-partition columns a ``partition_by`` commit stores in dir
+    names rather than file bytes. Shared by partition pruning here and
+    the streaming source's column re-attachment."""
+    out = []
+    for seg in rel_file.split("/")[1:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out.append((k, v))
+    return out
+
+
 class ManifestTable:
     """A parquet table whose live file set is named by a manifest."""
 
@@ -794,14 +807,51 @@ class ManifestTable:
     ) -> tuple[list[str], int]:
         """(files to read, files skipped) for conjunctive predicates
         ``[(col, op, value), ...]`` with op in = < <= > >= — resolved
-        purely from the committed manifest's zone-map stats, no data
-        file is opened. Files without stats are always read
-        (pruning is an optimization, never a correctness filter)."""
+        purely from the committed manifest's zone-map stats plus hive
+        ``k=v`` path segments (PARTITION PRUNING: a partition_by
+        layout's partition values live in the dir names, so an
+        equality or range predicate on a partition column skips whole
+        partitions without any stats collection), no data file is
+        opened. Files without stats / without the segment are always
+        read (pruning is an optimization, never a correctness
+        filter). Segment comparisons are numeric when both sides
+        parse as numbers (dirs store strings: bucket=10 must not
+        compare lexicographically against 9), string-exact otherwise,
+        and skipped entirely on type ambiguity."""
         m = self.read_manifest(version)
         stats = m.meta.get("file_stats", {})
         blooms = m.meta.get("bloom_index", {})  # {column: {rel: bloom}}
 
+        def seg_may_match(f: str) -> bool:
+            segs = dict(_hive_segments_of(f))
+            for col, op, val in predicates:
+                sv = segs.get(col)
+                if sv is None:
+                    continue
+                try:
+                    left = float(sv)
+                    right = float(val)
+                except (TypeError, ValueError):
+                    if not isinstance(val, str):
+                        continue  # ambiguous typing: never prune on it
+                    left, right = sv, val
+                    if op != "=":
+                        continue  # string ranges: lexicographic ≠ user intent
+                if op == "=" and not left == right:
+                    return False
+                if op == "<" and not left < right:
+                    return False
+                if op == "<=" and not left <= right:
+                    return False
+                if op == ">" and not left > right:
+                    return False
+                if op == ">=" and not left >= right:
+                    return False
+            return True
+
         def may_match(f: str) -> bool:
+            if not seg_may_match(f):
+                return False
             if f in stats and not self._file_may_match(stats[f], predicates):
                 return False
             for col, op, val in predicates:

@@ -464,15 +464,11 @@ class ManifestStreamReader(DataSourceStreamReader):
 
 
 def _hive_segments(rel_file: str) -> list[tuple[str, str]]:
-    """k=v directory segments of a snapshot-relative file path — the
-    hive-partition columns a ``partition_by`` commit stores in dir
-    names rather than file bytes."""
-    out = []
-    for seg in rel_file.split("/")[1:-1]:
-        if "=" in seg:
-            k, _, v = seg.partition("=")
-            out.append((k, v))
-    return out
+    """k=v dir segments of a snapshot-relative path (canonical impl
+    lives with the manifest's partition pruning)."""
+    from octopufs_spark.manifest import _hive_segments_of
+
+    return _hive_segments_of(rel_file)
 
 
 class ManifestStreamSource(DataSource):

@@ -1770,3 +1770,29 @@ def test_manifest_stream_surfaces_partition_columns(spark, tmp_path):
     assert rows.count() == 200
     assert {r.bucket for r in rows.select("bucket").distinct().collect()} == {"0", "1"}
     assert rows.where((F.col("id") % 2).cast("int").cast("string") != F.col("bucket")).count() == 0
+
+
+def test_partition_pruning_from_path_segments(spark, table):
+    """Equality and range predicates on a hive partition column prune
+    whole partitions straight from the k=v dir names — no stats
+    collection needed — with numeric comparison semantics (bucket=10
+    vs 9 must not compare lexicographically) and exact results."""
+    from octopufs_spark.manifest import write_and_commit
+
+    df = spark.range(0, 1200).withColumn("bucket", (F.col("id") % 12).cast("int"))
+    write_and_commit(df, table, partition_by=["bucket"])  # NO stats
+    m = table.read_manifest()
+    n_total = len(m.files)
+    keep, skipped = table.prune_plan([("bucket", "=", 10)])
+    assert skipped >= 1 and all("/bucket=10/" in f for f in keep)
+    got = table.read_pruned(spark, [("bucket", "=", 10)]).where(F.col("bucket") == 10)
+    assert got.count() == 100
+    # numeric range: bucket >= 9 keeps 9,10,11 (lexicographic would
+    # wrongly keep only 9 and drop 10,11)
+    keep, skipped = table.prune_plan([("bucket", ">=", 9)])
+    kept_vals = {f.split("/bucket=")[1].split("/")[0] for f in keep}
+    assert kept_vals == {"9", "10", "11"}
+    assert skipped == n_total - len(keep)
+    # non-partition predicate: nothing pruned (no stats committed)
+    keep, skipped = table.prune_plan([("id", "=", 5)])
+    assert skipped == 0
