@@ -979,6 +979,35 @@ class ManifestTable:
         return removed
 
 
+def check_expectations(
+    spark: SparkSession,
+    table: ManifestTable,
+    staged: str,
+    expectations: list[tuple[str, str]],
+) -> None:
+    """CHECK-constraint enforcement at the commit boundary (the Delta
+    constraints model): violations abort BEFORE publish, so no reader
+    can ever observe a snapshot breaking the contract — the staged
+    files stay invisible orphans for ``vacuum``. Checked on the STAGED
+    bytes (not the input plan), so what was validated is exactly what
+    would publish; all constraints evaluate in one aggregate scan."""
+    from pyspark.sql import functions as _F
+
+    staged_df = spark.read.parquet(f"{table.root}/{staged}")
+    checks = staged_df.agg(
+        *[
+            _F.count(_F.when(~_F.expr(cond), 1)).alias(name)
+            for name, cond in expectations
+        ]
+    ).collect()[0]
+    violated = {name: int(checks[name]) for name, _ in expectations if checks[name]}
+    if violated:
+        raise ValueError(
+            f"commit rejected: constraint violations {violated} "
+            f"(staged under {staged}, unpublished)"
+        )
+
+
 def write_and_commit(
     df: DataFrame,
     table: ManifestTable,
@@ -1008,28 +1037,7 @@ def write_and_commit(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{table.root}/{staged}")
     if expectations:
-        # CHECK-constraint enforcement at the commit boundary (the
-        # Delta constraints model): violations abort BEFORE publish,
-        # so no reader can ever observe a snapshot breaking the
-        # contract — the staged files stay invisible orphans for
-        # ``vacuum``. Checked on the staged bytes (not the input
-        # plan), so what was validated is exactly what would publish.
-        from pyspark.sql import functions as _F
-
-        spark = df.sparkSession
-        staged_df = spark.read.parquet(f"{table.root}/{staged}")
-        checks = staged_df.agg(
-            *[
-                _F.count(_F.when(~_F.expr(cond), 1)).alias(name)
-                for name, cond in expectations
-            ]
-        ).collect()[0]
-        violated = {name: int(checks[name]) for name, _ in expectations if checks[name]}
-        if violated:
-            raise ValueError(
-                f"commit rejected: constraint violations {violated} "
-                f"(staged under {staged}, unpublished)"
-            )
+        check_expectations(df.sparkSession, table, staged, expectations)
     meta = dict(meta or {})
     staged_files = table._data_files_under(staged)
     if stats:
@@ -1307,7 +1315,10 @@ def _max_committed_stream_batch(table: ManifestTable, writer_id: str) -> int | N
 
 
 def manifest_stream_writer(
-    stream_df: DataFrame, table: ManifestTable, writer_id: str = "default"
+    stream_df: DataFrame,
+    table: ManifestTable,
+    writer_id: str = "default",
+    expectations: list[tuple[str, str]] | None = None,
 ):
     """Stream sink: land every micro-batch as one atomic manifest
     append commit (``foreachBatch``), giving readers exactly-once
@@ -1331,7 +1342,7 @@ def manifest_stream_writer(
     """
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _commit_stream_batch(table, batch_df, batch_id, writer_id)
+        _commit_stream_batch(table, batch_df, batch_id, writer_id, expectations)
 
     return stream_df.writeStream.foreachBatch(commit_batch)
 
@@ -1341,7 +1352,11 @@ class _BatchAlreadyCommitted(Exception):
 
 
 def _commit_stream_batch(
-    table: ManifestTable, batch_df: DataFrame, batch_id: int, writer_id: str
+    table: ManifestTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    writer_id: str,
+    expectations: list[tuple[str, str]] | None = None,
 ) -> None:
     """One micro-batch → one atomic append commit, idempotent on
     (writer_id, batch_id). The replay check runs TWICE: a cheap
@@ -1357,6 +1372,11 @@ def _commit_stream_batch(
         return  # replayed batch: already committed by this writer
     staged = f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
     batch_df.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+    if expectations:
+        # a violating micro-batch fails the query BEFORE publish (the
+        # Delta constraints model); checkpoint recovery replays the
+        # batch once the data contract is repaired
+        check_expectations(batch_df.sparkSession, table, staged, expectations)
 
     def build(parent):
         mark = (parent.meta.get("stream_txn", {}) if parent else {}).get(writer_id)

@@ -99,6 +99,7 @@ def merge_upsert_manifest(
     source: DataFrame,
     keys: list[str],
     deletes: DataFrame | None = None,
+    expectations: list[tuple[str, str]] | None = None,
 ) -> int:
     """MERGE a changeset into a manifest table atomically: read the
     current snapshot, apply :func:`merge_upsert`, stage the merged
@@ -126,6 +127,13 @@ def merge_upsert_manifest(
     merged = merge_upsert(table.read(spark, version=src.version), source, keys, deletes=deletes)
     staged = f"merge-{uuid.uuid4().hex[:12]}"
     merged.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+    if expectations:
+        # CHECK constraints hold on the post-merge snapshot (the merge
+        # stages a full rewrite, so this validates everything a reader
+        # would see); violations leave only staged orphans for vacuum
+        from octopufs_spark.manifest import check_expectations
+
+        check_expectations(spark, table, staged, expectations)
     src_files = set(src.files)
     src_dvs = {dv["path"] for dv in src.meta.get("delete_vectors", [])}
     staged_files = table._data_files_under(staged)

@@ -1796,3 +1796,38 @@ def test_partition_pruning_from_path_segments(spark, table):
     # non-partition predicate: nothing pruned (no stats committed)
     keep, skipped = table.prune_plan([("id", "=", 5)])
     assert skipped == 0
+
+
+def test_expectations_enforced_on_merge_and_stream_sink(spark, table):
+    """CHECK constraints hold at EVERY write boundary, not just
+    write_and_commit: a violating MERGE aborts unpublished, and a
+    violating micro-batch fails before the sink commits it."""
+    import pytest as _pytest
+
+    from octopufs_spark.manifest import _commit_stream_batch, write_and_commit
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    write_and_commit(_df(spark, 0, 50), table)
+    v_before = table.latest_version()
+    bad = spark.range(100, 110).withColumn("v", F.lit(-1).cast("bigint"))
+    with _pytest.raises(ValueError, match="constraint violations"):
+        merge_upsert_manifest(
+            spark, table, bad, ["id"], expectations=[("v_nonneg", "v >= 0")]
+        )
+    assert table.latest_version() == v_before  # nothing published
+    # a clean merge under the same constraint lands
+    good = spark.range(100, 110).withColumn("v", F.col("id") * 2)
+    merge_upsert_manifest(
+        spark, table, good, ["id"], expectations=[("v_nonneg", "v >= 0")]
+    )
+    assert table.read(spark).count() == 60
+
+    with _pytest.raises(ValueError, match="constraint violations"):
+        _commit_stream_batch(table, bad, 0, "wexp", [("v_nonneg", "v >= 0")])
+    ids = {r.id for r in table.read(spark).collect()}
+    assert not ids & set(range(100, 110)) or all(
+        r.v >= 0 for r in table.read(spark).collect()
+    )
+    # the failed batch is not marked committed: a repaired replay lands
+    _commit_stream_batch(table, good, 0, "wexp", [("v_nonneg", "v >= 0")])
+    assert table.read_manifest().meta["stream_txn"]["wexp"] == 0
