@@ -1068,6 +1068,7 @@ def compact_and_commit(
     zorder_by: tuple[str, str] | None = None,
     stats: bool | None = None,
     prefix: str | None = None,
+    partition_values: dict[str, str] | None = None,
 ) -> int | None:
     """Atomic small-file compaction of a manifest table: rewrite the
     current snapshot into ceil(total_bytes/target) files and publish as
@@ -1116,11 +1117,27 @@ def compact_and_commit(
     no longer contain the deleted keys), and a vector landed by a
     racing delete still applies — only a race that would DROP such a
     vector (the rewrite consumed every remaining file) aborts.
+
+    ``partition_values`` scopes by hive PARTITION IDENTITY instead of
+    path: {"bucket": "3"} matches every file whose k=v dir segments
+    include bucket=3, ACROSS staging dirs — the shape appends create
+    (each commit stages its own top dir, so one partition's files
+    never share a path prefix). Same scoped-rewrite semantics as
+    ``prefix``; combinable (both must match).
     """
     m = table.read_manifest()
-    matched = (
-        m.files if prefix is None else [f for f in m.files if f.startswith(prefix)]
-    )
+    scoped = prefix is not None or partition_values is not None
+
+    def _in_scope(f: str) -> bool:
+        if prefix is not None and not f.startswith(prefix):
+            return False
+        if partition_values is not None:
+            segs = dict(_hive_segments_of(f))
+            if any(segs.get(k) != str(v) for k, v in partition_values.items()):
+                return False
+        return True
+
+    matched = m.files if not scoped else [f for f in m.files if _in_scope(f)]
     if not matched:
         return None
     if len(matched) < 2 and zorder_by is None:
@@ -1136,7 +1153,7 @@ def compact_and_commit(
     if n >= len(matched) and zorder_by is None:
         return None  # files already at/above target size
     staged = f"compact-{uuid.uuid4().hex[:12]}"
-    if prefix is None:
+    if not scoped:
         src_df = table.read(spark, version=m.version)
     else:
         # the scoped subset, partition columns recovered and the
@@ -1191,7 +1208,13 @@ def compact_and_commit(
             )
     else:
         src_df = src_df.coalesce(n)
-    src_df.write.parquet(f"{table.root}/{staged}")
+    writer = src_df.write
+    if partition_values is not None:
+        # keep the hive layout: the rewrite re-stages under k=v dirs so
+        # the partition identity survives (a later auto_optimize pass
+        # still groups these files with their partition)
+        writer = writer.partitionBy(*partition_values.keys())
+    writer.parquet(f"{table.root}/{staged}")
     src_files = set(matched)
     src_dvs = [dv["path"] for dv in m.meta.get("delete_vectors", [])]
 
@@ -1202,7 +1225,7 @@ def compact_and_commit(
         ]
         compacted_away = src_files - parent_files
         new_vectors = [p for p in parent_dvs if p not in src_dvs]
-        if prefix is None:
+        if not scoped:
             # full rewrite: retains no parent files, so vectors DROP at
             # publish — a racer's new vector (or removed source file)
             # would be silently lost; abort instead
@@ -1219,15 +1242,16 @@ def compact_and_commit(
         # metadata, and carried vectors keep applying snapshot-wide —
         # a racer's NEW vector is only at risk when no parent file
         # survives to carry it on
+        scope_desc = prefix if prefix is not None else partition_values
         if compacted_away:
             raise ConcurrentModificationError(
-                f"compaction of {table.root} prefix {prefix!r} conflicts with a "
+                f"compaction of {table.root} scope {scope_desc!r} conflicts with a "
                 f"concurrent commit: {len(compacted_away)} sourced file(s) removed"
             )
         kept = [f for f in parent.files if f not in src_files]
         if new_vectors and not kept:
             raise ConcurrentModificationError(
-                f"compaction of {table.root} prefix {prefix!r} would drop "
+                f"compaction of {table.root} scope {scope_desc!r} would drop "
                 f"{len(new_vectors)} delete vector(s) landed since v{m.version}"
             )
         return sorted(kept + table._data_files_under(staged))
@@ -1237,6 +1261,8 @@ def compact_and_commit(
         meta["zorder_by"] = list(zorder_by)
     if prefix is not None:
         meta["compacted_prefix"] = prefix
+    if partition_values is not None:
+        meta["compacted_partition"] = dict(partition_values)
     staged_files = table._data_files_under(staged)
     if stats if stats is not None else bool(m.meta.get("file_stats")):
         meta["file_stats"] = table.collect_file_stats(staged_files)
@@ -1246,6 +1272,50 @@ def compact_and_commit(
             c: table.collect_bloom_index(staged_files, c) for c in bloom_cols
         }
     return table._commit_with_retry(build, "compact", meta)
+
+
+def auto_optimize(
+    spark: SparkSession,
+    table: ManifestTable,
+    target_file_bytes: int = 100 * 1024 * 1024,
+    min_files: int = 8,
+    zorder_by: tuple[str, str] | None = None,
+    stats: bool | None = None,
+) -> dict[str, int]:
+    """Table-maintenance policy: compact every hive partition whose
+    live file count reached ``min_files``, one scoped commit per
+    partition (the Delta OPTIMIZE loop). Grouping is by partition
+    IDENTITY (k=v segments), so files of one partition spread across
+    many append commits' staging dirs compact together. Unpartitioned
+    snapshots compact whole. Each partition is its own commit —
+    readers see progress incrementally, a conflict aborts only that
+    partition's rewrite, and the commits parallelize across tables.
+    Returns {partition: committed version} for the work actually done.
+    """
+    m = table.read_manifest()
+    groups: dict[tuple, list[str]] = {}
+    for f in m.files:
+        groups.setdefault(tuple(_hive_segments_of(f)), []).append(f)
+    if set(groups) == {()}:
+        v = compact_and_commit(
+            spark, table, target_file_bytes, zorder_by=zorder_by, stats=stats
+        )
+        return {"<table>": v} if v is not None else {}
+    out: dict[str, int] = {}
+    for key, files in sorted(groups.items()):
+        if not key or len(files) < min_files:
+            continue  # unpartitioned strays in a mixed layout: leave them
+        v = compact_and_commit(
+            spark,
+            table,
+            target_file_bytes,
+            zorder_by=zorder_by,
+            stats=stats,
+            partition_values=dict(key),
+        )
+        if v is not None:
+            out["/".join(f"{k}={val}" for k, val in key)] = v
+    return out
 
 
 def promote_table_to_manifest(

@@ -1831,3 +1831,41 @@ def test_expectations_enforced_on_merge_and_stream_sink(spark, table):
     # the failed batch is not marked committed: a repaired replay lands
     _commit_stream_batch(table, good, 0, "wexp", [("v_nonneg", "v >= 0")])
     assert table.read_manifest().meta["stream_txn"]["wexp"] == 0
+
+
+def test_auto_optimize_compacts_partitions_across_commits(spark, table):
+    """auto_optimize groups by partition IDENTITY (k=v segments), so
+    one partition's files spread across many append commits compact
+    together into one hive-preserving rewrite; small partitions are
+    left alone; values stay exact."""
+    from octopufs_spark.manifest import auto_optimize, write_and_commit
+
+    # 4 commits x 2 partitions -> bucket 0 and 1 each have files in 4
+    # different staging dirs (no shared path prefix)
+    for r in range(4):
+        df = spark.range(100 * r, 100 * r + 100).withColumn(
+            "bucket", (F.col("id") % 2).cast("int")
+        )
+        write_and_commit(
+            df.repartition(2), table,
+            mode="append" if r else "overwrite", partition_by=["bucket"],
+        )
+    m1 = table.read_manifest()
+    per_part = {}
+    for f in m1.files:
+        per_part.setdefault(f.split("bucket=")[1].split("/")[0], set()).add(f.split("/")[0])
+    assert all(len(tops) == 4 for tops in per_part.values())  # spread out
+
+    done = auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=3)
+    assert set(done) == {"bucket=0", "bucket=1"}
+    m2 = table.read_manifest()
+    # each partition now one file, still under a k=v dir (identity kept)
+    for b in ("0", "1"):
+        files = [f for f in m2.files if f"/bucket={b}/" in f]
+        assert len(files) == 1 and files[0].startswith("compact-")
+    got = table.read(spark)
+    assert got.count() == 400
+    assert got.where(F.col("bucket") == 1).count() == 200
+    assert {r.id for r in got.collect()} == set(range(400))
+    # second pass: nothing left to do
+    assert auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=3) == {}
