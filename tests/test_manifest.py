@@ -1869,3 +1869,38 @@ def test_auto_optimize_compacts_partitions_across_commits(spark, table):
     assert {r.id for r in got.collect()} == set(range(400))
     # second pass: nothing left to do
     assert auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=3) == {}
+
+
+def test_multilevel_partitioning_recovery_pruning_optimize(spark, table):
+    """Two-level hive layouts (y=/m=) work end-to-end: both columns
+    recovered on read, both prunable from path segments, and
+    auto_optimize groups by the FULL segment tuple."""
+    from octopufs_spark.manifest import auto_optimize, write_and_commit
+
+    for r in range(3):
+        df = spark.range(100 * r, 100 * r + 100).select(
+            F.col("id"),
+            (2020 + F.col("id") % 2).cast("int").alias("y"),
+            (1 + F.col("id") % 3).cast("int").alias("m"),
+        )
+        write_and_commit(
+            df.repartition(2), table,
+            mode="append" if r else "overwrite", partition_by=["y", "m"],
+        )
+    got = table.read(spark)
+    assert {"y", "m"} <= set(got.columns)
+    keep, skipped = table.prune_plan([("y", "=", 2021), ("m", ">=", 2)])
+    assert skipped >= 1
+    assert all("/y=2021/" in f and ("/m=2/" in f or "/m=3/" in f) for f in keep)
+    exact = got.where((F.col("y") == 2021) & (F.col("m") >= 2)).count()
+    via_prune = (
+        table.read_pruned(spark, [("y", "=", 2021), ("m", ">=", 2)])
+        .where((F.col("y") == 2021) & (F.col("m") >= 2))
+        .count()
+    )
+    assert exact == via_prune
+    done = auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=2)
+    assert all("/" in k and k.startswith("y=") for k in done)  # per (y, m) pair
+    after = table.read(spark)
+    assert after.count() == 300
+    assert after.where((F.col("y") == 2021) & (F.col("m") >= 2)).count() == exact
