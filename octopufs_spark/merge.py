@@ -100,7 +100,8 @@ def merge_upsert_manifest(
     keys: list[str],
     deletes: DataFrame | None = None,
     expectations: list[tuple[str, str]] | None = None,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """MERGE a changeset into a manifest table atomically: read the
     current snapshot, apply :func:`merge_upsert`, stage the merged
     rows, publish ONE commit. Readers flip from the pre-merge to the
@@ -118,13 +119,38 @@ def merge_upsert_manifest(
     merge sourced, or a MOR delete vector the merge did not apply,
     is a true conflict and aborts with
     :class:`ConcurrentModificationError` — carrying on would duplicate
-    the rewritten rows / resurrect the racer's deleted keys."""
+    the rewritten rows / resurrect the racer's deleted keys.
+
+    ``txn=(writer_id, batch_id)`` makes the merge IDEMPOTENT on that
+    pair (the Delta txnAppId model): a replayed micro-batch whose id
+    the table already carries is skipped — checked cheaply up front
+    and again atomically inside the commit's build, so two zombie
+    instances of one stream cannot both land a batch. Returns None
+    when skipped. This is what makes a foreachBatch MERGE sink
+    exactly-once: MERGE is not naturally idempotent under replay."""
     import uuid
 
-    from octopufs_spark.manifest import ConcurrentModificationError
+    from octopufs_spark.manifest import (
+        ConcurrentModificationError,
+        _BatchAlreadyCommitted,
+        _max_committed_stream_batch,
+    )
 
-    src = table.read_manifest()
-    merged = merge_upsert(table.read(spark, version=src.version), source, keys, deletes=deletes)
+    if txn is not None:
+        committed = _max_committed_stream_batch(table, txn[0])
+        if committed is not None and committed >= txn[1]:
+            return None  # replayed batch: already merged by this writer
+    try:
+        src = table.read_manifest()
+        target = table.read(spark, version=src.version)
+    except FileNotFoundError:
+        src = None  # first batch into an empty table: pure insert
+        target = None
+    merged = (
+        merge_upsert(target, source, keys, deletes=deletes)
+        if target is not None
+        else source
+    )
     staged = f"merge-{uuid.uuid4().hex[:12]}"
     merged.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
     if expectations:
@@ -134,11 +160,21 @@ def merge_upsert_manifest(
         from octopufs_spark.manifest import check_expectations
 
         check_expectations(spark, table, staged, expectations)
-    src_files = set(src.files)
-    src_dvs = {dv["path"] for dv in src.meta.get("delete_vectors", [])}
+    src_files = set(src.files) if src is not None else set()
+    src_dvs = (
+        {dv["path"] for dv in src.meta.get("delete_vectors", [])}
+        if src is not None
+        else set()
+    )
+    src_version = src.version if src is not None else 0
+
     staged_files = table._data_files_under(staged)
 
     def build(parent):
+        if txn is not None:
+            mark = (parent.meta.get("stream_txn", {}) if parent else {}).get(txn[0])
+            if mark is not None and mark >= txn[1]:
+                raise _BatchAlreadyCommitted()
         if parent is None:
             return sorted(staged_files)
         parent_files = set(parent.files)
@@ -152,7 +188,7 @@ def merge_upsert_manifest(
             raise ConcurrentModificationError(
                 f"merge into {table.root} conflicts with a concurrent commit: "
                 f"{len(rewritten)} sourced file(s) rewritten, "
-                f"{len(new_vectors)} new delete vector(s) since v{src.version}"
+                f"{len(new_vectors)} new delete vector(s) since v{src_version}"
             )
         carried = sorted(parent_files - src_files)
         if carried and src_dvs:
@@ -169,7 +205,49 @@ def merge_upsert_manifest(
             )
         return sorted(staged_files + carried)
 
-    return table._commit_with_retry(build, "merge", {"keys": keys})
+    meta: dict = {"keys": keys}
+    if txn is not None:
+        meta.update(
+            {"writer_id": txn[0], "batch_id": txn[1], "stream_txn": {txn[0]: txn[1]}}
+        )
+    try:
+        return table._commit_with_retry(build, "merge", meta)
+    except _BatchAlreadyCommitted:
+        return None  # a racing instance of this writer merged the batch first
+
+
+def manifest_merge_stream_writer(
+    stream_df: DataFrame,
+    table: ManifestTable,
+    keys: list[str],
+    writer_id: str = "merge",
+    expectations: list[tuple[str, str]] | None = None,
+):
+    """Streaming UPSERT sink: every micro-batch MERGEs into the
+    manifest table as one atomic commit (``foreachBatch``), idempotent
+    on (writer_id, batch_id) — the Delta foreachBatch-MERGE pattern.
+    The append-only stream sink cannot express updates; this one
+    applies a CDC stream with exactly-once effects across restarts and
+    zombie instances. Like Delta's MERGE, a batch must carry at most
+    one row per key (compact upstream with a max_by/window if the
+    source can emit several changes per key per trigger) — duplicate
+    source keys pass through as duplicate rows, per merge_upsert's
+    contract. The resulting table is NOT streamable through
+    manifest_stream (merge commits rewrite files — the same
+    restriction Delta's source has), but is a normal batch/read_pruned
+    table. Caller starts the returned writer with its checkpoint."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_manifest(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            keys,
+            expectations=expectations,
+            txn=(writer_id, batch_id),
+        )
+
+    return stream_df.writeStream.foreachBatch(commit_batch)
 
 
 def delete_where_mor(

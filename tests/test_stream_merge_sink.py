@@ -81,3 +81,64 @@ def test_observe_metrics_match_direct_agg(spark):
     assert got["n"] == direct["n"]
     assert got["total"] == direct["total"]
     assert got["max_date"] == direct["max_date"]
+
+
+def test_manifest_merge_stream_sink_exactly_once(spark, tmp_path):
+    """Streaming UPSERT into a manifest table: micro-batches MERGE
+    atomically, a restart replays nothing (txn marks), and updates
+    actually update — the final table holds each key once with its
+    latest value."""
+    from pyspark.sql import functions as F
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.merge import manifest_merge_stream_writer
+
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    table = ManifestTable(str(tmp_path / "cdc_tbl"))
+    # batch A: keys 0..49 v=1
+    spark.range(0, 50).withColumn("val", F.lit(1)).coalesce(1).write.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("id bigint, val int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            manifest_merge_stream_writer(stream, table, ["id"], writer_id="cdc")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    assert {(r.id, r.val) for r in table.read(spark).collect()} == {
+        (i, 1) for i in range(50)
+    }
+    # while down: updates for 0..9 (v=2) and inserts 100..109
+    spark.range(0, 10).withColumn("val", F.lit(2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.range(100, 110).withColumn("val", F.lit(3)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    rows = {(r.id, r.val) for r in table.read(spark).collect()}
+    want = (
+        {(i, 2) for i in range(10)}
+        | {(i, 1) for i in range(10, 50)}
+        | {(i, 3) for i in range(100, 110)}
+    )
+    assert rows == want, "merge sink lost an update or duplicated a key"
+    # replays are no-ops: re-merging an already-committed batch id
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    before = table.latest_version()
+    skipped = merge_upsert_manifest(
+        spark, table, spark.range(0, 5).withColumn("val", F.lit(9)),
+        ["id"], txn=("cdc", 0),
+    )
+    assert skipped is None and table.latest_version() == before
