@@ -520,13 +520,22 @@ class ManifestTable:
         rewrite commit retains no parent files and drops the vectors) —
         documented behavior, matching Iceberg equality-delete scope.
         Deduped by vector path so delete_where_mor's own pre-merged
-        list is not doubled."""
+        list is not doubled. A commit may name parent vectors it has
+        CONSUMED (folded into a vector it carries itself) in
+        ``replaced_vector_paths`` — those are excluded from the carry
+        (else consolidation would re-add what it just replaced) while
+        vectors landed by racers still carry; the marker is dropped
+        from the published meta."""
         if parent is None or not parent.meta.get("delete_vectors"):
-            return meta
+            return {k: v for k, v in meta.items() if k != "replaced_vector_paths"}
+        replaced = set(meta.get("replaced_vector_paths", []))
+        meta = {k: v for k, v in meta.items() if k != "replaced_vector_paths"}
         parent_files = set(parent.files)
         if not any(f in parent_files for f in files):
             return meta  # full rewrite: deletes are materialized, vectors drop
-        merged = list(parent.meta["delete_vectors"])
+        merged = [
+            dv for dv in parent.meta["delete_vectors"] if dv["path"] not in replaced
+        ]
         seen = {dv["path"] for dv in merged}
         for dv in meta.get("delete_vectors", []):
             if dv["path"] not in seen:

@@ -250,6 +250,65 @@ def manifest_merge_stream_writer(
     return stream_df.writeStream.foreachBatch(commit_batch)
 
 
+def consolidate_delete_vectors(spark: SparkSession, table: ManifestTable) -> int | None:
+    """Maintenance: fold accumulated key-granular delete vectors into
+    ONE vector per key-column set, without touching any data file.
+    Every MOR delete adds a broadcast anti-join to every subsequent
+    read — after k deletes a scan plans k joins; consolidation returns
+    the read plan to one. Publishes a commit with the SAME file set,
+    the folded vector, and a ``replaced_vector_paths`` marker so the
+    publish-time carry drops exactly the consumed vectors while a
+    racing delete's new vector still carries. A racing rewrite that
+    materialized-and-dropped a consumed vector aborts (re-adding the
+    folded copy would re-shadow keys the rewrite legitimately freed
+    for re-insertion). Old vector files stay for time travel until
+    ``vacuum``. Returns the committed version, or None when there is
+    nothing to fold."""
+    import uuid as _uuid
+
+    from octopufs_spark.manifest import ConcurrentModificationError
+
+    m = table.read_manifest()
+    key_dvs = [dv for dv in m.meta.get("delete_vectors", []) if not dv.get("type")]
+    groups: dict[tuple, list[dict]] = {}
+    for dv in key_dvs:
+        groups.setdefault(tuple(dv["keys"]), []).append(dv)
+    staged_vectors: list[dict] = []
+    replaced: list[str] = []
+    for keys, dvs in sorted(groups.items()):
+        if len(dvs) < 2:
+            continue  # singleton: nothing to fold
+        union = spark.read.parquet(*[f"{table.root}/{dv['path']}" for dv in dvs])
+        path = f"dv-consolidated-{_uuid.uuid4().hex[:12]}"
+        union.select(*keys).distinct().coalesce(1).write.parquet(f"{table.root}/{path}")
+        staged_vectors.append({"path": path, "keys": list(keys)})
+        replaced.extend(dv["path"] for dv in dvs)
+    if not staged_vectors:
+        return None
+
+    def build(parent):
+        parent_paths = {
+            dv["path"] for dv in (parent.meta.get("delete_vectors", []) if parent else [])
+        }
+        gone = [p for p in replaced if p not in parent_paths]
+        if gone:
+            raise ConcurrentModificationError(
+                f"delete-vector consolidation of {table.root} raced a rewrite "
+                f"that materialized {len(gone)} consumed vector(s) — re-run"
+            )
+        return list(parent.files) if parent else []
+
+    return table._commit_with_retry(
+        build,
+        "dv-consolidate",
+        {
+            "delete_vectors": staged_vectors,
+            "replaced_vector_paths": replaced,
+            "consolidated": len(replaced),
+        },
+    )
+
+
 def delete_where_mor(
     spark: SparkSession,
     table: ManifestTable,

@@ -371,6 +371,8 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "by vacuum before this stream consumed it — restart with a "
                     "fresh checkpoint (optionally startingVersion=latest)"
                 ) from None
+            if m.operation == "dv-consolidate":
+                continue  # vector maintenance: no files added, no visible-row change
             if m.operation == "delete_mor":
                 if self.skip_change_commits:
                     continue  # adds no files; visible-row change skipped by opt-in

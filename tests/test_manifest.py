@@ -1904,3 +1904,59 @@ def test_multilevel_partitioning_recovery_pruning_optimize(spark, table):
     after = table.read(spark)
     assert after.count() == 300
     assert after.where((F.col("y") == 2021) & (F.col("m") >= 2)).count() == exact
+
+
+def test_consolidate_delete_vectors(spark, table):
+    """k MOR deletes mean k anti-joins per read; consolidation folds
+    them into one vector per key set without touching data files —
+    same visible rows, racing deletes still carried, and the stream
+    source treats the maintenance commit as a row-neutral no-op."""
+    from octopufs_spark.manifest import write_and_commit
+    from octopufs_spark.merge import consolidate_delete_vectors, delete_where_mor
+    from octopufs_spark.sources import ManifestStreamReader
+
+    write_and_commit(_df(spark, 0, 100), table)
+    for lo in (0, 10, 20):
+        delete_where_mor(spark, table, spark.range(lo, lo + 5), ["id"])
+    m = table.read_manifest()
+    assert len(m.meta["delete_vectors"]) == 3
+    files_before = set(m.files)
+
+    v = consolidate_delete_vectors(spark, table)
+    assert v is not None
+    m2 = table.read_manifest(v)
+    assert m2.operation == "dv-consolidate"
+    assert len(m2.meta["delete_vectors"]) == 1
+    assert "replaced_vector_paths" not in m2.meta  # marker not published
+    assert set(m2.files) == files_before  # data untouched
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(100)) - {i for lo in (0, 10, 20) for i in range(lo, lo + 5)}
+    # idempotent: one vector left, nothing to fold
+    assert consolidate_delete_vectors(spark, table) is None
+    # stream source skips the maintenance version silently
+    reader = ManifestStreamReader({"path": table.root, "skipChangeCommits": "true"})
+    parts = reader.partitions({"version": v - 1}, {"version": v})
+    assert [p.rel_file for p in parts] == [""]
+
+
+def test_consolidation_carries_racing_delete(spark, table):
+    """A delete vector landing inside the consolidation's read-publish
+    window must survive: it was not consumed, so the carry keeps it
+    next to the folded vector."""
+    from octopufs_spark.manifest import write_and_commit
+    from octopufs_spark.merge import consolidate_delete_vectors, delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100), table)
+    delete_where_mor(spark, table, spark.range(0, 5), ["id"])
+    delete_where_mor(spark, table, spark.range(10, 15), ["id"])
+
+    def racer(t2):
+        delete_where_mor(spark, t2, spark.range(50, 55), ["id"])
+
+    _race(table, racer)
+    v = consolidate_delete_vectors(spark, table)
+    assert v is not None
+    m = table.read_manifest()
+    assert len(m.meta["delete_vectors"]) == 2  # folded + racer's
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(100)) - set(range(0, 5)) - set(range(10, 15)) - set(range(50, 55))
