@@ -1275,10 +1275,26 @@ def test_mixed_op_contention_with_mergers_and_stream(spark, table):
             with lock:
                 vacuum_removed.extend(removed)
 
+    def consolidator():
+        # delete-vector folding is content-neutral maintenance; racing
+        # it against live deleters/compactors must never change rows
+        from octopufs_spark.merge import consolidate_delete_vectors
+
+        for _ in range(4):
+            try:
+                consolidate_delete_vectors(spark, table)
+            except (RuntimeError, ConcurrentModificationError):
+                pass
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
     threads = [threading.Thread(target=appender, args=(w,)) for w in range(3)]
     threads += [threading.Thread(target=deleter, args=(d,)) for d in range(2)]
     threads += [threading.Thread(target=merger, args=(m,)) for m in range(2)]
     threads.append(threading.Thread(target=stream_writer))
+    threads.append(threading.Thread(target=consolidator))
     ct, vt = threading.Thread(target=compactor), threading.Thread(target=vacuumer)
     ct.start()
     vt.start()
