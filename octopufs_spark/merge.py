@@ -101,6 +101,7 @@ def merge_upsert_manifest(
     deletes: DataFrame | None = None,
     expectations: list[tuple[str, str]] | None = None,
     txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """MERGE a changeset into a manifest table atomically: read the
     current snapshot, apply :func:`merge_upsert`, stage the merged
@@ -152,7 +153,13 @@ def merge_upsert_manifest(
         else source
     )
     staged = f"merge-{uuid.uuid4().hex[:12]}"
-    merged.write.mode("errorifexists").parquet(f"{table.root}/{staged}")
+    writer = merged.write.mode("errorifexists")
+    if partition_by:
+        # keep the hive layout through the rewrite: without this a
+        # single MERGE flattens a partitioned table (identity lost,
+        # auto_optimize degrades to whole-table, pruning to zone maps)
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{table.root}/{staged}")
     if expectations:
         # CHECK constraints hold on the post-merge snapshot (the merge
         # stages a full rewrite, so this validates everything a reader
@@ -222,6 +229,7 @@ def manifest_merge_stream_writer(
     keys: list[str],
     writer_id: str = "merge",
     expectations: list[tuple[str, str]] | None = None,
+    partition_by: list[str] | None = None,
 ):
     """Streaming UPSERT sink: every micro-batch MERGEs into the
     manifest table as one atomic commit (``foreachBatch``), idempotent
@@ -245,6 +253,7 @@ def manifest_merge_stream_writer(
             keys,
             expectations=expectations,
             txn=(writer_id, batch_id),
+            partition_by=partition_by,
         )
 
     return stream_df.writeStream.foreachBatch(commit_batch)
