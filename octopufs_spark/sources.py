@@ -485,7 +485,12 @@ class ManifestStreamSource(DataSource):
         timestamp units, not just the scalar types a hand-rolled DDL
         map would. Hive k=v path segments (``partition_by`` layouts)
         are appended as string columns, matching what read()
-        re-attaches per batch."""
+        re-attaches per batch. The layout must be CONSISTENT across
+        the streamed commits (all partitioned by the same keys, or
+        none) — the schema is fixed at query start from the first
+        file, and a commit whose files carry different segments
+        cannot match it (same contract as the batch reader's
+        merge_schema note)."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import StringType, StructField
