@@ -1976,3 +1976,29 @@ def test_consolidation_carries_racing_delete(spark, table):
     assert len(m.meta["delete_vectors"]) == 2  # folded + racer's
     ids = {r.id for r in table.read(spark).collect()}
     assert ids == set(range(100)) - set(range(0, 5)) - set(range(10, 15)) - set(range(50, 55))
+
+
+def test_merge_preserves_hive_layout_with_partition_by(spark, table):
+    """A MERGE with partition_by re-stages the merged snapshot under
+    k=v dirs: partition identity survives the rewrite, so pruning and
+    auto_optimize keep working on a CDC-maintained table."""
+    from octopufs_spark.manifest import auto_optimize, write_and_commit
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("p"), F.lit(1).alias("v")
+    )
+    write_and_commit(df, table, partition_by=["p"])
+    src = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("p"), F.lit(2).alias("v")
+    )
+    merge_upsert_manifest(spark, table, src, ["id"], partition_by=["p"])
+    m = table.read_manifest()
+    assert all("/p=" in f for f in m.files), "merge flattened the hive layout"
+    keep, skipped = table.prune_plan([("p", "=", 2)])
+    assert skipped >= 1
+    got = table.read(spark)
+    assert got.count() == 400
+    assert got.where(F.col("v") == 2).count() == 10
+    done = auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=1)
+    assert set(done) == {f"p={i}" for i in range(4)}
