@@ -44,16 +44,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def _previously_verified() -> set[str]:
-    """Query names with a green (or declared-weak) entry in any prior round.
+def _previously_verified() -> tuple[set[str], set[str]]:
+    """Split prior-round driver results into (green, weak-only) name sets.
 
     The driver's correctness harness checks a bounded prefix of
     ``queries()`` per round, so iteration order decides which queries get
     hard verification. Prior rounds' results live in
     ``CORRECTNESS_r*.json`` next to the repo root; anything already
-    checked there can yield its slot to a never-checked query.
+    hash-verified there can yield its slot to a never-checked query.
+
+    A ``no_oracle`` entry is only a weak (rows-only) check: it counts as
+    "done" solely while the query still has no oracle. Once the query
+    gains an oracle, the weak entry must NOT keep it out of the fresh
+    prefix — otherwise it can never earn a hard verification (the round-5
+    ledger-closure bug: q_ext_ann_lsh/q_ext_dedup_minhash/q_ext_simhash
+    carried r1 ``no_oracle`` entries and full oracles since r4, yet
+    sorted into the done group past the driver's 50-query sample).
     """
-    seen: set[str] = set()
+    green: set[str] = set()
+    weak: set[str] = set()
     root = os.environ.get("OCTOPUFS_REPO_ROOT", "/root/repo")
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -64,15 +73,16 @@ def _previously_verified() -> set[str]:
         for name, res in data.items():
             if not isinstance(res, dict):
                 continue
-            err = res.get("err")
             ok = (
                 res.get("rows_match") is True
                 and res.get("schema_match") is True
                 and res.get("hash_match") is True
             )
-            if ok or err == "no_oracle":
-                seen.add(name)
-    return seen
+            if ok:
+                green.add(name)
+            elif res.get("err") == "no_oracle":
+                weak.add(name)
+    return green, weak
 
 
 def _ordered() -> list[Query]:
@@ -82,9 +92,15 @@ def _ordered() -> list[Query]:
     preserved (module import order), so repeated calls agree.
     """
     _ensure_loaded()
-    seen = _previously_verified()
-    fresh = [q for q in REGISTRY.values() if q.name not in seen]
-    done = [q for q in REGISTRY.values() if q.name in seen]
+    green, weak = _previously_verified()
+
+    def is_done(q: Query) -> bool:
+        # A weak (rows-only) pass only retires a query that still has no
+        # oracle; an oracle-backed query stays fresh until hash-verified.
+        return q.name in green or (q.name in weak and q.oracle is None)
+
+    fresh = [q for q in REGISTRY.values() if not is_done(q)]
+    done = [q for q in REGISTRY.values() if is_done(q)]
     # Oracle-backed fresh queries carry the hard signal; weak (rows-only)
     # ones go to the back of the fresh group so a bounded check prefix
     # spends its slots on hash-comparable queries.

@@ -70,10 +70,24 @@ def test_registry_order_is_stable_and_fresh_first(tmp_path, monkeypatch):
     order2 = list(entrymod.queries())
     assert order1 == order2  # deterministic across calls
 
-    seen = registry._previously_verified()
-    fresh = [n for n in order1 if n not in seen]
-    done = [n for n in order1 if n in seen]
+    green, weak = registry._previously_verified()
+    oracles = entrymod.oracle_sql()
+
+    def is_done(n):
+        # mirrors registry._ordered: a weak (no_oracle) pass only retires
+        # a query that still has no oracle today (r5 ledger-closure bug).
+        return n in green or (n in weak and n not in oracles)
+
+    fresh = [n for n in order1 if not is_done(n)]
+    done = [n for n in order1 if is_done(n)]
     assert order1 == fresh + done  # fresh-first, no interleaving
+
+    # r5 verdict: the three ex-no_oracle queries carry full oracles and
+    # were never driver-hash-verified — they must sit in the fresh prefix
+    # until a green CORRECTNESS entry exists for them.
+    for n in ("q_ext_ann_lsh", "q_ext_dedup_minhash", "q_ext_simhash"):
+        if n not in green:
+            assert n in fresh, f"{n} has an oracle but sorted into done"
 
     # simulate the next round verifying the first two fresh queries
     fake_root = tmp_path
@@ -106,8 +120,13 @@ def test_fresh_query_budget_fits_one_driver_sample():
     queries until a CORRECTNESS refresh drains the fresh group."""
     from octopufs_spark import registry
 
-    seen = registry._previously_verified()
-    fresh = [n for n in entrymod.queries() if n not in seen]
+    green, weak = registry._previously_verified()
+    oracles = entrymod.oracle_sql()
+    fresh = [
+        n
+        for n in entrymod.queries()
+        if not (n in green or (n in weak and n not in oracles))
+    ]
     assert len(fresh) <= 50, (
         f"{len(fresh)} never-driver-verified queries exceed one driver "
         f"sample; do not register more until the ledger drains"
