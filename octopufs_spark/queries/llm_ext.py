@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from octopufs_spark.llm import dedup, multimodal, similarity, text
 from octopufs_spark.registry import register
@@ -1371,19 +1372,54 @@ FROM c WHERE 2 * cum >= tot GROUP BY rf
 """,
 )
 def q_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-statistic UDAF: quantity-weighted median price per
-    returnflag as a GROUPED_AGG pandas UDF (lower weighted median:
-    smallest value whose cumulative weight — peers included — reaches
-    half the total).
+    """Quantity-weighted median price per returnflag (lower weighted
+    median: smallest value whose cumulative weight — peers included —
+    reaches half the total), registered on the pure-window plan (r5
+    verdict #2): the GROUPED_AGG pandas-UDAF formulation
+    (``weighted_median_udaf`` below, pytest-covered as the declared
+    UDAF surface) funnels the whole table through one Python worker per
+    group — 3 groups here, a measured 7.5×-on-10×-data bottleneck.
 
-    The oracle states the same statistic relationally via a RANGE-frame
-    cumulative-weight window. The UDF accumulates weights in integer
-    cents (exact), so the half-total comparison is bit-identical to the
-    oracle's DECIMAL arithmetic — no float tie-breaking at the
-    boundary. Scale: one shuffle on the group key; each group's
-    (value, weight) columns cross the Arrow boundary once. For
-    cardinality-explosive groups, swap in the window formulation the
-    oracle uses — same single shuffle, no Python."""
+    Plan shape, 100 TB lens: (1) groupBy (rf, value) pre-collapses peer
+    rows — a HIGH-cardinality, map-side-combinable shuffle that does the
+    heavy lifting in parallel; (2) the cumulative-weight window then runs
+    over the collapsed distinct values only (per-group row count =
+    distinct prices, not lineitems); (3) group totals come from a tiny
+    groupBy + broadcast join rather than a second full-frame window.
+    Everything stays in whole-stage codegen; weights sum in DECIMAL so
+    the half-total comparison is exact, matching the oracle bit-for-bit.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+    )
+    # collapse peers first: cum at value x includes all weight <= x either way
+    per_value = o.groupBy("rf", "v").agg(F.sum("w").alias("w"))
+    cum_w = Window.partitionBy("rf").orderBy("v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = per_value.select("rf", "v", F.sum("w").over(cum_w).alias("cum"))
+    tot = o.groupBy("rf").agg(F.sum("w").alias("tot"))
+    return (
+        c.join(F.broadcast(tot), "rf")
+        .where(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("rf")
+        .agg(F.min("v").alias("weighted_median"))
+        .select(F.col("rf").alias("l_returnflag"), "weighted_median")
+    )
+
+
+def weighted_median_udaf(li: DataFrame) -> DataFrame:
+    """The GROUPED_AGG pandas-UDAF formulation of the same statistic —
+    the declared UDAF surface (SURVEY §2C), kept out of the registered
+    hot path for plan-shape reasons (see q_udaf_weighted_median) and
+    exercised by tests/test_llm.py against the window plan's answer.
+
+    The UDF accumulates weights in integer cents (exact), so the
+    half-total comparison is bit-identical to DECIMAL arithmetic — no
+    float tie-breaking at the boundary."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -1399,7 +1435,6 @@ def q_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot = cum[-1]
         return float(uniq[np.searchsorted(2 * cum, tot, side="left")])
 
-    li = load(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_returnflag")).agg(
         wmedian("l_extendedprice", "l_quantity").alias("weighted_median")
     )

@@ -276,3 +276,15 @@ def test_det_similarity_no_pair_product(plans, qname):
     (query block, centroid/codebook table)."""
     plan = plans(qname)
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_plan_is_pure_jvm(plans):
+    """r5 verdict #2: the registered q_udaf_weighted_median must be the
+    window formulation — no Python/Arrow eval node (the UDAF surface
+    lives in weighted_median_udaf, pytest-only), and the per-group
+    window must run over peer-collapsed rows (a partial_sum groupBy
+    below the window, so the 3-key window sees distinct values only)."""
+    p = plans("q_udaf_weighted_median")
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "WindowExec" in p or "Window" in p
+    assert "partial_sum" in p  # peer-collapse groupBy feeds the window

@@ -113,3 +113,23 @@ def test_weighted_median_matches_direct(spark, tmp_path):
         for r in all_queries()["q_udaf_weighted_median"](spark, sf).collect()
     }
     assert got == {"A": 30.0, "B": 1.0, "C": 5.0}
+
+
+def test_weighted_median_udaf_surface_matches_window_plan(spark):
+    """The GROUPED_AGG pandas-UDAF surface (weighted_median_udaf) and the
+    registered pure-window plan compute the same statistic at sf0.001 —
+    the UDAF stays pytest-covered after the r5 plan swap moved it out of
+    the registered hot path."""
+    from octopufs_spark.queries.llm_ext import q_udaf_weighted_median, weighted_median_udaf
+    from octopufs_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem")
+    via_udaf = {
+        r.l_returnflag: r.weighted_median for r in weighted_median_udaf(li).collect()
+    }
+    via_window = {
+        r.l_returnflag: r.weighted_median
+        for r in q_udaf_weighted_median(spark, SF_DIR).collect()
+    }
+    assert via_udaf == via_window
