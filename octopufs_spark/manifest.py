@@ -83,16 +83,39 @@ class Manifest:
     added: list[str] | None = None
 
 
-def _hive_segments_of(rel_file: str) -> list[tuple[str, str]]:
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_unescape(s: str) -> str:
+    """Hive ``unescapePathName``: decode the ``%XX`` escapes the writer
+    applied to partition dir names (Spark Hive-escapes ``:`` ``=`` ``%``
+    ``/`` etc. on write, so the raw segment text differs from the
+    logical value whenever the value contains one of those). Invalid
+    sequences pass through unchanged, same as Hive."""
+    if "%" not in s:
+        return s
+    from urllib.parse import unquote
+
+    return unquote(s, errors="replace")
+
+
+def _hive_segments_of(rel_file: str) -> list[tuple[str, str | None]]:
     """k=v directory segments of a snapshot-relative file path — the
     hive-partition columns a ``partition_by`` commit stores in dir
-    names rather than file bytes. Shared by partition pruning here and
-    the streaming source's column re-attachment."""
-    out = []
+    names rather than file bytes, with values DECODED back to their
+    logical form (Hive unescapePathName semantics; the
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel maps to ``None``). Pruning
+    compares segments against user predicates and scoped OPTIMIZE
+    matches user partition_values — both take logical values, so
+    comparing the raw escaped text would wrongly prune/skip every
+    partition whose value contains an escapable char. Shared by
+    partition pruning here and the streaming source's column
+    re-attachment."""
+    out: list[tuple[str, str | None]] = []
     for seg in rel_file.split("/")[1:-1]:
         if "=" in seg:
             k, _, v = seg.partition("=")
-            out.append((k, v))
+            out.append((_hive_unescape(k), None if v == _HIVE_NULL else _hive_unescape(v)))
     return out
 
 
@@ -831,15 +854,34 @@ class ManifestTable:
         stats = m.meta.get("file_stats", {})
         blooms = m.meta.get("bloom_index", {})  # {column: {rel: bloom}}
 
+        def _seg_num(x):
+            # exact numeric parse: ints stay ints (float() of a 19-digit
+            # partition value rounds to double and two adjacent huge ints
+            # collide — a range predicate then prunes a file it should
+            # keep). Python compares int vs float exactly, so mixed
+            # int/float pairs need no common type.
+            if isinstance(x, bool):
+                raise ValueError("bool is not a segment numeric")
+            if isinstance(x, (int, float)):
+                return x
+            s = str(x)
+            try:
+                return int(s)
+            except ValueError:
+                return float(s)
+
         def seg_may_match(f: str) -> bool:
             segs = dict(_hive_segments_of(f))
             for col, op, val in predicates:
                 sv = segs.get(col)
                 if sv is None:
+                    # absent segment OR __HIVE_DEFAULT_PARTITION__ (null):
+                    # never prune on it — null is a real stored value the
+                    # predicate engine, not the path, must judge
                     continue
                 try:
-                    left = float(sv)
-                    right = float(val)
+                    left = _seg_num(sv)
+                    right = _seg_num(val)
                 except (TypeError, ValueError):
                     if not isinstance(val, str):
                         continue  # ambiguous typing: never prune on it
@@ -1141,9 +1183,17 @@ def compact_and_commit(
         if prefix is not None and not f.startswith(prefix):
             return False
         if partition_values is not None:
+            # segments arrive DECODED (logical values; None = hive null
+            # sentinel), so user-supplied values compare directly —
+            # {"k": "a:b"} matches the k=a%3Ab dir Spark wrote, and
+            # {"k": None} addresses the default partition. A missing
+            # segment never matches (None would alias it to null).
             segs = dict(_hive_segments_of(f))
-            if any(segs.get(k) != str(v) for k, v in partition_values.items()):
-                return False
+            for k, v in partition_values.items():
+                if k not in segs:
+                    return False
+                if segs[k] != (None if v is None else str(v)):
+                    return False
         return True
 
     matched = m.files if not scoped else [f for f in m.files if _in_scope(f)]
@@ -1229,9 +1279,8 @@ def compact_and_commit(
 
     def build(parent):
         parent_files = set(parent.files) if parent else set()
-        parent_dvs = [
-            dv["path"] for dv in (parent.meta.get("delete_vectors", []) if parent else [])
-        ]
+        parent_dv_entries = parent.meta.get("delete_vectors", []) if parent else []
+        parent_dvs = [dv["path"] for dv in parent_dv_entries]
         compacted_away = src_files - parent_files
         new_vectors = [p for p in parent_dvs if p not in src_dvs]
         if not scoped:
@@ -1263,6 +1312,31 @@ def compact_and_commit(
                 f"compaction of {table.root} scope {scope_desc!r} would drop "
                 f"{len(new_vectors)} delete vector(s) landed since v{m.version}"
             )
+        # a racing POSITIONAL vector is a lost update even when other
+        # files survive to carry it: it names (file, row) pairs, and if
+        # any named file is one this rewrite replaces, the staged files
+        # were materialized from a PRE-delete read — the carried vector
+        # points at paths the new snapshot no longer scans, so the
+        # deleted rows silently resurrect. Key-granular vectors apply
+        # snapshot-wide and keep working; positional vectors scoped
+        # entirely to out-of-scope files also carry safely.
+        for dv in parent_dv_entries:
+            if dv["path"] in src_dvs or dv.get("type") != "positional":
+                continue
+            touched = {
+                r["file"]
+                for r in spark.read.parquet(f"{table.root}/{dv['path']}")
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            if touched & src_files:
+                raise ConcurrentModificationError(
+                    f"compaction of {table.root} scope {scope_desc!r} conflicts "
+                    f"with a concurrent positional delete {dv['path']!r}: the "
+                    f"vector references {len(touched & src_files)} file(s) this "
+                    "rewrite replaced — the staged rewrite predates the delete"
+                )
         return sorted(kept + table._data_files_under(staged))
 
     meta: dict = {"target_file_bytes": target_file_bytes}

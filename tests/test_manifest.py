@@ -2002,3 +2002,126 @@ def test_merge_preserves_hive_layout_with_partition_by(spark, table):
     assert got.where(F.col("v") == 2).count() == 10
     done = auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=1)
     assert set(done) == {f"p={i}" for i in range(4)}
+
+
+def test_scoped_compaction_aborts_racing_positional_delete(spark, table):
+    """A POSITIONAL delete landing in a scoped rewrite's read→publish
+    window is a lost update even though other files survive to carry
+    the vector: it names (file, row) pairs on the paths the rewrite
+    just replaced, and the staged files were materialized from a
+    PRE-delete read — carrying on would silently resurrect the deleted
+    rows. The scoped build must abort (the full rewrite already does)."""
+    from octopufs_spark.manifest import ConcurrentModificationError, compact_and_commit
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    write_and_commit(df.repartition(6), table, partition_by=["bucket"])
+    m1 = table.read_manifest()
+    pfx = next(f for f in m1.files if "/bucket=1/" in f).split("/bucket=1/")[0] + "/bucket=1"
+
+    def racer(t2):
+        # rows 1..39 odd live in bucket=1 — the partition being rewritten
+        delete_where_mor_positional(spark, t2, "id < 40 and id % 2 = 1")
+
+    _race(table, racer)
+    with pytest.raises(ConcurrentModificationError):
+        compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024, prefix=pfx)
+    # the aborted rewrite lost; the racer's delete is intact
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(400)) - set(range(1, 40, 2))
+
+
+def test_scoped_compaction_carries_out_of_scope_positional_vector(spark, table):
+    """A racing positional vector scoped ENTIRELY to files outside the
+    rewrite is no conflict: the named files survive untouched, so the
+    carried vector keeps applying exactly."""
+    from octopufs_spark.manifest import compact_and_commit
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    write_and_commit(df.repartition(6), table, partition_by=["bucket"])
+    m1 = table.read_manifest()
+    pfx = next(f for f in m1.files if "/bucket=1/" in f).split("/bucket=1/")[0] + "/bucket=1"
+
+    def racer(t2):
+        # even ids live in bucket=0 only — disjoint from the rewrite
+        delete_where_mor_positional(spark, t2, "id < 40 and id % 2 = 0")
+
+    _race(table, racer)
+    v = compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024, prefix=pfx)
+    assert v is not None
+    ids = {r.id for r in table.read(spark).collect()}
+    assert ids == set(range(400)) - set(range(0, 40, 2)), "racing positional delete lost"
+
+
+def test_hive_escaped_partition_values_round_trip(spark, table):
+    """Spark Hive-escapes partition dir values on write (':' -> %3A
+    etc.). Pruning, scoped OPTIMIZE, and identity grouping must compare
+    the DECODED value, or a predicate on 'a:b' prunes every matching
+    file (wrong results: segment pruning is a correctness filter) and
+    partition-scoped compaction silently no-ops."""
+    from octopufs_spark.manifest import auto_optimize, compact_and_commit
+
+    df = spark.range(0, 200).withColumn(
+        "ts", F.when(F.col("id") % 2 == 0, F.lit("2024-01-01 00:00:00")).otherwise(
+            F.lit("2024-06-15 12:30:00")
+        )
+    )
+    write_and_commit(df.repartition(4), table, partition_by=["ts"])
+    m = table.read_manifest()
+    assert any("%3A" in f for f in m.files), "precondition: values were escaped"
+    # pruning keeps the matching partition and skips the other
+    keep, skipped = table.prune_plan([("ts", "=", "2024-01-01 00:00:00")])
+    assert keep and skipped >= 1
+    got = table.read_pruned(spark, [("ts", "=", "2024-01-01 00:00:00")]).where(
+        F.col("ts") == "2024-01-01 00:00:00"
+    )
+    assert got.count() == 100
+    # partition-identity OPTIMIZE addresses the partition by logical value
+    v = compact_and_commit(
+        spark, table, target_file_bytes=512 * 1024 * 1024,
+        partition_values={"ts": "2024-01-01 00:00:00"},
+    )
+    assert v is not None, "escaped partition never matched the scope"
+    m2 = table.read_manifest()
+    assert table.read(spark).count() == 200
+    # identity grouping reunites the partition across staging dirs
+    done = auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=1)
+    assert all("2024-" in k for k in done)
+
+
+def test_hive_null_partition_never_pruned(spark, table):
+    """__HIVE_DEFAULT_PARTITION__ is the null sentinel, not a value:
+    pruning must never treat it as the literal string (an equality
+    predicate would wrongly skip — or wrongly KEEP — the null
+    partition's files), and the batch read surfaces null."""
+    df = spark.range(0, 100).withColumn(
+        "k", F.when(F.col("id") < 50, F.lit("a")).otherwise(F.lit(None).cast("string"))
+    )
+    write_and_commit(df.repartition(2), table, partition_by=["k"])
+    m = table.read_manifest()
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in m.files)
+    # null-partition files are never pruned by a predicate on k
+    keep, skipped = table.prune_plan([("k", "=", "a")])
+    null_files = [f for f in m.files if "__HIVE_DEFAULT_PARTITION__" in f]
+    assert set(null_files) <= set(keep)
+    assert skipped == 0  # only a and null partitions exist; null never prunes
+    got = table.read(spark)
+    assert got.where(F.col("k").isNull()).count() == 50
+
+
+def test_prune_plan_bigint_partition_exact(spark, table):
+    """Adjacent integers above 2^53 collide in double precision — a
+    float()-based segment comparison evaluates a range predicate
+    false-NEGATIVE and prunes a file whose partition matches (wrong
+    results). Both sides must compare as exact ints."""
+    lo, hi = 2**53, 2**53 + 1  # float(lo) == float(hi)
+    df = spark.range(0, 20).withColumn(
+        "k", F.when(F.col("id") < 10, F.lit(lo)).otherwise(F.lit(hi))
+    )
+    write_and_commit(df.repartition(2), table, partition_by=["k"])
+    keep, skipped = table.prune_plan([("k", ">", lo)])
+    hi_files = [f for f in table.read_manifest().files if f"k={hi}" in f]
+    assert hi_files and set(hi_files) <= set(keep), "exact-int partition wrongly pruned"
+    # and the lo partition IS pruned (the optimization still fires)
+    assert skipped >= 1
