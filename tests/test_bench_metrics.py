@@ -61,3 +61,20 @@ def test_no_superlinear_growth_at_sf1():
         pytest.skip("sf1 bench not recorded")
     bad = scale_gate.check()
     assert not bad, "super-linear sf1 growth (justify in SCALE.md or fix):\n" + "\n".join(bad)
+
+
+def test_robust_time_repeat_logic():
+    """bench.py reports the MEDIAN of 3+ samples (one outlier in either
+    direction — GC pause, cached run — is discarded) and the MIN below
+    3 (the first run pays codegen JIT; no outlier budget for 2)."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from bench import robust_time
+
+    assert robust_time([]) == -1.0
+    assert robust_time([2.0]) == 2.0
+    assert robust_time([5.0, 2.0]) == 2.0  # min: first-run JIT discarded
+    assert robust_time([9.0, 1.0, 1.1]) == 1.1  # median kills the GC spike
+    assert robust_time([0.01, 1.0, 1.1]) == 1.0  # and the too-fast outlier
+    assert robust_time([4.0, 1.0, 2.0, 3.0]) == 3.0  # upper-middle of even n
