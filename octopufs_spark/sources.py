@@ -302,7 +302,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.starting_version = options.get("startingVersion", "0")
         mft = options.get("maxFilesPerTrigger")
         self.max_files = int(mft) if mft is not None else None
-        # newest version this reader instance knows is consumed/planned;
+        # newest position this reader instance knows is consumed/planned
+        # as (version, files_consumed_of_that_version | None=complete);
         # advanced by initialOffset/partitions/commit. None until Spark
         # reveals a position: the engine resolves latestOffset BEFORE
         # initialOffset on a fresh checkpoint and owns the committed
@@ -311,12 +312,62 @@ class ManifestStreamReader(DataSourceStreamReader):
         # (Seeding _pos inside latestOffset would be wrong: after a
         # restart it could return an offset BEHIND the checkpoint and
         # re-emit rows.)
-        self._pos: int | None = None
+        self._pos: tuple[int, int | None] | None = None
 
     def _table(self):
         from octopufs_spark.manifest import ManifestTable
 
         return ManifestTable(self.path)
+
+    @staticmethod
+    def _pos_key(v: int, i: int | None) -> tuple[int, float]:
+        # total order over positions; index None = version complete,
+        # which sorts after every partial index of the same version
+        return (v, float("inf") if i is None else i)
+
+    def _advance(self, v: int, i: int | None) -> None:
+        cur = self._pos
+        if cur is None or self._pos_key(v, i) > self._pos_key(*cur):
+            self._pos = (v, i)
+
+    def _added_of(self, table, v: int) -> list[str]:
+        """The (order-stable) added-file list of version v, validating
+        the append-only contract. Stability across reads matters: a
+        partial offset indexes into this list, so a restart must see
+        the same ordering — manifests are immutable JSON and the
+        parent-diff fallback preserves ``files`` order."""
+        try:
+            m = table.read_manifest(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"manifest_stream: version v{v} of {self.path} was pruned "
+                "by vacuum before this stream consumed it — restart with a "
+                "fresh checkpoint (optionally startingVersion=latest)"
+            ) from None
+        if m.operation == "dv-consolidate":
+            return []  # vector maintenance: no files added, no visible-row change
+        if m.operation == "delete_mor":
+            if self.skip_change_commits:
+                return []  # adds no files; visible-row change skipped by opt-in
+            raise ValueError(
+                f"manifest_stream is append-only: v{v} is a delete_mor commit "
+                "(rows changed without new files); set skipChangeCommits=true "
+                "to skip change commits"
+            )
+        if m.operation not in self._APPEND_OPS or (
+            m.operation == "overwrite" and m.parent is not None
+        ):
+            raise ValueError(
+                f"manifest_stream is append-only: v{v} is a {m.operation!r} commit"
+            )
+        if m.added is not None:
+            # publish-time added-file list: one manifest read per
+            # version, no parent fetch (and no dependency on the
+            # parent manifest surviving vacuum)
+            return list(m.added)
+        # pre-upgrade manifest: fall back to the parent diff
+        prev = set(table.read_manifest(m.parent).files) if m.parent else set()
+        return [f for f in m.files if f not in prev]
 
     def initialOffset(self) -> dict:
         """``startingVersion`` (Delta semantics): the first streamed
@@ -324,77 +375,62 @@ class ManifestStreamReader(DataSourceStreamReader):
         only commits made after the query starts; an integer N streams
         from version N (inclusive); default 0 replays everything."""
         if str(self.starting_version).lower() == "latest":
-            self._pos = self._table().latest_version() or 0
+            v = self._table().latest_version() or 0
         else:
-            self._pos = max(0, int(self.starting_version) - 1)
-        return {"version": self._pos}
+            v = max(0, int(self.starting_version) - 1)
+        self._pos = (v, None)
+        return {"version": v}
 
     def latestOffset(self) -> dict:
         """Newest available offset, rate-limited by ``maxFilesPerTrigger``:
         instead of handing Spark the head of the log (one giant batch
         after downtime), walk versions forward from the consumed
         position until the added-file budget is spent — one cheap
-        manifest read per version walked, bounded by the budget."""
+        manifest read per version walked, bounded by the budget.
+
+        A single commit LARGER than the budget splits ACROSS triggers
+        (the Delta ``{reservoirVersion, index}`` model): the offset
+        gains an ``index`` = number of that version's added files
+        already consumed, so a 10k-file compaction-sized commit drains
+        in bounded micro-batches instead of one unbounded one. An
+        offset without ``index`` means the version is fully consumed —
+        exactly what pre-upgrade checkpoints recorded, so they resume
+        unchanged."""
         table = self._table()
         latest = table.latest_version() or 0
-        start = self._pos
-        if self.max_files is None or start is None or start >= latest:
+        if self.max_files is None or self._pos is None:
             return {"version": latest}
-        v, n_files = start, 0
-        while v < latest and n_files < self.max_files:
-            v += 1
-            try:
-                m = table.read_manifest(v)
-            except FileNotFoundError:
-                raise ValueError(
-                    f"manifest_stream: version v{v} of {self.path} was pruned "
-                    "by vacuum before this stream consumed it — restart with a "
-                    "fresh checkpoint (optionally startingVersion=latest)"
-                ) from None
-            n_files += len(m.added if m.added is not None else m.files)
-        return {"version": v}
+        v, done = self._pos
+        if done is None:
+            if v >= latest:
+                return {"version": latest}
+            v, done = v + 1, 0
+        budget = self.max_files
+        while True:
+            files = self._added_of(table, v)
+            remaining = len(files) - done
+            if remaining > budget:
+                return {"version": v, "index": done + budget}
+            budget -= remaining
+            if v >= latest or budget <= 0:
+                return {"version": v}
+            v, done = v + 1, 0
 
     def partitions(self, start: dict, end: dict):
         table = self._table()
-        self._pos = max(
-            self._pos if self._pos is not None else 0,
-            start["version"],
-            end["version"],
-        )
+        s_v, s_i = start["version"], start.get("index")
+        e_v, e_i = end["version"], end.get("index")
+        self._advance(s_v, s_i)
+        self._advance(e_v, e_i)
         added: list[str] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            try:
-                m = table.read_manifest(v)
-            except FileNotFoundError:
-                raise ValueError(
-                    f"manifest_stream: version v{v} of {self.path} was pruned "
-                    "by vacuum before this stream consumed it — restart with a "
-                    "fresh checkpoint (optionally startingVersion=latest)"
-                ) from None
-            if m.operation == "dv-consolidate":
-                continue  # vector maintenance: no files added, no visible-row change
-            if m.operation == "delete_mor":
-                if self.skip_change_commits:
-                    continue  # adds no files; visible-row change skipped by opt-in
-                raise ValueError(
-                    f"manifest_stream is append-only: v{v} is a delete_mor commit "
-                    "(rows changed without new files); set skipChangeCommits=true "
-                    "to skip change commits"
-                )
-            if m.operation not in self._APPEND_OPS or (
-                m.operation == "overwrite" and m.parent is not None
-            ):
-                raise ValueError(
-                    f"manifest_stream is append-only: v{v} is a {m.operation!r} commit"
-                )
-            if m.added is not None:
-                # publish-time added-file list: one manifest read per
-                # version, no parent fetch (and no dependency on the
-                # parent manifest surviving vacuum)
-                added.extend(m.added)
-            else:  # pre-upgrade manifest: fall back to the parent diff
-                prev = set(table.read_manifest(m.parent).files) if m.parent else set()
-                added.extend(f for f in m.files if f not in prev)
+        # a partial start offset re-enters its version at the recorded
+        # index; a complete one starts at the next version
+        first_v = s_v if s_i is not None else s_v + 1
+        for v in range(first_v, e_v + 1):
+            files = self._added_of(table, v)
+            lo = s_i if (v == s_v and s_i is not None) else 0
+            hi = e_i if (v == e_v and e_i is not None) else len(files)
+            added.extend(files[lo:hi])
         if not added:
             # Spark requires >=1 partition; an empty file list yields 0 rows
             return [ManifestFilePartition(self.path, "")]
@@ -462,7 +498,7 @@ class ManifestStreamReader(DataSourceStreamReader):
             yield batch
 
     def commit(self, end: dict) -> None:
-        self._pos = max(self._pos if self._pos is not None else 0, end["version"])
+        self._advance(end["version"], end.get("index"))
 
 
 def _hive_segments(rel_file: str) -> list[tuple[str, str]]:
@@ -503,7 +539,9 @@ class ManifestStreamSource(DataSource):
         fs, root = get_filesystem(self.options["path"])
         st = from_arrow_schema(pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs))
         for k, _ in _hive_segments(m.files[0]):
-            st = st.add(StructField(k, StringType(), False))
+            # nullable: __HIVE_DEFAULT_PARTITION__ segments decode to
+            # null (the batch reader surfaces them as null too)
+            st = st.add(StructField(k, StringType(), True))
         return st
 
     def streamReader(self, schema) -> ManifestStreamReader:

@@ -436,9 +436,11 @@ def test_manifest_stream_max_files_per_trigger(spark, tmp_path):
     # budget 3: v1 (1 file) + v2 (2 files) -> stop at v2
     assert reader.latestOffset() == {"version": 2}
     reader.partitions({"version": 0}, {"version": 2})
-    # next trigger: v3 (2) then v4 (2 files, budget crossed) -> v4
-    assert reader.latestOffset() == {"version": 4}
-    reader.commit({"version": 4})
+    # next trigger: v3 (2 files) + 1 of v4 — the budget is a HARD cap,
+    # so the oversize step splits v4 instead of over-running
+    assert reader.latestOffset() == {"version": 4, "index": 1}
+    reader.commit({"version": 4, "index": 1})
+    # remaining 1 file of v4 + v5 (2 files) = exactly the budget
     assert reader.latestOffset() == {"version": 5}
     reader.commit({"version": 5})
     assert reader.latestOffset() == {"version": 5}  # caught up: no-op
@@ -539,3 +541,55 @@ def test_synthgen_pushdown_in_and_isnotnull(spark):
     df = spark.read.format("synthgen").option("total", 10_000).load()
     got = df.where(F.col("id").isin(42, 9_999, 5_000)).orderBy("id")
     assert [x.id for x in got.collect()] == [42, 5_000, 9_999]
+
+
+def test_manifest_stream_splits_one_commit_across_triggers(spark, tmp_path):
+    """A single commit LARGER than maxFilesPerTrigger drains across
+    several micro-batches via partial offsets ({version, index} — the
+    Delta reservoir model): no 10k-file commit can force one unbounded
+    batch, files are emitted exactly once with no overlap, and an old
+    index-less checkpoint offset still resumes."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import ManifestStreamReader
+
+    table = ManifestTable(str(tmp_path / "mtbl_split"))
+    write_and_commit(spark.range(0, 10).coalesce(1), table)  # v1: 1 file
+    write_and_commit(  # v2: 7 files — bigger than the budget
+        spark.range(100, 170).repartition(7), table, mode="append"
+    )
+    m2_added = table.read_manifest(2).added
+    assert len(m2_added) == 7
+
+    reader = ManifestStreamReader({"path": table.root, "maxFilesPerTrigger": "3"})
+    assert reader.initialOffset() == {"version": 0}
+    # budget 3: v1 (1 file) + first 2 of v2 -> partial offset into v2
+    o1 = reader.latestOffset()
+    assert o1 == {"version": 2, "index": 2}
+    p1 = [p.rel_file for p in reader.partitions({"version": 0}, o1) if p.rel_file]
+    assert p1 == table.read_manifest(1).added + m2_added[:2]
+    # next trigger: files 2..5 of v2
+    o2 = reader.latestOffset()
+    assert o2 == {"version": 2, "index": 5}
+    p2 = [p.rel_file for p in reader.partitions(o1, o2) if p.rel_file]
+    assert p2 == m2_added[2:5]
+    # final trigger: the version completes -> index-less offset
+    o3 = reader.latestOffset()
+    assert o3 == {"version": 2}
+    p3 = [p.rel_file for p in reader.partitions(o2, o3) if p.rel_file]
+    assert p3 == m2_added[5:]
+    # exactly-once across the splits: disjoint cover of all added files
+    assert p1 + p2 + p3 == table.read_manifest(1).added + m2_added
+    # caught up: no-op
+    assert reader.latestOffset() == {"version": 2}
+
+    # RESTART MID-COMMIT: a fresh reader (new incarnation) resuming from
+    # the checkpointed partial offset re-enters v2 at the same index
+    r2 = ManifestStreamReader({"path": table.root, "maxFilesPerTrigger": "3"})
+    r2.commit(o1)  # what the engine replays from the offset log
+    assert r2.latestOffset() == {"version": 2, "index": 5}
+    got = [p.rel_file for p in r2.partitions(o1, {"version": 2, "index": 5}) if p.rel_file]
+    assert got == m2_added[2:5], "restart re-entered the commit at the wrong index"
+    # and an index-less (pre-upgrade) offset means 'version complete'
+    r3 = ManifestStreamReader({"path": table.root, "maxFilesPerTrigger": "3"})
+    r3.commit({"version": 2})
+    assert r3.latestOffset() == {"version": 2}
