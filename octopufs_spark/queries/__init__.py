@@ -30,3 +30,4 @@ from octopufs_spark.queries import (  # noqa: F401
 from octopufs_spark.queries import trainprep  # noqa: E402,F401
 from octopufs_spark.queries import curation  # noqa: E402,F401
 from octopufs_spark.queries import subq  # noqa: E402,F401
+from octopufs_spark.queries import buckets  # noqa: E402,F401

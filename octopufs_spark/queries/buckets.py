@@ -1,0 +1,166 @@
+"""Storage-layout queries: bucketed tables (shuffle-free co-located
+joins) and manifest partition-spec evolution.
+
+Bucketing is the classic 100 TB shuffle-elimination lever the rest of
+the inventory doesn't exercise: two fact tables bucketed AND sorted on
+the join key join with ZERO exchange on either side — the shuffle is
+paid once at write time and amortized over every subsequent join
+(Spark's bucketBy, the same contract as Hive bucketing / Iceberg's
+bucket transform). The reference pins its own write-layout behavior the
+same way (dynamic partition overwrite,
+reference: src/test/scala/TestUtils.scala:64-65).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopufs_spark.queries.common import SQL_REVENUE, revenue_col
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+_N_BUCKETS = 8
+
+
+def write_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Write orders+lineitem bucketed AND sorted on the order key, and
+    return the two catalog-backed DataFrames. Both sides use the SAME
+    bucket count so Spark plans the join bucket-to-bucket (a storage-
+    partitioned join): no Exchange, and the sortBy lets the merge join
+    skip its sorts too. Data lands under a per-sf temp location (stable
+    across calls — repeated runs overwrite instead of leaking temp
+    dirs); table metadata lives in the session catalog."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"octopufs_buckets_{abs(hash(sf_dir)) % 10**8}"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        o.write.bucketBy(_N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{root}/orders")
+        .mode("overwrite")
+        .saveAsTable("octopufs_bucketed_orders")
+    )
+    (
+        li.write.bucketBy(_N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{root}/lineitem")
+        .mode("overwrite")
+        .saveAsTable("octopufs_bucketed_lineitem")
+    )
+    return spark.table("octopufs_bucketed_orders"), spark.table(
+        "octopufs_bucketed_lineitem"
+    )
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free fact-to-fact join over the bucketed pair. The
+    merge hint pins sort-merge (a broadcast at test scale would also
+    skip the shuffle, but the bucket-to-bucket plan is the one that
+    survives when BOTH sides are 100 TB facts); the bucket layout then
+    removes the Exchange a plain SMJ needs on each side — pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange."""
+    ob, lb = write_bucketed_pair(spark, sf_dir)
+    return ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+
+
+@register(
+    "q_sink_bucketed",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed write + storage-partitioned join, value-verified: both
+    fact tables are written bucketBy(8, orderkey) sortBy(orderkey), so
+    the subsequent join plans bucket-to-bucket with NO Exchange on
+    either side (the write pre-paid the shuffle — the one join shape
+    that stays shuffle-free when both sides are 100 TB facts and
+    neither broadcasts). The revenue-by-priority aggregate over the
+    join is recomputed by the oracle from the raw tables, so a
+    bucketing bug that drops/duplicates bucket files flips the hash."""
+    joined = bucketed_join(spark, sf_dir)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(revenue_col()).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "q_ext_partition_evolution",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT CASE WHEN year(o_orderdate) >= 1998 THEN year(o_orderdate) END) AS BIGINT) AS files_new_layout,
+       CAST(1 AS BIGINT) AS files_read_new,
+       CAST((SELECT COUNT(*) FROM orders WHERE year(o_orderdate) = 2000) AS BIGINT) AS rows_new,
+       CAST(1 AS BIGINT) AS files_read_old,
+       CAST((SELECT COUNT(*) FROM orders WHERE year(o_orderdate) = 1995) AS BIGINT) AS rows_old,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) AS DOUBLE) AS total_price
+FROM orders
+""",
+)
+def q_ext_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION on a manifest table (the Iceberg model:
+    the spec is a property of the commit, not the table — old files
+    keep their old layout forever, nothing is rewritten). v1 commits
+    pre-1998 orders UNPARTITIONED (year lives in file bytes only,
+    zone-map stats collected); v2 appends 1998+ orders
+    hive-partitioned by year (year lives in dir names). The snapshot
+    read unions both layouts (per-commit basePath scan groups), and
+    pruning consults BOTH metadata kinds: a predicate on a post-
+    evolution year prunes old files via zone maps and new files via
+    path segments; a pre-evolution year kills every new partition by
+    segment and narrows old files by stats. files_read for both probes
+    AND the full-table aggregate are oracle-pinned, so over-pruning
+    (lost rows) or under-reading flips the hash. Concurrent-OPTIMIZE
+    safety is race-replay tested
+    (tests/test_manifest.py::test_partition_evolution_*)."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    root = tempfile.mkdtemp(prefix="octopufs_evolve_")
+    table = ManifestTable(root)
+    old = o.where(F.col("yr") <= 1997).repartition("yr")
+    write_and_commit(old, table, stats=True)  # v1: unpartitioned spec
+    new = o.where(F.col("yr") >= 1998).repartition("yr")
+    write_and_commit(new, table, mode="append", partition_by=["yr"], stats=True)
+
+    # Probes chosen so the expected file count is deterministic under
+    # EITHER layout: a post-evolution year is exactly one hive dir
+    # (one file — partitionBy splits per task per dir); the MIN
+    # pre-evolution year is held by exactly one old file, and every
+    # old file NOT holding it has min > 1995, so zone maps prune it
+    # regardless of how AQE coalesced the v1 write into files.
+    keep_new, _skip_new = table.prune_plan([("yr", "=", 2000)])
+    keep_old, _skip_old = table.prune_plan([("yr", "=", 1995)])
+    files_new_layout = sum(1 for f in table.read_manifest().files if "/yr=" in f)
+
+    rows_new = (
+        table.read_pruned(spark, [("yr", "=", 2000)]).where(F.col("yr") == 2000).count()
+    )
+    rows_old = (
+        table.read_pruned(spark, [("yr", "=", 1995)]).where(F.col("yr") == 1995).count()
+    )
+    agg = table.read(spark).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price")
+    )
+    return agg.select(
+        F.lit(files_new_layout).cast("long").alias("files_new_layout"),
+        F.lit(len(keep_new)).cast("long").alias("files_read_new"),
+        F.lit(rows_new).cast("long").alias("rows_new"),
+        F.lit(len(keep_old)).cast("long").alias("files_read_old"),
+        F.lit(rows_old).cast("long").alias("rows_old"),
+        "total_price",
+    )

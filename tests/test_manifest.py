@@ -2125,3 +2125,64 @@ def test_prune_plan_bigint_partition_exact(spark, table):
     assert hi_files and set(hi_files) <= set(keep), "exact-int partition wrongly pruned"
     # and the lo partition IS pruned (the optimization still fires)
     assert skipped >= 1
+
+
+def test_partition_evolution_read_prune_and_optimize(spark, table):
+    """Iceberg-model partition evolution: v1 unpartitioned, v2 appends
+    under a hive layout. The snapshot read unions both layouts with
+    the partition column populated from file bytes (old) and dir names
+    (new); pruning consults zone maps for old files and segments for
+    new; auto_optimize compacts new-layout partitions while leaving
+    pre-evolution strays untouched."""
+    from octopufs_spark.manifest import auto_optimize
+
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    write_and_commit(df.where("bucket <= 1").repartition(4), table, stats=True)
+    write_and_commit(
+        df.where("bucket >= 2").repartition(4), table,
+        mode="append", partition_by=["bucket"], stats=True,
+    )
+    got = table.read(spark, merge_schema=True)
+    assert got.count() == 400
+    # new-layout reads surface bucket as a string hive column; the old
+    # files carry it as int data — both answer the same predicate
+    assert got.where(F.col("bucket") == 3).count() == 100
+    assert got.where(F.col("bucket") == 0).count() == 100
+    # pruning: new partition by segments (old files kept via stats)
+    keep3, skip3 = table.prune_plan([("bucket", "=", 3)])
+    assert skip3 >= 1
+    assert not any("bucket=2" in f for f in keep3)
+    # old-value probe: every new-layout partition is segment-pruned
+    keep0, _ = table.prune_plan([("bucket", "=", 0)])
+    assert not any("/bucket=" in f for f in keep0)
+    # maintenance: per-partition OPTIMIZE runs on the evolved layout,
+    # unpartitioned strays stay (documented mixed-layout policy)
+    done = auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=1)
+    assert set(done) <= {"bucket=2", "bucket=3"}
+    assert table.read(spark, merge_schema=True).count() == 400
+
+
+def test_partition_evolution_append_survives_racing_optimize(spark, table):
+    """The evolution append (first partition_by commit) racing a
+    concurrent full OPTIMIZE of the pre-evolution files: the append
+    carries the compacted parent forward (appends never conflict), and
+    the evolved snapshot reads both the rewritten old files and the
+    new hive layout correctly."""
+    from octopufs_spark.manifest import compact_and_commit
+
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    write_and_commit(df.where("bucket <= 1").repartition(6), table)
+
+    def racer(t2):
+        assert compact_and_commit(spark, t2, target_file_bytes=512 * 1024 * 1024)
+
+    fired = _race(table, racer)
+    write_and_commit(
+        df.where("bucket >= 2").repartition(4), table,
+        mode="append", partition_by=["bucket"],
+    )
+    assert fired["done"]
+    got = table.read(spark, merge_schema=True)
+    assert got.count() == 400
+    assert {r.bucket for r in got.select("bucket").distinct().collect()} == {"0", "1", "2", "3"} or \
+           {int(r.bucket) for r in got.select("bucket").distinct().collect()} == {0, 1, 2, 3}

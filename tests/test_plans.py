@@ -288,3 +288,22 @@ def test_weighted_median_plan_is_pure_jvm(plans):
     assert "Python" not in p and "ArrowEval" not in p
     assert "WindowExec" in p or "Window" in p
     assert "partial_sum" in p  # peer-collapse groupBy feeds the window
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Storage-partitioned join: both sides written bucketBy(8,
+    orderkey) sortBy(orderkey) — the join must plan bucket-to-bucket
+    with NO Exchange anywhere in the join subtree (the write pre-paid
+    the shuffle; at 100 TB this is the one fact⋈fact shape that never
+    shuffles). Also pins SMJ: a broadcast would hide a bucketing
+    regression at test scale."""
+    from octopufs_spark.queries.buckets import bucketed_join
+
+    joined = bucketed_join(spark, SF_DIR)
+    qe = joined._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join planned a shuffle"
+    # the sortBy metadata also elides both sort nodes
+    assert "Bucketed: true" in plan
