@@ -131,3 +131,28 @@ def test_fresh_query_budget_fits_one_driver_sample():
         f"{len(fresh)} never-driver-verified queries exceed one driver "
         f"sample; do not register more until the ledger drains"
     )
+
+
+def test_no_stranded_sweep_only_queries():
+    """The r5 ordering-bug class, made mechanical: every query without
+    a green driver sample must sit INSIDE the driver's 50-query sample
+    prefix of queries() — otherwise the verification ledger can never
+    close (the query is unverified AND unsampleable)."""
+    import glob
+    import json
+
+    ordered = list(entrymod.queries())
+    prefix = set(ordered[:50])
+    green = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        for name, res in json.load(open(p)).items():
+            if (
+                isinstance(res, dict)
+                and res.get("err") != "no_oracle"
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            ):
+                green.add(name)
+    stranded = [n for n in ordered if n not in green and n not in prefix]
+    assert stranded == [], f"unverified queries outside the sample prefix: {stranded}"
