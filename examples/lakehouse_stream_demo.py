@@ -113,9 +113,17 @@ def main() -> None:
         q.awaitTermination(120)
         q.stop()
 
-    # 3. more bronze while the stream is down; restart drains only the delta
+    # 3. more bronze while the stream is down; restart drains only the
+    # delta. Python sources fall back to SINGLE-batch execution under
+    # availableNow, and maxFilesPerTrigger is a HARD cap (an oversized
+    # commit splits across triggers) — so one run processes at most one
+    # capped batch of the backlog; loop until the count stops moving,
+    # exactly what an operational catch-up job does.
     write_and_commit(batch(100_000, 2048), bronze, mode="append")
-    run_stream()
+    prev = -1
+    while silver_count() != prev:
+        prev = silver_count()
+        run_stream()
     got = silver.read(spark)
     n2 = got.count()
     dupes = n2 - got.select("id").distinct().count()

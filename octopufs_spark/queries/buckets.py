@@ -34,9 +34,12 @@ def write_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     skip its sorts too. Data lands under a per-sf temp location (stable
     across calls — repeated runs overwrite instead of leaking temp
     dirs); table metadata lives in the session catalog."""
-    root = os.path.join(
-        tempfile.gettempdir(), f"octopufs_buckets_{abs(hash(sf_dir)) % 10**8}"
-    )
+    import hashlib
+
+    # stable digest (not the salted builtin hash): every process reuses
+    # the same per-sf location instead of leaking a copy per run
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"octopufs_buckets_{tag}")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"

@@ -63,6 +63,8 @@ FLAGSHIPS = [
     ("q_ext_char_entropy", "27 fused len-replace counters per row, no explode, codegen scan"),
     ("q_sql_scalar_subquery", "correlated scalars decorrelated to one grouped left join + 1-row broadcast"),
     ("q_graph_components", "label propagation on derived edges: bounded per-round shuffles"),
+    ("q_sink_bucketed", "bucketBy(8)+sortBy write pair: SMJ with ZERO exchange/sort on either side"),
+    ("q_ext_partition_evolution", "spec evolution: per-commit basePath scan groups unioned, dual-metadata pruning"),
 ]
 
 
