@@ -120,10 +120,10 @@ def main() -> None:
     # capped batch of the backlog; loop until the count stops moving,
     # exactly what an operational catch-up job does.
     write_and_commit(batch(100_000, 2048), bronze, mode="append")
-    prev = -1
-    while silver_count() != prev:
-        prev = silver_count()
+    prev, cur = -1, silver_count()
+    while cur != prev:
         run_stream()
+        prev, cur = cur, silver_count()
     got = silver.read(spark)
     n2 = got.count()
     dupes = n2 - got.select("id").distinct().count()

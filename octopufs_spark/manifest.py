@@ -90,13 +90,27 @@ def _hive_unescape(s: str) -> str:
     """Hive ``unescapePathName``: decode the ``%XX`` escapes the writer
     applied to partition dir names (Spark Hive-escapes ``:`` ``=`` ``%``
     ``/`` etc. on write, so the raw segment text differs from the
-    logical value whenever the value contains one of those). Invalid
-    sequences pass through unchanged, same as Hive."""
+    logical value whenever the value contains one of those). Decoding is
+    per-char ``chr(0xXX)`` exactly like Hive — NOT urllib's UTF-8
+    multi-byte unquote, which would mangle a non-UTF-8 writer's escapes
+    to U+FFFD and wrongly prune the partition. Invalid sequences pass
+    through unchanged, same as Hive."""
     if "%" not in s:
         return s
-    from urllib.parse import unquote
-
-    return unquote(s, errors="replace")
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 < n:
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _hive_segments_of(rel_file: str) -> list[tuple[str, str | None]]:
@@ -1267,6 +1281,15 @@ def compact_and_commit(
             )
     else:
         src_df = src_df.coalesce(n)
+    if partition_values is not None:
+        # an all-null (hive default) partition's recovered column
+        # infers as VOID, which partitionBy rejects — render it as a
+        # nullable string (the dir-name form is identical either way)
+        from pyspark.sql import functions as _F
+
+        for k, dt in src_df.dtypes:
+            if k in partition_values and dt == "void":
+                src_df = src_df.withColumn(k, _F.col(k).cast("string"))
     writer = src_df.write
     if partition_values is not None:
         # keep the hive layout: the rewrite re-stages under k=v dirs so
@@ -1385,7 +1408,13 @@ def auto_optimize(
         )
         return {"<table>": v} if v is not None else {}
     out: dict[str, int] = {}
-    for key, files in sorted(groups.items()):
+    # segment values may be None (the decoded __HIVE_DEFAULT_PARTITION__
+    # sentinel) — sort null partitions first rather than letting
+    # None-vs-str comparison TypeError abort table maintenance
+    def sort_key(key: tuple) -> tuple:
+        return tuple((k, v is not None, "" if v is None else v) for k, v in key)
+
+    for key, files in sorted(groups.items(), key=lambda kv: sort_key(kv[0])):
         if not key or len(files) < min_files:
             continue  # unpartitioned strays in a mixed layout: leave them
         v = compact_and_commit(
@@ -1397,7 +1426,7 @@ def auto_optimize(
             partition_values=dict(key),
         )
         if v is not None:
-            out["/".join(f"{k}={val}" for k, val in key)] = v
+            out["/".join(f"{k}={val if val is not None else _HIVE_NULL}" for k, val in key)] = v
     return out
 
 

@@ -128,10 +128,18 @@ def q_ext_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lost rows) or under-reading flips the hash. Concurrent-OPTIMIZE
     safety is race-replay tested
     (tests/test_manifest.py::test_partition_evolution_*)."""
+    import hashlib
+    import shutil
+
     from octopufs_spark.manifest import ManifestTable, write_and_commit
 
     o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
-    root = tempfile.mkdtemp(prefix="octopufs_evolve_")
+    # stable per-sf location, rebuilt from scratch each run: repeated
+    # bench/verify invocations neither leak a temp dir per run nor
+    # accumulate manifest versions
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"octopufs_evolve_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
     table = ManifestTable(root)
     old = o.where(F.col("yr") <= 1997).repartition("yr")
     write_and_commit(old, table, stats=True)  # v1: unpartitioned spec

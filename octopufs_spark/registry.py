@@ -31,6 +31,22 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# The driver hard-verifies a prefix of this many queries() entries per
+# round — the single source for the ledger tool and the budget/stranded
+# pytest guards (a drifting copy would silently check the wrong prefix).
+DRIVER_SAMPLE = 50
+
+# Queries whose REGISTERED IMPLEMENTATION was rewritten after earning a
+# green driver sample: the old entries verified the OLD plan, so they
+# only retire the query when sampled at/after the rewrite round —
+# otherwise a rewrite ships permanently driver-unverified while the
+# ledger reads DRIVER-VERIFIED (the same staleness class as the r5
+# no_oracle bug, from the other side).
+REVERIFY_FROM_ROUND: dict[str, int] = {
+    "q_udaf_weighted_median": 6,  # r6: GROUPED_AGG pandas UDAF -> pure-window plan
+    "q_ext_ann_opq_alt": 6,  # r6: exploded rotation pair rows -> array-native
+}
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query implementation with optional oracle."""
@@ -61,10 +77,14 @@ def _previously_verified() -> tuple[set[str], set[str]]:
     carried r1 ``no_oracle`` entries and full oracles since r4, yet
     sorted into the done group past the driver's 50-query sample).
     """
+    import re as _re
+
     green: set[str] = set()
     weak: set[str] = set()
     root = os.environ.get("OCTOPUFS_REPO_ROOT", "/root/repo")
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -78,7 +98,7 @@ def _previously_verified() -> tuple[set[str], set[str]]:
                 and res.get("schema_match") is True
                 and res.get("hash_match") is True
             )
-            if ok:
+            if ok and rnd >= REVERIFY_FROM_ROUND.get(name, 0):
                 green.add(name)
             elif res.get("err") == "no_oracle":
                 weak.add(name)

@@ -127,7 +127,7 @@ def test_fresh_query_budget_fits_one_driver_sample():
         for n in entrymod.queries()
         if not (n in green or (n in weak and n not in oracles))
     ]
-    assert len(fresh) <= 50, (
+    assert len(fresh) <= registry.DRIVER_SAMPLE, (
         f"{len(fresh)} never-driver-verified queries exceed one driver "
         f"sample; do not register more until the ledger drains"
     )
@@ -135,24 +135,16 @@ def test_fresh_query_budget_fits_one_driver_sample():
 
 def test_no_stranded_sweep_only_queries():
     """The r5 ordering-bug class, made mechanical: every query without
-    a green driver sample must sit INSIDE the driver's 50-query sample
-    prefix of queries() — otherwise the verification ledger can never
-    close (the query is unverified AND unsampleable)."""
-    import glob
-    import json
+    a counting green driver sample (rewritten implementations discount
+    their pre-rewrite samples via REVERIFY_FROM_ROUND) must sit INSIDE
+    the driver's sample prefix of queries() — otherwise the
+    verification ledger can never close (unverified AND unsampleable).
+    Uses the registry's own green-set computation and DRIVER_SAMPLE so
+    this check can't drift from what the ledger tool enforces."""
+    from octopufs_spark import registry
 
     ordered = list(entrymod.queries())
-    prefix = set(ordered[:50])
-    green = set()
-    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        for name, res in json.load(open(p)).items():
-            if (
-                isinstance(res, dict)
-                and res.get("err") != "no_oracle"
-                and res.get("rows_match")
-                and res.get("schema_match")
-                and res.get("hash_match")
-            ):
-                green.add(name)
+    prefix = set(ordered[: registry.DRIVER_SAMPLE])
+    green, _weak = registry._previously_verified()
     stranded = [n for n in ordered if n not in green and n not in prefix]
     assert stranded == [], f"unverified queries outside the sample prefix: {stranded}"

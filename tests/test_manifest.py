@@ -2186,3 +2186,30 @@ def test_partition_evolution_append_survives_racing_optimize(spark, table):
     assert got.count() == 400
     assert {r.bucket for r in got.select("bucket").distinct().collect()} == {"0", "1", "2", "3"} or \
            {int(r.bucket) for r in got.select("bucket").distinct().collect()} == {0, 1, 2, 3}
+
+
+def test_auto_optimize_handles_null_partition(spark, table):
+    """Decoded __HIVE_DEFAULT_PARTITION__ segments are None — table
+    maintenance must group/sort/compact the null partition instead of
+    dying on a None-vs-str comparison, and partition_values={k: None}
+    addresses it directly."""
+    from octopufs_spark.manifest import auto_optimize, compact_and_commit
+
+    df = spark.range(0, 200).withColumn(
+        "k", F.when(F.col("id") < 100, F.lit("a")).otherwise(F.lit(None).cast("string"))
+    )
+    write_and_commit(df.repartition(4), table, partition_by=["k"])
+    done = auto_optimize(spark, table, target_file_bytes=512 * 1024 * 1024, min_files=1)
+    assert "k=__HIVE_DEFAULT_PARTITION__" in done and "k=a" in done
+    got = table.read(spark)
+    assert got.count() == 200 and got.where(F.col("k").isNull()).count() == 100
+    # identity-scoped OPTIMIZE on the null partition alone
+    write_and_commit(
+        spark.range(200, 300).withColumn("k", F.lit(None).cast("string")),
+        table, mode="append", partition_by=["k"],
+    )
+    v = compact_and_commit(
+        spark, table, target_file_bytes=512 * 1024 * 1024, partition_values={"k": None}
+    )
+    assert v is not None
+    assert table.read(spark).where(F.col("k").isNull()).count() == 200
