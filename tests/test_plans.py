@@ -307,3 +307,14 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in plan, "bucketed join planned a shuffle"
     # the sortBy metadata also elides both sort nodes
     assert "Bucketed: true" in plan
+
+
+def test_weighted_median_plan_has_no_python(plans):
+    """Verdict r5 #2: the registered weighted-median implementation is
+    the RANGE-frame cumulative-weight window — all JVM. The GROUPED_AGG
+    pandas UDAF (3 groups = 3 Python workers swallowing the whole
+    table at scale) stays a pytest-covered API demo only."""
+    plan = plans("q_udaf_weighted_median")
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython node
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Window" in plan
