@@ -216,63 +216,37 @@ def _connected_components_loop(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
-    # BATCHED propagation: three neighbor-min micro-rounds compose
-    # LAZILY (one Catalyst plan), then ONE materialization boundary
-    # runs a pointer jump through the fresh mapping plus the
-    # convergence check. Rationale, measured at sf0.1 on the semantic
-    # near-dup graph (octopufs cosine>=0.3, flood depth ~12):
-    #
-    # - per-round blocking jobs (localCheckpoint + changed-count), not
-    #   shuffle bytes, dominate this operator's wall clock — batching 3
-    #   propagation steps per boundary cut 13 blocking rounds to 5 and
-    #   wall clock 3.5x (18.5s -> 5.2s) with the identical fixpoint;
-    # - the jump must compose the mapping with its FRESH self, not the
-    #   previous round's table: a min-label's adopted id is usually a
-    #   LOCAL minimum whose old label is itself, so old-table hops
-    #   no-op exactly where acceleration is needed (measured: 13
-    #   rounds with old-table hops, unchanged at two hops);
-    # - self-composition needs the checkpoint first or the whole
-    #   batch lineage executes twice (self-join duplicates the plan).
-    #
-    # Labels only DECREASE (least over reachable ids), so "no net
-    # change across a macro-round" implies the very first micro-round
-    # changed nothing, i.e. the fixpoint (cluster_id = min reachable
-    # id) was already reached — macro-granular convergence detection
-    # is exact, it just spends the tail of one batch on lazy no-op
-    # micro-rounds. The batch size ADAPTS (1, 1, 2, 3, then 4): typical
-    # near-dup graphs (clone clusters, diameter 1-2) exit after 1-2
-    # single-step boundaries at exactly the old per-round cost, while a
-    # graph still changing after two boundaries is deep enough that
-    # larger batches amortize its blocking jobs. At 100x the graph
-    # diameter the boundary jump keeps macro-rounds ~O(log diameter)
-    # on chain-shaped graphs (path-200: 7 macros), while dense
-    # near-dup graphs converge flood-limited in ~4-5.
-    _BATCH_MAX = 4
-    done = 0
-    batch = 1
-    boundary = 0
-    while done < max_iter:
-        boundary += 1
-        if boundary > 2:
-            batch = min(batch + 1, _BATCH_MAX)
-        cur = labels.select("id", F.col("cluster_id").alias("old_cluster_id"), "cluster_id")
-        for _m in range(min(batch, max_iter - done)):
-            done += 1
-            nbr_min = (
-                edges.join(cur, edges.dst == cur.id)
-                .groupBy("src")
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            stepped_label = F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-            )
-            cur = cur.join(nbr_min, cur.id == nbr_min.src, "left").select(
-                "id", "old_cluster_id", stepped_label.alias("cluster_id")
-            )
-        stepped = cur.localCheckpoint()
-        hop = stepped.select(
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+        )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            new_label.alias("cluster_id"),
+        )
+        # Pointer doubling: follow the freshly-stepped label one more
+        # hop through the PREVIOUS round's (checkpointed) label table
+        # (label := min(label, old_label(label))). Hopping through
+        # `stepped` itself would be a self-join that recomputes the
+        # neighbor-min aggregation twice per round; the old table is
+        # already materialized, and any adopted label is still the
+        # label of a reachable node, so correctness and monotonicity
+        # hold. Net effect: convergence in ~O(log diameter) rounds
+        # instead of O(diameter) — and rounds, not per-round work, are
+        # the cost on a near-dup graph (each round is a fixed number of
+        # jobs regardless of edge count).
+        hop = labels.select(
             F.col("id").alias("hop_id"), F.col("cluster_id").alias("hop_label")
         )
+        # change flag computed inline — convergence detection then reads
+        # the checkpointed result instead of re-joining old vs new
+        # (one fewer shuffle per round; rounds are job-launch bound).
         jumped_label = F.least(
             F.col("cluster_id"), F.coalesce(F.col("hop_label"), F.col("cluster_id"))
         )
@@ -280,9 +254,10 @@ def _connected_components_loop(
             stepped.join(hop, stepped.cluster_id == hop.hop_id, "left")
             .select(
                 "id",
-                jumped_label.alias("cluster_id"),
+                jumped_label.alias("new_cluster_id"),
                 (jumped_label != F.col("old_cluster_id")).alias("_changed"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint()
         )
         changed = new_labels.where("_changed").limit(1).count()
