@@ -97,17 +97,17 @@ def _hive_unescape(s: str) -> str:
     through unchanged, same as Hive."""
     if "%" not in s:
         return s
+    hexdigits = "0123456789abcdefABCDEF"
     out: list[str] = []
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c == "%" and i + 2 < n:
-            try:
-                out.append(chr(int(s[i + 1 : i + 3], 16)))
-                i += 3
-                continue
-            except ValueError:
-                pass
+        # explicit hex-digit check: Python's int(x, 16) tolerates
+        # whitespace ('% 9' would decode), Java's parseInt does not
+        if c == "%" and i + 2 < n and s[i + 1] in hexdigits and s[i + 2] in hexdigits:
+            out.append(chr(int(s[i + 1 : i + 3], 16)))
+            i += 3
+            continue
         out.append(c)
         i += 1
     return "".join(out)

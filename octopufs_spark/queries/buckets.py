@@ -134,11 +134,15 @@ def q_ext_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from octopufs_spark.manifest import ManifestTable, write_and_commit
 
     o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
-    # stable per-sf location, rebuilt from scratch each run: repeated
-    # bench/verify invocations neither leak a temp dir per run nor
-    # accumulate manifest versions
+    # stable per-(sf, process) location, rebuilt from scratch each run:
+    # repeated invocations within a process neither leak a temp dir per
+    # run nor accumulate manifest versions, and the pid suffix keeps a
+    # concurrent driver/bench/pytest trio from rmtree-ing each other's
+    # live table mid-read (a plain per-sf path would)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"octopufs_evolve_{tag}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"octopufs_evolve_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     table = ManifestTable(root)
     old = o.where(F.col("yr") <= 1997).repartition("yr")
