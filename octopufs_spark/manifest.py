@@ -31,6 +31,7 @@ garbage collection safe to defer (``vacuum``).
 from __future__ import annotations
 
 import json
+import math
 import re
 import uuid
 from dataclasses import dataclass, field
@@ -873,16 +874,29 @@ class ManifestTable:
             # partition value rounds to double and two adjacent huge ints
             # collide — a range predicate then prunes a file it should
             # keep). Python compares int vs float exactly, so mixed
-            # int/float pairs need no common type.
+            # int/float pairs need no common type. STRICT on strings:
+            # int()/float() accept '1_0', ' 5 ', 'nan', 'inf' — a stored
+            # segment 'nan' parsed to NaN fails NaN == NaN and wrongly
+            # prunes the file (silent lost rows), so anything Python is
+            # lenient about falls to the string/never-prune path instead.
             if isinstance(x, bool):
                 raise ValueError("bool is not a segment numeric")
-            if isinstance(x, (int, float)):
+            if isinstance(x, float):
+                if not math.isfinite(x):
+                    raise ValueError("non-finite is not a segment numeric")
+                return x
+            if isinstance(x, int):
                 return x
             s = str(x)
+            if "_" in s or s.strip() != s:
+                raise ValueError(f"lenient numeric rendering: {s!r}")
             try:
                 return int(s)
             except ValueError:
-                return float(s)
+                v = float(s)
+                if not math.isfinite(v):
+                    raise ValueError(f"non-finite segment value: {s!r}")
+                return v
 
         def seg_may_match(f: str) -> bool:
             segs = dict(_hive_segments_of(f))
@@ -892,6 +906,11 @@ class ManifestTable:
                     # absent segment OR __HIVE_DEFAULT_PARTITION__ (null):
                     # never prune on it — null is a real stored value the
                     # predicate engine, not the path, must judge
+                    continue
+                if op == "=" and sv == str(val):
+                    # exact rendering match: the file's segment IS the
+                    # probed value, keep it before any numeric parse can
+                    # misjudge ('nan' = 'nan' must not fail via NaN != NaN)
                     continue
                 try:
                     left = _seg_num(sv)

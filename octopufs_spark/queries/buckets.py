@@ -13,7 +13,10 @@ reference: src/test/scala/TestUtils.scala:64-65).
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +26,42 @@ from octopufs_spark.queries.common import SQL_REVENUE, revenue_col
 from octopufs_spark.registry import register
 from octopufs_spark.tables import load
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def pid_scoped_root(prefix: str, tag: str) -> str:
+    """Per-(tag, process) temp location for query-owned table data.
+
+    The pid suffix keeps a concurrent driver/bench/pytest trio from
+    rmtree-ing or overwrite-deleting each other's live files mid-read
+    (a plain per-tag path races exactly that way). Two halves keep the
+    suffix from leaking a table copy per process forever: an atexit
+    hook removes THIS process's root on clean exit, and roots left by
+    crashed/killed siblings (their atexit never ran) are swept here
+    whenever their pid is no longer alive. A recycled pid keeps its
+    root until the recycler exits — conservative, never unsafe."""
+    tmp = tempfile.gettempdir()
+    root = os.path.join(tmp, f"{prefix}_{tag}_{os.getpid()}")
+    if root not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    pat = re.compile(re.escape(f"{prefix}_{tag}_") + r"(\d+)$")
+    try:
+        siblings = os.listdir(tmp)
+    except OSError:
+        siblings = []
+    for entry in siblings:
+        m = pat.match(entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except (PermissionError, OSError):
+            pass  # pid alive (or unknowable): leave its root alone
+    return root
+
 _N_BUCKETS = 8
 
 
@@ -31,15 +70,18 @@ def write_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     return the two catalog-backed DataFrames. Both sides use the SAME
     bucket count so Spark plans the join bucket-to-bucket (a storage-
     partitioned join): no Exchange, and the sortBy lets the merge join
-    skip its sorts too. Data lands under a per-sf temp location (stable
-    across calls — repeated runs overwrite instead of leaking temp
-    dirs); table metadata lives in the session catalog."""
+    skip its sorts too. Data lands under a per-(sf, process) temp
+    location (stable across calls within a process — repeated runs
+    overwrite instead of leaking temp dirs; the pid suffix keeps a
+    concurrent process's mode('overwrite') from deleting bucket files
+    this process's in-flight join is reading); table metadata lives in
+    the session catalog."""
     import hashlib
 
-    # stable digest (not the salted builtin hash): every process reuses
-    # the same per-sf location instead of leaking a copy per run
+    # stable digest (not the salted builtin hash): same-process runs
+    # reuse one location instead of leaking a copy per run
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"octopufs_buckets_{tag}")
+    root = pid_scoped_root("octopufs_buckets", tag)
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -138,11 +180,10 @@ def q_ext_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated invocations within a process neither leak a temp dir per
     # run nor accumulate manifest versions, and the pid suffix keeps a
     # concurrent driver/bench/pytest trio from rmtree-ing each other's
-    # live table mid-read (a plain per-sf path would)
+    # live table mid-read (a plain per-sf path would); atexit + dead-pid
+    # sweep in pid_scoped_root stop stale roots from accumulating
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join(
-        tempfile.gettempdir(), f"octopufs_evolve_{tag}_{os.getpid()}"
-    )
+    root = pid_scoped_root("octopufs_evolve", tag)
     shutil.rmtree(root, ignore_errors=True)
     table = ManifestTable(root)
     old = o.where(F.col("yr") <= 1997).repartition("yr")

@@ -1415,7 +1415,9 @@ def weighted_median_udaf(li: DataFrame) -> DataFrame:
     """The GROUPED_AGG pandas-UDAF formulation of the same statistic —
     the declared UDAF surface (SURVEY §2C), kept out of the registered
     hot path for plan-shape reasons (see q_udaf_weighted_median) and
-    exercised by tests/test_llm.py against the window plan's answer.
+    exercised by tests/test_tsq.py
+    (test_weighted_median_udaf_surface_matches_window_plan) against the
+    window plan's answer.
 
     The UDF accumulates weights in integer cents (exact), so the
     half-total comparison is bit-identical to DECIMAL arithmetic — no

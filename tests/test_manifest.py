@@ -2127,6 +2127,33 @@ def test_prune_plan_bigint_partition_exact(spark, table):
     assert skipped >= 1
 
 
+def test_prune_plan_lenient_numeric_strings_never_misprune(spark, table):
+    """Python's int()/float() accept 'nan', 'inf', '1_0', ' 5' — a
+    stored string segment 'nan' parsed to NaN fails NaN == NaN under an
+    ('=', 'nan') predicate and wrongly prunes the matching file (silent
+    lost rows). Equality short-circuits on exact rendering match, and
+    lenient renderings fall to the string path instead of parsing."""
+    vals = ["nan", "inf", "1_0"]
+    df = spark.range(0, 30).withColumn(
+        "k",
+        F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (F.col("id") % 3 + 1).cast("int")
+        ),
+    )
+    write_and_commit(df.repartition("k"), table, partition_by=["k"])
+    m = table.read_manifest()
+    for v in vals:
+        keep, _ = table.prune_plan([("k", "=", v)])
+        match_files = [f for f in m.files if f"k={v}/" in f or f"k={v}" in f]
+        assert match_files, v
+        assert set(match_files) <= set(keep), f"segment {v!r} wrongly pruned"
+        rows = table.read_pruned(spark, [("k", "=", v)]).where(F.col("k") == v).count()
+        assert rows == 10, v
+    # strictness doesn't break the optimization: other partitions prune
+    keep, skipped = table.prune_plan([("k", "=", "nan")])
+    assert skipped >= 1
+
+
 def test_partition_evolution_read_prune_and_optimize(spark, table):
     """Iceberg-model partition evolution: v1 unpartitioned, v2 appends
     under a hive layout. The snapshot read unions both layouts with

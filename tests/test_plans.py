@@ -318,3 +318,35 @@ def test_weighted_median_plan_has_no_python(plans):
     assert "EvalPython" not in plan  # no Batch/ArrowEvalPython node
     assert "FlatMapGroupsInPandas" not in plan
     assert "Window" in plan
+
+
+def test_pid_scoped_root_sweeps_dead_siblings(tmp_path, monkeypatch):
+    """The per-process bucket/evolution temp roots must not accumulate
+    forever: a sibling root whose pid is no longer alive is swept on
+    the next call, a live sibling's root (another process mid-join) is
+    left alone, and this process's own root registers an atexit
+    cleanup."""
+    import os
+    import subprocess
+
+    from octopufs_spark.queries import buckets
+
+    monkeypatch.setattr(buckets.tempfile, "gettempdir", lambda: str(tmp_path))
+    # a pid guaranteed dead: a just-reaped child (recycling within the
+    # test's microseconds is implausible)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    stale = tmp_path / f"octopufs_buckets_abc_{dead.pid}"
+    stale.mkdir()
+    (stale / "part-0.parquet").write_bytes(b"x")
+    alive = tmp_path / "octopufs_buckets_abc_1"  # pid 1 is always alive
+    alive.mkdir()
+    other_tag = tmp_path / f"octopufs_buckets_zzz_{dead.pid}"
+    other_tag.mkdir()
+
+    root = buckets.pid_scoped_root("octopufs_buckets", "abc")
+    assert root.endswith(f"_{os.getpid()}")
+    assert not stale.exists(), "dead sibling root not swept"
+    assert alive.exists(), "live sibling root must survive"
+    assert other_tag.exists(), "different tag must not be touched"
+    assert root in buckets._CLEANUP_REGISTERED
