@@ -82,6 +82,13 @@ class Manifest:
     # existing after vacuum. None on pre-upgrade manifests; consumers
     # fall back to a parent diff.
     added: list[str] | None = None
+    # In-commit timestamp (epoch seconds), recorded at publish and
+    # forced strictly ABOVE the parent's (the Delta inCommitTimestamps
+    # model): wall clocks regress across machines/NTP steps, and a
+    # non-monotonic history makes AS-OF-timestamp reads ambiguous.
+    # None on pre-upgrade manifests; consumers fall back to manifest
+    # file mtime.
+    committed_at: float | None = None
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -132,6 +139,69 @@ def _hive_segments_of(rel_file: str) -> list[tuple[str, str | None]]:
             k, _, v = seg.partition("=")
             out.append((_hive_unescape(k), None if v == _HIVE_NULL else _hive_unescape(v)))
     return out
+
+
+_DROPPED_PREFIX = "__octopufs_dropped_"
+
+
+def _apply_evolution(df: DataFrame, events: list) -> DataFrame:
+    """Apply the schema-evolution event log to one scan group (or a
+    delete-vector key frame). Events replay IN ORDER; a drop renames to
+    a reserved per-event sentinel instead of physically dropping, so
+    (a) a later ``rename y -> x`` after ``drop x`` cannot collide, and
+    (b) key-granular delete vectors whose key column was later dropped
+    still anti-join (both sides carry the same sentinel). The read
+    strips sentinels last. Events whose source column is absent are
+    no-ops — a group written after a rename already has the new name,
+    so replaying the full log converges every group to one schema."""
+    for i, ev in enumerate(events):
+        kind, *args = ev
+        if kind == "rename" and args[0] in df.columns:
+            df = df.withColumnRenamed(args[0], args[1])
+        elif kind == "drop" and args[0] in df.columns:
+            df = df.withColumnRenamed(args[0], f"{_DROPPED_PREFIX}{i}")
+    return df
+
+
+def _evolve_names(names: list[str], events: list) -> list[str]:
+    """The name-level twin of :func:`_apply_evolution`: where a list of
+    as-written column names ends up after the event log replays."""
+    out = list(names)
+    for i, ev in enumerate(events):
+        kind, *args = ev
+        for j, n in enumerate(out):
+            if kind == "rename" and n == args[0]:
+                out[j] = args[1]
+            elif kind == "drop" and n == args[0]:
+                out[j] = f"{_DROPPED_PREFIX}{i}"
+    return out
+
+
+def _alias_chain(col: str, events: list) -> list[str]:
+    """Every as-written (physical) name a CURRENT logical column may
+    carry in files, stats, blooms, or path segments — newest first.
+    Walks the event log backwards; the walk STOPS at any event that
+    gave the name away (an earlier ``rename col -> *`` or ``drop col``
+    means files before that event spell a DIFFERENT column ``col``, and
+    using their stats would prune on the wrong data)."""
+    chain = [col]
+    target = col
+    for ev in reversed(events):
+        kind, *args = ev
+        if kind == "rename":
+            if args[1] == target:
+                target = args[0]
+                chain.append(target)
+            elif args[0] == target:
+                break  # name was renamed AWAY earlier: older `col` is another column
+        elif kind == "drop" and args[0] == target:
+            break  # name was dropped earlier: older `col` is the dropped column
+    return chain
+
+
+def _strip_dropped(df: DataFrame) -> DataFrame:
+    gone = [c for c in df.columns if c.startswith(_DROPPED_PREFIX)]
+    return df.drop(*gone) if gone else df
 
 
 class ManifestTable:
@@ -217,13 +287,58 @@ class ManifestTable:
             parent=d.get("parent"),
             meta=d.get("meta", {}),
             added=d.get("added"),
+            committed_at=d.get("committed_at"),
         )
+
+    def commit_timestamp(self, version: int) -> float:
+        """When ``version`` committed (epoch seconds): the in-commit
+        timestamp when present, else the manifest file's store mtime
+        (pre-upgrade manifests) — the same fallback order Delta uses
+        for inCommitTimestamps."""
+        m = self.read_manifest(version)
+        if m.committed_at is not None:
+            return m.committed_at
+        info = self.fs.get_file_info(f"{self._mdir}/v{version}.json")
+        if info.mtime is None:
+            raise ValueError(f"no timestamp recoverable for v{version}")
+        return info.mtime.timestamp()
+
+    def version_as_of(self, ts) -> int:
+        """Newest version committed at-or-before ``ts`` (epoch seconds
+        or datetime) — AS OF TIMESTAMP resolution. Binary search over
+        the retained version list: O(log n) manifest reads, so a table
+        with years of streaming commits resolves a timestamp without
+        touching its whole history. In-commit timestamps are strictly
+        monotonic by construction (see ``_commit_with_retry``), which
+        is what makes the binary search — and the answer — well
+        defined even across writer clock skew."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed manifest under {self.root}")
+        if ts < self.commit_timestamp(vs[0]):
+            raise ValueError(
+                f"timestamp {ts} precedes the earliest retained commit of "
+                f"{self.root} (v{vs[0]}); earlier history may be vacuumed"
+            )
+        lo, hi = 0, len(vs) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self.commit_timestamp(vs[mid]) <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        return vs[lo]
 
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         merge_schema: bool = False,
+        timestamp=None,
     ) -> DataFrame:
         """Load the committed snapshot — optionally time-traveled.
         Merge-on-read delete vectors recorded in the manifest meta
@@ -241,7 +356,15 @@ class ManifestTable:
         opaque parquet path error mid-query. The check is one metadata
         call per file — fine for time travel (rare, explicit); the
         latest-version hot path skips it because ``vacuum`` never
-        removes the newest snapshot's files."""
+        removes the newest snapshot's files.
+
+        ``timestamp`` (epoch seconds or datetime) is AS OF TIMESTAMP:
+        resolved to the newest version committed at-or-before it via
+        :meth:`version_as_of`, mutually exclusive with ``version``."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_as_of(timestamp)
         m = self.read_manifest(version)
         if version is not None:
             self._check_not_vacuumed(m)
@@ -252,8 +375,9 @@ class ManifestTable:
             m.files,
             merge_schema=merge_schema,
             annotate_positions=self._has_positional_dvs(m),
+            evolution=m.meta.get("schema_evolution"),
         )
-        return self._apply_delete_vectors(spark, df, m)
+        return _strip_dropped(self._apply_delete_vectors(spark, df, m))
 
     @staticmethod
     def _has_positional_dvs(m: Manifest) -> bool:
@@ -277,6 +401,7 @@ class ManifestTable:
         rel_files: list[str],
         merge_schema: bool = False,
         annotate_positions: bool = False,
+        evolution: list | None = None,
     ) -> DataFrame:
         """Parquet scan over snapshot-relative files with hive partition
         columns RECOVERED. Explicit file lists disable Spark's partition
@@ -305,9 +430,23 @@ class ManifestTable:
             return r
 
         def finish(df: DataFrame) -> DataFrame:
-            return self._annotate_positions(df) if annotate_positions else df
+            # position annotation binds on the raw file scan (before any
+            # rename — _metadata resolves only there); evolution replays
+            # PER GROUP so pre- and post-rename commits union under one
+            # schema instead of two half-null columns
+            if annotate_positions:
+                df = self._annotate_positions(df)
+            if evolution:
+                df = _apply_evolution(df, evolution)
+            return df
 
-        if not has_parts:
+        # an evolution log forces the grouped path even without hive
+        # segments: one flat scan would mix pre- and post-rename files
+        # under a single footer-sampled schema (half the rows NULL);
+        # per-staging-dir groups are schema-consistent (one commit
+        # writes one dir), so the log replays per group and the union
+        # converges on the logical schema
+        if not has_parts and not evolution:
             return finish(reader().parquet(*[f"{self.root}/{f}" for f in rel_files]))
         groups: dict[str, list[str]] = {}
         for f in rel_files:
@@ -357,9 +496,19 @@ class ManifestTable:
                 )
                 df = df.join(_F.broadcast(gone), ["_dv_file", "_dv_pos"], "left_anti")
             df = df.drop("_dv_file", "_dv_pos")
+        events = m.meta.get("schema_evolution", [])
         for dv in key_dvs:
             keys_df = spark.read.parquet(f"{self.root}/{dv['path']}")
-            df = df.join(_F.broadcast(keys_df), dv["keys"], "left_anti")
+            join_keys = dv["keys"]
+            if events:
+                # a vector stores key columns as spelled AT DELETE TIME;
+                # the scan has current logical names — replay the same
+                # event log on both the key frame and the key-name list
+                # so later renames (or even drops, via the sentinel)
+                # cannot silently detach an existing vector
+                keys_df = _apply_evolution(keys_df, events)
+                join_keys = _evolve_names(list(join_keys), events)
+            df = df.join(_F.broadcast(keys_df), join_keys, "left_anti")
         return df
 
     def _rel_path_col(self):
@@ -439,6 +588,11 @@ class ManifestTable:
                 "parent": manifest.parent,
                 "meta": manifest.meta,
                 **({"added": manifest.added} if manifest.added is not None else {}),
+                **(
+                    {"committed_at": manifest.committed_at}
+                    if manifest.committed_at is not None
+                    else {}
+                ),
             },
             indent=1,
         ).encode()
@@ -545,6 +699,79 @@ class ManifestTable:
 
         return self._commit_with_retry(build, operation, meta)
 
+    # ---------- metadata-only schema evolution ----------
+
+    def _logical_columns(self, m: Manifest) -> set[str]:
+        """Current logical column set of a snapshot: the union of each
+        staging group's first-file parquet footer plus hive partition
+        keys, replayed through the evolution log. Footer reads only —
+        O(commits), no data pages touched."""
+        import pyarrow.parquet as pq
+
+        first_of_group: dict[str, str] = {}
+        for f in m.files:
+            top = f.split("/", 1)[0] if "/" in f else ""
+            first_of_group.setdefault(top, f)
+        phys: set[str] = set()
+        for f in first_of_group.values():
+            sch = pq.read_schema(f"{self.root_path}/{f}", filesystem=self.fs)
+            phys.update(sch.names)
+            phys.update(k for k, _ in _hive_segments_of(f))
+        logical = set(_evolve_names(sorted(phys), m.meta.get("schema_evolution", [])))
+        return {c for c in logical if not c.startswith(_DROPPED_PREFIX)}
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename — the Iceberg/Delta column-mapping
+        move: ZERO data files rewritten (at 100 TB a physical rename is
+        a full-table rewrite; this is one manifest commit). Reads replay
+        the event log per scan group, pruning resolves predicates
+        through the alias chain, and delete vectors keyed on the old
+        name keep applying. A retired name (previously renamed away or
+        dropped) can never be reused as the NEW name: event replay
+        identifies columns by name, so reuse would make old files'
+        columns ambiguous (Iceberg avoids this with field IDs; the
+        rejection buys the same safety without rewriting footers)."""
+        if old == new:
+            raise ValueError("rename requires distinct names")
+
+        def build(parent: Manifest | None) -> list[str]:
+            if parent is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
+            events = parent.meta.get("schema_evolution", [])
+            retired = {ev[1] for ev in events if ev[0] in ("rename", "drop")}
+            if new in retired:
+                raise ValueError(
+                    f"column name {new!r} was previously retired by a rename/drop; "
+                    "reusing it would make old files ambiguous — pick a fresh name"
+                )
+            logical = self._logical_columns(parent)
+            if old not in logical:
+                raise ValueError(f"no such column {old!r}; have {sorted(logical)}")
+            if new in logical:
+                raise ValueError(f"column {new!r} already exists")
+            return list(parent.files)
+
+        return self._commit_with_retry(
+            build, "rename_column", {"schema_evolution_new": [["rename", old, new]]}
+        )
+
+    def drop_column(self, col: str) -> int:
+        """Metadata-only column drop: the data stays in the files (and
+        in time-traveled reads of older versions); current-version
+        reads stop surfacing it. A later compaction rewrite
+        materializes the drop physically."""
+
+        def build(parent: Manifest | None) -> list[str]:
+            if parent is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
+            if col not in self._logical_columns(parent):
+                raise ValueError(f"no such column {col!r}")
+            return list(parent.files)
+
+        return self._commit_with_retry(
+            build, "drop_column", {"schema_evolution_new": [["drop", col]]}
+        )
+
     @staticmethod
     def _carry_delete_vectors(parent: Manifest | None, files: list[str], meta: dict) -> dict:
         """Merge the parent snapshot's merge-on-read delete vectors into
@@ -632,12 +859,55 @@ class ManifestTable:
             return meta
         return {**meta, "stream_txn": parent_txn}
 
+    @staticmethod
+    def _carry_schema_evolution(
+        parent: Manifest | None, files: list[str], meta: dict
+    ) -> dict:
+        """Carry the ordered schema-evolution event log (metadata-only
+        column renames/drops — the Iceberg/Delta column-mapping idea:
+        no data file is ever rewritten for a schema change) on every
+        commit that RETAINS a parent file, appending any events this
+        commit adds under the ``schema_evolution_new`` marker. Events
+        are a LIST, not a map, because order is semantic: ``drop x``
+        then ``rename y -> x`` must not re-drop the renamed column. The
+        marker form keeps the commit retry-safe — each retry re-reads
+        the parent's log and re-appends only its own events. A FULL
+        rewrite (no parent file survives — overwrite, unscoped
+        compaction) materializes the current logical schema into the
+        new files, so the log drops and every retired name is free
+        again — the same lifecycle as delete vectors, and safe for
+        time travel because each manifest snapshot keeps its own log."""
+        # seed from the parent's log, or — first commit of a fresh root
+        # (clone) — from the log the caller carried over in meta
+        events = (
+            list(parent.meta.get("schema_evolution", []))
+            if parent
+            else list(meta.get("schema_evolution", []))
+        )
+        new_events = meta.get("schema_evolution_new", [])
+        meta = {k: v for k, v in meta.items() if k != "schema_evolution_new"}
+        if events and parent is not None:
+            parent_files = set(parent.files)
+            if not any(f in parent_files for f in files):
+                events = []  # full rewrite: evolution is materialized
+        events += new_events
+        if not events:
+            return {k: v for k, v in meta.items() if k != "schema_evolution"}
+        return {**meta, "schema_evolution": events}
+
     def _commit_with_retry(self, files_or_build, operation: str, meta: dict | None) -> int:
+        import time
+
         for _ in range(5):  # reference-style bounded retry
             latest = self.latest_version()
             parent = self.read_manifest(latest) if latest is not None else None
             files = files_or_build(parent) if callable(files_or_build) else files_or_build
             parent_files = set(parent.files) if parent else set()
+            # in-commit timestamp, forced strictly above the parent's so
+            # the committed history is monotonic even when wall clocks
+            # step backwards between commits (AS-OF-timestamp reads
+            # binary-search on this)
+            parent_ts = (parent.committed_at or 0.0) if parent else 0.0
             m = Manifest(
                 version=(latest or 0) + 1 if latest is not None else 1,
                 files=files,
@@ -648,10 +918,15 @@ class ManifestTable:
                     self._carry_skipping_meta(
                         parent,
                         files,
-                        self._carry_delete_vectors(parent, files, meta or {}),
+                        self._carry_schema_evolution(
+                            parent,
+                            files,
+                            self._carry_delete_vectors(parent, files, meta or {}),
+                        ),
                     ),
                 ),
                 added=[f for f in files if f not in parent_files],
+                committed_at=max(time.time(), parent_ts + 0.001),
             )
             try:
                 return self._publish(m)
@@ -868,6 +1143,13 @@ class ManifestTable:
         m = self.read_manifest(version)
         stats = m.meta.get("file_stats", {})
         blooms = m.meta.get("bloom_index", {})  # {column: {rel: bloom}}
+        # metadata-only renames mean a logical column may be spelled by
+        # any of its historical names in old files' stats/blooms/path
+        # segments — resolve each predicate through its alias chain so
+        # pruning keeps working across renames instead of silently
+        # reading everything (or worse, matching the wrong column)
+        events = m.meta.get("schema_evolution", [])
+        alias_of = {col: _alias_chain(col, events) for col, _, _ in predicates}
 
         def _seg_num(x):
             # exact numeric parse: ints stay ints (float() of a 19-digit
@@ -901,7 +1183,9 @@ class ManifestTable:
         def seg_may_match(f: str) -> bool:
             segs = dict(_hive_segments_of(f))
             for col, op, val in predicates:
-                sv = segs.get(col)
+                sv = next(
+                    (segs[a] for a in alias_of[col] if segs.get(a) is not None), None
+                )
                 if sv is None:
                     # absent segment OR __HIVE_DEFAULT_PARTITION__ (null):
                     # never prune on it — null is a real stored value the
@@ -933,15 +1217,28 @@ class ManifestTable:
                     return False
             return True
 
+        def _preds_for(fstats: dict) -> list[tuple]:
+            if not events:
+                return predicates
+            mins = fstats.get("min", {})
+            return [
+                (next((a for a in alias_of[col] if a in mins), col), op, val)
+                for col, op, val in predicates
+            ]
+
         def may_match(f: str) -> bool:
             if not seg_may_match(f):
                 return False
-            if f in stats and not self._file_may_match(stats[f], predicates):
+            if f in stats and not self._file_may_match(stats[f], _preds_for(stats[f])):
                 return False
             for col, op, val in predicates:
-                if op == "=" and col in blooms and f in blooms[col]:
-                    if not self._bloom_may_contain(blooms[col][f], val):
-                        return False
+                if op != "=":
+                    continue
+                for a in alias_of[col]:
+                    if a in blooms and f in blooms[a]:
+                        if not self._bloom_may_contain(blooms[a][f], val):
+                            return False
+                        break
             return True
 
         keep = [f for f in m.files if may_match(f)]
@@ -957,13 +1254,19 @@ class ManifestTable:
         over the handful a selective predicate touches."""
         keep, _ = self.prune_plan(predicates, version)
         m = self.read_manifest(version)
+        evolution = m.meta.get("schema_evolution")
         if not keep:
             # preserve schema with an empty, zero-file-cost scan
-            return self._scan_files(spark, [m.files[0]]).limit(0)
+            return _strip_dropped(
+                self._scan_files(spark, [m.files[0]], evolution=evolution).limit(0)
+            )
         df = self._scan_files(
-            spark, keep, annotate_positions=self._has_positional_dvs(m)
+            spark,
+            keep,
+            annotate_positions=self._has_positional_dvs(m),
+            evolution=evolution,
         )
-        return self._apply_delete_vectors(spark, df, m)
+        return _strip_dropped(self._apply_delete_vectors(spark, df, m))
 
     # ---------- maintenance ----------
 
@@ -1477,6 +1780,72 @@ def promote_table_to_manifest(
     return table.commit_overwrite(
         staged, operation="promote", meta={"source": source_table, **(meta or {})}
     )
+
+
+def clone_table(
+    src: ManifestTable, dest_root: str, version: int | None = None
+) -> ManifestTable:
+    """Zero-copy table clone: a NEW manifest table whose v1 names the
+    source snapshot's files — data files and delete-vector payloads are
+    HARD LINKED on local-backed stores (one metadata op per file, no
+    bytes move; at 100 TB a clone is O(files), not O(bytes)), streamed
+    copies elsewhere (the stand-in for an object store's server-side
+    copy). Unlike Delta's shallow clones — which break when the source
+    vacuums, because the clone's log points INTO the source's
+    directory — a link is an independent name on the same inode: the
+    source vacuuming (or being deleted outright) never invalidates the
+    clone, and neither table's writes are visible to the other. All
+    snapshot metadata carries: delete vectors keep applying, zone
+    maps/Blooms keep pruning, the schema-evolution log keeps replaying,
+    and stream high-water marks carry so an idempotent writer resumed
+    against the clone will not double-apply batches it already
+    delivered to the source."""
+    import os as _os
+
+    import pyarrow.fs as pafs
+
+    m = src.read_manifest(version)
+    # a clone of a half-vacuumed snapshot would publish dangling refs
+    src._check_not_vacuumed(m)
+    dest = ManifestTable(dest_root)
+    if dest.latest_version() is not None:
+        raise FileExistsError(f"{dest_root} already has commits; clone needs a fresh root")
+    rels = list(m.files)
+    for dv in m.meta.get("delete_vectors", []):
+        sub = dv["path"].rstrip("/")
+        info = src.fs.get_file_info(f"{src.root_path}/{sub}")
+        if info.type == pafs.FileType.File:
+            rels.append(sub)
+        else:
+            rels.extend(
+                el.path[len(src.root_path) + 1 :]
+                for el in list_tree(f"{src.root}/{sub}")
+                if not el.is_dir
+            )
+    linkable = isinstance(src.fs, pafs.LocalFileSystem) and isinstance(
+        dest.fs, pafs.LocalFileSystem
+    )
+    for rel in rels:
+        s = f"{src.root_path}/{rel}"
+        d = f"{dest.root_path}/{rel}"
+        dest.fs.create_dir(_os.path.dirname(d), recursive=True)
+        if linkable:
+            try:
+                _os.link(s, d)
+                continue
+            except OSError:
+                pass  # cross-device or link-less fs: fall through to copy
+        with src.fs.open_input_stream(s) as fin:
+            with dest.fs.open_output_stream(d) as fout:
+                while True:
+                    chunk = fin.read(8 << 20)
+                    if not chunk:
+                        break
+                    fout.write(chunk)
+    dest._commit_with_retry(
+        list(m.files), "clone", {**m.meta, "clone_source": src.root}
+    )
+    return dest
 
 
 def _max_committed_stream_batch(table: ManifestTable, writer_id: str) -> int | None:

@@ -1,0 +1,242 @@
+"""Lakehouse evolution queries: metadata-only schema evolution (column
+mapping), AS-OF-TIMESTAMP time travel, and zero-copy table cloning —
+the table-maintenance operations a 100 TB lakehouse performs without
+rewriting data.
+
+Each is registered with a full DuckDB oracle recomputing the expected
+values from the base tables, so the METADATA machinery (event-log
+replay, in-commit timestamps, hard-link clones) is value-verified: a
+rename that detaches a delete vector, a timestamp resolution off by one
+version, or a clone sharing state with its source flips the hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+
+@register(
+    "q_ext_schema_rename",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE year(o_orderdate) = 1995 AND o_orderkey % 50 <> 0) AS BIGINT) AS rows_1995,
+       TRUE AS pruning_effective
+FROM orders WHERE o_orderkey % 50 <> 0
+""",
+)
+def q_ext_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COLUMN RENAME on a manifest table (the
+    Iceberg/Delta column-mapping model: zero data files rewritten —
+    at 100 TB a physical rename is a full-table rewrite, this is one
+    manifest commit). The scenario stacks every interaction that can
+    go wrong: v1 commits pre-1998 orders hive-partitioned by year with
+    zone-map stats; a merge-on-read delete vector keyed on the order
+    key lands; then ALL THREE columns are renamed — including the
+    PARTITION column and the VECTOR KEY column — and post-rename years
+    append under the new names. The final read must (a) union pre- and
+    post-rename files under one schema, (b) keep the old-name delete
+    vector applying (event-log replay on the key frame), and (c) keep
+    partition pruning working through the alias chain (old dirs spell
+    yr=..., the predicate says order_year). The oracle recomputes
+    totals and the 1995 row count from the base table, so any of those
+    failing — resurrection, lost rows, half-NULL union — flips the
+    hash. pruning_effective pins that the renamed partition predicate
+    still SKIPS files (over-reading is a perf bug the hash alone
+    would miss)."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_schevo_")
+    table = ManifestTable(root)
+    write_and_commit(
+        o.where(F.col("yr") <= 1997).repartition("yr"),
+        table,
+        partition_by=["yr"],
+        stats=True,
+    )
+    # equality delete vector keyed on the SOON-TO-BE-RENAMED key column;
+    # snapshot-global semantics: it also hides matching appended rows
+    delete_where_mor(
+        spark,
+        table,
+        o.where(F.col("o_orderkey") % 50 == 0).select("o_orderkey").distinct(),
+        keys=["o_orderkey"],
+    )
+    table.rename_column("o_orderkey", "okey")
+    table.rename_column("o_totalprice", "price")
+    table.rename_column("yr", "order_year")
+    write_and_commit(
+        o.where(F.col("yr") >= 1998).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("price"),
+            F.col("yr").alias("order_year"),
+        ),
+        table,
+        mode="append",
+        stats=True,
+    )
+    keep, skipped = table.prune_plan([("order_year", "=", 1995)])
+    rows_1995 = (
+        table.read_pruned(spark, [("order_year", "=", 1995)])
+        .where(F.col("order_year") == 1995)
+        .count()
+    )
+    agg = table.read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "total_price",
+        F.lit(rows_1995).cast("long").alias("rows_1995"),
+        F.lit(bool(skipped >= 1)).alias("pruning_effective"),
+    )
+
+
+@register(
+    "q_ext_time_travel_ts",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS v_at_t1, CAST(1 AS BIGINT) AS v_mid, CAST(2 AS BIGINT) AS v_at_t2,
+       CAST((SELECT COUNT(*) FROM orders WHERE year(o_orderdate) <= 1996) AS BIGINT) AS n_t1,
+       CAST((SELECT COUNT(*) FROM orders WHERE year(o_orderdate) <= 1997) AS BIGINT) AS n_t2,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_latest,
+       TRUE AS monotonic
+""",
+)
+def q_ext_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF TIMESTAMP time travel: every commit records an IN-COMMIT
+    timestamp forced strictly above its parent's (the Delta
+    inCommitTimestamps model — wall clocks regress across writers; the
+    committed history must not), and a timestamp probe binary-searches
+    the version list, so a table with years of streaming commits
+    resolves AS OF in O(log n) manifest reads. Three commits build
+    growing year ranges; probes AT each recorded timestamp and BETWEEN
+    two of them must resolve to exactly the right snapshot — the
+    oracle pins both the resolved version numbers and each snapshot's
+    row count, so an off-by-one at a commit boundary (the classic
+    at-or-before bug) flips the hash."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_ttts_")
+    table = ManifestTable(root)
+    write_and_commit(o.where(F.col("yr") <= 1996), table)
+    write_and_commit(o.where(F.col("yr") == 1997), table, mode="append")
+    write_and_commit(o.where(F.col("yr") >= 1998), table, mode="append")
+    t1, t2 = table.commit_timestamp(1), table.commit_timestamp(2)
+    v_at_t1 = table.version_as_of(t1)
+    v_mid = table.version_as_of((t1 + t2) / 2)
+    v_at_t2 = table.version_as_of(t2)
+    n_t1 = table.read(spark, timestamp=t1).count()
+    n_t2 = table.read(spark, timestamp=t2).count()
+    n_latest = table.read(spark).count()
+    monotonic = t1 < t2 < table.commit_timestamp(3)
+    return spark.range(1).select(
+        F.lit(v_at_t1).cast("long").alias("v_at_t1"),
+        F.lit(v_mid).cast("long").alias("v_mid"),
+        F.lit(v_at_t2).cast("long").alias("v_at_t2"),
+        F.lit(n_t1).cast("long").alias("n_t1"),
+        F.lit(n_t2).cast("long").alias("n_t2"),
+        F.lit(n_latest).cast("long").alias("n_latest"),
+        F.lit(bool(monotonic)).alias("monotonic"),
+    )
+
+
+@register(
+    "q_ext_clone_zero_copy",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS src_rows,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) AS DOUBLE) AS src_total,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 0)
+            + (SELECT COUNT(*) FROM orders
+               WHERE year(o_orderdate) = 1998 AND o_orderkey % 10 <> 0) AS BIGINT) AS clone_rows,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders WHERE o_orderkey % 10 <> 0)
+          + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders WHERE year(o_orderdate) = 1998 AND o_orderkey % 10 <> 0) AS DOUBLE) AS clone_total
+""",
+)
+def q_ext_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY table clone: the clone's v1 hard-links the source
+    snapshot's files (O(files) metadata ops, no bytes move — cloning a
+    100 TB table costs the same as cloning a 100 MB one) and the two
+    tables then evolve independently. The query clones the orders
+    table, appends a second copy of the 1998 orders to the CLONE only
+    (keys offset so they stay distinct), MOR-deletes every 10th key
+    from the CLONE only, and — the part a pointer-based shallow clone
+    fails — fully vacuums the SOURCE before reading the clone: a hard
+    link is an independent name on the inode, so the clone survives
+    (Delta shallow clones break here; see manifest.clone_table). The
+    oracle recomputes both tables' counts and totals from the base
+    table: divergence leaking in either direction (clone's delete
+    hiding source rows, source's vacuum dropping clone rows) flips
+    the hash."""
+    from octopufs_spark.manifest import (
+        ManifestTable,
+        clone_table,
+        compact_and_commit,
+        write_and_commit,
+    )
+    from octopufs_spark.merge import delete_where_mor
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_clone_")
+    src = ManifestTable(f"{root}/src")
+    write_and_commit(o.repartition(4), src, stats=True)
+    clone = clone_table(src, f"{root}/clone")
+    # diverge the clone: append offset-keyed 1998 rows, delete every
+    # 10th key (the offset is a multiple of 10, so the appended rows'
+    # key residues match the base rows' — the oracle mirrors that)
+    write_and_commit(
+        o.where(F.col("yr") == 1998).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+        ),
+        clone,
+        mode="append",
+    )
+    delete_where_mor(
+        spark,
+        clone,
+        clone.read(spark)
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey")
+        .distinct(),
+        keys=["o_orderkey"],
+    )
+    # source: full rewrite + aggressive vacuum — unlinks every file the
+    # clone's v1 references by the SOURCE's name for it
+    compact_and_commit(spark, src, target_file_bytes=1 << 40)
+    src.vacuum(keep_versions=1, retention_seconds=0)
+    src_agg = src.read(spark).agg(
+        F.count("*").alias("src_rows"),
+        F.sum("price").cast("double").alias("src_total"),
+    )
+    clone_agg = clone.read(spark).agg(
+        F.count("*").alias("clone_rows"),
+        F.sum("price").cast("double").alias("clone_total"),
+    )
+    return src_agg.crossJoin(clone_agg).select(
+        F.col("src_rows").cast("long").alias("src_rows"),
+        "src_total",
+        F.col("clone_rows").cast("long").alias("clone_rows"),
+        "clone_total",
+    )

@@ -313,6 +313,20 @@ class ManifestStreamReader(DataSourceStreamReader):
         # restart it could return an offset BEHIND the checkpoint and
         # re-emit rows.)
         self._pos: tuple[int, int | None] | None = None
+        # schema-evolution event log FIXED AT QUERY START (the Delta
+        # contract: a stream's schema is pinned; a rename committed
+        # mid-stream surfaces post-rename files whose columns no longer
+        # match and the query fails — restart to pick up the new
+        # schema). Replaying the start-time log per batch lets one
+        # stream read files written before AND after historical renames
+        # under the current logical names. Serialized with the reader,
+        # so executor-side read() sees the same pinned log.
+        try:
+            self._evolution = (
+                self._table().read_manifest().meta.get("schema_evolution", [])
+            )
+        except FileNotFoundError:
+            self._evolution = []
 
     def _table(self):
         from octopufs_spark.manifest import ManifestTable
@@ -346,6 +360,14 @@ class ManifestStreamReader(DataSourceStreamReader):
             ) from None
         if m.operation == "dv-consolidate":
             return []  # vector maintenance: no files added, no visible-row change
+        if m.operation in ("rename_column", "drop_column"):
+            # metadata-only schema evolution: no files added, no row
+            # change. Events BEFORE the stream started are replayed per
+            # batch (the pinned log); an event committed MID-STREAM
+            # changes the logical schema out from under a fixed-schema
+            # query, so post-event files will fail the schema match —
+            # the restart-to-pick-up-schema contract, same as Delta.
+            return []
         if m.operation == "delete_mor":
             if self.skip_change_commits:
                 return []  # adds no files; visible-row change skipped by opt-in
@@ -486,14 +508,17 @@ class ManifestStreamReader(DataSourceStreamReader):
         # names, not file bytes) are re-attached as constant string
         # columns, matching schema()'s contract.
         parts = _hive_segments(partition.rel_file)
+        evolution = getattr(self, "_evolution", [])
         pf = pq.ParquetFile(fs.open_input_file(f"{root}/{partition.rel_file}"))
         for batch in pf.iter_batches(row_groups=partition.row_groups):
-            if parts:
+            if parts or evolution:
                 arrays = list(batch.columns)
                 names = list(batch.schema.names)
                 for k, v in parts:
                     arrays.append(pa.array([v] * batch.num_rows, type=pa.string()))
                     names.append(k)
+                if evolution:
+                    names, arrays = _evolved_columns(names, arrays, evolution)
                 batch = pa.RecordBatch.from_arrays(arrays, names=names)
             yield batch
 
@@ -507,6 +532,18 @@ def _hive_segments(rel_file: str) -> list[tuple[str, str]]:
     from octopufs_spark.manifest import _hive_segments_of
 
     return _hive_segments_of(rel_file)
+
+
+def _evolved_columns(names: list[str], arrays: list, evolution: list):
+    """Replay the table's schema-evolution log on an Arrow batch's
+    column list: historical names map to current logical names,
+    dropped columns vanish (canonical name semantics live with the
+    manifest's ``_evolve_names``)."""
+    from octopufs_spark.manifest import _DROPPED_PREFIX, _evolve_names
+
+    evolved = _evolve_names(names, evolution)
+    keep = [i for i, n in enumerate(evolved) if not n.startswith(_DROPPED_PREFIX)]
+    return [evolved[i] for i in keep], [arrays[i] for i in keep]
 
 
 class ManifestStreamSource(DataSource):
@@ -542,6 +579,21 @@ class ManifestStreamSource(DataSource):
             # nullable: __HIVE_DEFAULT_PARTITION__ segments decode to
             # null (the batch reader surfaces them as null too)
             st = st.add(StructField(k, StringType(), True))
+        evolution = m.meta.get("schema_evolution", [])
+        if evolution:
+            # same log the per-batch reader replays: the stream schema
+            # shows current LOGICAL names, dropped columns omitted
+            from octopufs_spark.manifest import _DROPPED_PREFIX, _evolve_names
+            from pyspark.sql.types import StructType
+
+            evolved = _evolve_names(list(st.names), evolution)
+            st = StructType(
+                [
+                    StructField(n, f.dataType, f.nullable)
+                    for n, f in zip(evolved, st.fields)
+                    if not n.startswith(_DROPPED_PREFIX)
+                ]
+            )
         return st
 
     def streamReader(self, schema) -> ManifestStreamReader:

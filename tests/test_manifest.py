@@ -2240,3 +2240,255 @@ def test_auto_optimize_handles_null_partition(spark, table):
     )
     assert v is not None
     assert table.read(spark).where(F.col("k").isNull()).count() == 200
+
+
+# ---------- in-commit timestamps / AS OF TIMESTAMP ----------
+
+
+def test_in_commit_timestamps_monotonic_and_as_of(spark, table):
+    """Every commit records an in-commit timestamp strictly above its
+    parent's (Delta inCommitTimestamps: wall clocks regress; the
+    committed history must not), and AS-OF-timestamp reads resolve to
+    the newest commit at-or-before the probe."""
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 0, 20), table)
+    write_and_commit(_df(spark, 0, 30), table)
+    ts = [table.commit_timestamp(v) for v in (1, 2, 3)]
+    assert ts[0] < ts[1] < ts[2]
+    assert table.version_as_of(ts[0]) == 1
+    assert table.version_as_of((ts[1] + ts[2]) / 2) == 2
+    assert table.version_as_of(ts[2] + 60) == 3
+    assert table.read(spark, timestamp=ts[1]).count() == 20
+    with pytest.raises(ValueError):
+        table.version_as_of(ts[0] - 60)  # precedes retained history
+    with pytest.raises(ValueError):
+        table.read(spark, version=1, timestamp=ts[0])  # mutually exclusive
+
+
+def test_in_commit_timestamps_survive_clock_regression(spark, table, monkeypatch):
+    """A writer whose wall clock stepped backwards still publishes a
+    timestamp strictly above the parent's."""
+    import time as _time
+
+    write_and_commit(_df(spark, 0, 10), table)
+    t1 = table.read_manifest().committed_at
+    monkeypatch.setattr(_time, "time", lambda: t1 - 3600.0)  # clock fell back an hour
+    write_and_commit(_df(spark, 0, 20), table)
+    t2 = table.read_manifest().committed_at
+    assert t2 > t1
+
+
+def test_commit_timestamp_mtime_fallback_for_pre_upgrade_manifest(spark, table):
+    """Manifests written before in-commit timestamps existed have no
+    committed_at field; commit_timestamp falls back to the manifest
+    file's store mtime so AS OF TIMESTAMP still resolves."""
+    import json as _json
+
+    write_and_commit(_df(spark, 0, 10), table)
+    mpath = f"{table.root_path}/_manifest/v1.json"
+    with open(mpath) as f:
+        d = _json.load(f)
+    d.pop("committed_at")
+    with open(mpath, "w") as f:
+        _json.dump(d, f)
+    assert table.read_manifest(1).committed_at is None
+    ts = table.commit_timestamp(1)
+    assert ts > 0
+    assert table.version_as_of(ts) == 1
+
+
+# ---------- metadata-only schema evolution (column mapping) ----------
+
+
+def test_rename_column_is_metadata_only_and_reads_unified(spark, table):
+    """rename_column rewrites ZERO data files (same file list, one
+    manifest commit); reads surface the new name for files written
+    before AND after the rename, unioned under one schema."""
+    write_and_commit(_df(spark, 0, 50), table)
+    v = table.rename_column("v", "val")
+    assert table.read_manifest(v).files == table.read_manifest(v - 1).files
+    assert table.read_manifest(v).operation == "rename_column"
+    got = table.read(spark)
+    assert "val" in got.columns and "v" not in got.columns
+    write_and_commit(
+        _df(spark, 50, 80).withColumnRenamed("v", "val"), table, mode="append"
+    )
+    got = table.read(spark)
+    assert got.count() == 80
+    assert got.agg(F.sum("val")).collect()[0][0] == sum(2 * i for i in range(80))
+    # time travel: the pre-rename snapshot still reads with the old name
+    assert "v" in table.read(spark, version=v - 1).columns
+
+
+def test_rename_column_keeps_pruning_via_alias_chain(spark, table):
+    """Zone-map stats collected under the OLD name keep pruning after
+    the rename: the predicate's alias chain resolves the logical name
+    back to the as-written one per file."""
+    df = spark.range(0, 1000).withColumn("v", F.col("id"))
+    write_and_commit(df.repartitionByRange(4, "id"), table, stats=True)
+    table.rename_column("v", "val")
+    keep, skipped = table.prune_plan([("val", ">=", 900)])
+    assert skipped >= 2, "rename must not disable zone-map pruning"
+    rows = table.read_pruned(spark, [("val", ">=", 900)]).where(F.col("val") >= 900)
+    assert rows.count() == 100
+
+
+def test_rename_partition_column_prunes_segments(spark, table):
+    """Renaming a hive PARTITION column: old dirs still spell k=..., the
+    read surfaces the new name, and a predicate on the new name prunes
+    whole partitions through the alias chain."""
+    df = spark.range(0, 40).withColumn("k", (F.col("id") % 4).cast("string"))
+    write_and_commit(df.repartition("k"), table, partition_by=["k"])
+    table.rename_column("k", "bucket")
+    got = table.read(spark)
+    assert "bucket" in got.columns and "k" not in got.columns
+    keep, skipped = table.prune_plan([("bucket", "=", "2")])
+    assert skipped >= 3
+    assert got.where(F.col("bucket") == "2").count() == 10
+
+
+def test_rename_keeps_mor_delete_vectors_applying(spark, table):
+    """A key-granular delete vector recorded under the old column name
+    must keep hiding its rows after the key column is renamed (the
+    vector's key frame replays the same event log as the scan)."""
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100), table)
+    delete_where_mor(spark, table, spark.range(0, 10).select("id"), keys=["id"])
+    table.rename_column("id", "row_id")
+    got = table.read(spark)
+    assert "row_id" in got.columns
+    assert got.count() == 90
+    assert got.agg(F.min("row_id")).collect()[0][0] == 10
+
+
+def test_drop_column_metadata_only_then_vector_still_applies(spark, table):
+    """drop_column hides the column without touching files; a delete
+    vector keyed on the dropped column still filters rows (both sides
+    carry the drop sentinel), and time travel resurfaces the column."""
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100), table)
+    delete_where_mor(spark, table, spark.range(0, 10).select("id"), keys=["id"])
+    v = table.drop_column("id")
+    got = table.read(spark)
+    assert "id" not in got.columns
+    assert not [c for c in got.columns if c.startswith("__octopufs_dropped_")]
+    assert got.count() == 90  # the id-keyed vector still applies
+    assert "id" in table.read(spark, version=v - 1).columns
+
+
+def test_rename_rejects_conflicts_and_retired_names(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    with pytest.raises(ValueError):
+        table.rename_column("id", "v")  # target exists
+    with pytest.raises(ValueError):
+        table.rename_column("nope", "x")  # source missing
+    table.rename_column("v", "val")
+    with pytest.raises(ValueError):
+        table.rename_column("val", "v")  # 'v' retired by the rename
+    table.drop_column("val")
+    with pytest.raises(ValueError):
+        table.rename_column("id", "val")  # 'val' retired by the drop
+
+
+def test_full_rewrite_materializes_evolution_and_frees_names(spark, table):
+    """An unscoped compaction writes files under the LOGICAL schema and
+    drops the event log (same lifecycle as delete vectors), so retired
+    names become reusable and replay cost stops accumulating."""
+    write_and_commit(_df(spark, 0, 100), table)
+    table.rename_column("v", "val")
+    compact_and_commit_v = __import__(
+        "octopufs_spark.manifest", fromlist=["compact_and_commit"]
+    ).compact_and_commit(spark, table, target_file_bytes=10**9)
+    assert compact_and_commit_v is not None
+    m = table.read_manifest()
+    assert "schema_evolution" not in m.meta
+    assert table.read(spark).columns == ["id", "val"]
+    table.rename_column("val", "v")  # 'v' is free again
+    assert "v" in table.read(spark).columns
+
+
+# ---------- zero-copy clone ----------
+
+
+def test_clone_is_independent_and_survives_source_vacuum(spark, table, tmp_path):
+    """clone_table publishes an independent table over hard-linked
+    files: reads match at clone time, writes diverge afterwards, and
+    vacuuming (even fully rewriting) the SOURCE never breaks the clone
+    — the link is an independent name on the inode, unlike a Delta
+    shallow clone's pointer into the source directory."""
+    from octopufs_spark.manifest import clone_table, compact_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100), table, stats=True)
+    delete_where_mor(spark, table, spark.range(0, 5).select("id"), keys=["id"])
+    table.rename_column("v", "val")
+    clone = clone_table(table, str(tmp_path / "clone"))
+    assert clone.latest_version() == 1
+    assert clone.read_manifest().operation == "clone"
+    src_rows = table.read(spark).count()
+    assert clone.read(spark).count() == src_rows == 95
+    assert clone.read(spark).columns == table.read(spark).columns
+    # vectors, stats, and the evolution log carried
+    assert clone.read_manifest().meta.get("delete_vectors")
+    assert clone.read_manifest().meta.get("schema_evolution")
+    # diverge: append to the clone only
+    write_and_commit(
+        spark.range(1000, 1100).withColumn("val", F.col("id") * 2),
+        clone,
+        mode="append",
+    )
+    assert clone.read(spark).count() == 195
+    assert table.read(spark).count() == 95
+    # source compacts + vacuums aggressively; clone unaffected
+    compact_and_commit(spark, table, target_file_bytes=10**9)
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    assert clone.read(spark).count() == 195
+    # a second clone onto a used root is rejected
+    with pytest.raises(FileExistsError):
+        clone_table(table, str(tmp_path / "clone"))
+
+
+def test_clone_respects_time_travel_version(spark, table, tmp_path):
+    from octopufs_spark.manifest import clone_table
+
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 0, 50), table)
+    clone = clone_table(table, str(tmp_path / "clone_v1"), version=1)
+    assert clone.read(spark).count() == 10
+
+
+def test_manifest_stream_replays_schema_evolution(spark, tmp_path):
+    """A stream started AFTER a rename reads files written before and
+    after it under the CURRENT logical names: the evolution log is
+    pinned at query start and replayed per batch (the Delta contract —
+    a rename committed mid-stream requires a restart instead)."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    t = ManifestTable(str(tmp_path / "mtbl_evo"))
+    write_and_commit(_df(spark, 0, 100), t)  # physical column 'v'
+    t.rename_column("v", "val")
+    write_and_commit(
+        _df(spark, 100, 150).withColumnRenamed("v", "val"), t, mode="append"
+    )
+    t.drop_column("id")
+    stream = spark.readStream.format("manifest_stream").option("path", t.root).load()
+    assert "val" in stream.columns and "v" not in stream.columns
+    assert "id" not in stream.columns
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("m_evo")
+        .option("checkpointLocation", str(tmp_path / "ck_evo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = spark.table("m_evo")
+    assert rows.count() == 150
+    # pre-rename files' 'v' landed in 'val' — no half-NULL columns
+    assert rows.where(F.col("val").isNull()).count() == 0
+    assert rows.agg(F.sum("val")).collect()[0][0] == sum(2 * i for i in range(150))
