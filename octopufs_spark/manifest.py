@@ -333,6 +333,74 @@ class ManifestTable:
                 hi = mid - 1
         return vs[lo]
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: publish a NEW commit whose content is
+        exactly the table state at ``version`` — time travel's
+        write-side twin. History is preserved (the rolled-back commits
+        stay time-travelable until vacuum); only the live snapshot
+        moves. ZERO data files are copied: the restore commit re-lists
+        the old snapshot's files, which also re-protects them from
+        vacuum. Content metadata (delete vectors, zone maps/Blooms,
+        the schema-evolution log) comes wholesale from the restored
+        snapshot — restoring past a rename rolls the live schema back
+        too — while stream high-water marks keep carrying forward
+        (they are replay protection, not content; resetting them would
+        double-land an idempotent sink's replayed batches). RESTORE is
+        deliberately last-writer-wins: a concurrent append between
+        resolve and publish is rolled back with everything else —
+        that is what restoring to a point in time means."""
+        old = self.read_manifest(version)
+        # restoring a half-vacuumed snapshot would publish dangling refs
+        self._check_not_vacuumed(old)
+        meta = {k: v for k, v in old.meta.items() if k != "stream_txn"}
+        meta["restored_from"] = version
+        return self._commit_with_retry(list(old.files), "restore", meta, carry=False)
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """DESCRIBE HISTORY: one entry per retained version, NEWEST
+        first — version, operation, commit timestamp, parent, file
+        counts, and files added/removed vs the parent. ``limit`` bounds
+        the manifest reads (the common ``history(20)`` on a table with
+        years of commits reads 20 manifests, not all of them).
+        ``n_removed`` is None when the parent manifest was vacuum-
+        pruned (the diff needs both sides; ``added`` is publish-time
+        recorded so it survives)."""
+        vs = sorted(self.versions(), reverse=True)
+        if limit is not None:
+            vs = vs[:limit]
+        manifests = {v: self.read_manifest(v) for v in vs}
+        out = []
+        for v in vs:
+            m = manifests[v]
+            entry = {
+                "version": v,
+                "operation": m.operation,
+                "timestamp": m.committed_at,
+                "parent": m.parent,
+                "n_files": len(m.files),
+                "n_added": len(m.added) if m.added is not None else None,
+                "n_removed": None,
+            }
+            if m.parent is not None:
+                parent = manifests.get(m.parent)
+                if parent is None:
+                    try:
+                        parent = self.read_manifest(m.parent)
+                    except FileNotFoundError:
+                        parent = None
+                if parent is not None:
+                    cur = set(m.files)
+                    entry["n_removed"] = sum(1 for f in parent.files if f not in cur)
+                    if entry["n_added"] is None:
+                        pf = set(parent.files)
+                        entry["n_added"] = sum(1 for f in m.files if f not in pf)
+            elif m.parent is None:
+                entry["n_removed"] = 0
+                if entry["n_added"] is None:
+                    entry["n_added"] = len(m.files)
+            out.append(entry)
+        return out
+
     def read(
         self,
         spark: SparkSession,
@@ -895,7 +963,9 @@ class ManifestTable:
             return {k: v for k, v in meta.items() if k != "schema_evolution"}
         return {**meta, "schema_evolution": events}
 
-    def _commit_with_retry(self, files_or_build, operation: str, meta: dict | None) -> int:
+    def _commit_with_retry(
+        self, files_or_build, operation: str, meta: dict | None, carry: bool = True
+    ) -> int:
         import time
 
         for _ in range(5):  # reference-style bounded retry
@@ -908,23 +978,31 @@ class ManifestTable:
             # step backwards between commits (AS-OF-timestamp reads
             # binary-search on this)
             parent_ts = (parent.committed_at or 0.0) if parent else 0.0
+            if carry:
+                built_meta = self._carry_skipping_meta(
+                    parent,
+                    files,
+                    self._carry_schema_evolution(
+                        parent,
+                        files,
+                        self._carry_delete_vectors(parent, files, meta or {}),
+                    ),
+                )
+            else:
+                # carry=False (RESTORE): the caller supplies the COMPLETE
+                # content metadata (vectors/stats/evolution come from the
+                # restored snapshot, not the abandoned parent)
+                built_meta = dict(meta or {})
             m = Manifest(
                 version=(latest or 0) + 1 if latest is not None else 1,
                 files=files,
                 operation=operation,
                 parent=latest,
-                meta=self._carry_stream_txn(
-                    parent,
-                    self._carry_skipping_meta(
-                        parent,
-                        files,
-                        self._carry_schema_evolution(
-                            parent,
-                            files,
-                            self._carry_delete_vectors(parent, files, meta or {}),
-                        ),
-                    ),
-                ),
+                # stream high-water marks carry UNCONDITIONALLY: they are
+                # writer-replay protection, not content state — resetting
+                # them (even on RESTORE) would let an idempotent sink's
+                # replayed batch double-land
+                meta=self._carry_stream_txn(parent, built_meta),
                 added=[f for f in files if f not in parent_files],
                 committed_at=max(time.time(), parent_ts + 0.001),
             )
@@ -1553,13 +1631,23 @@ def compact_and_commit(
     else:
         # the scoped subset, partition columns recovered and the
         # snapshot's delete vectors applied (materialized for the
-        # rewritten files; they stay carried for the rest of the table)
-        src_df = table._apply_delete_vectors(
-            spark,
-            table._scan_files(
-                spark, matched, annotate_positions=table._has_positional_dvs(m)
-            ),
-            m,
+        # rewritten files; they stay carried for the rest of the table).
+        # The evolution log replays here too: a scoped rewrite over a
+        # partition whose files straddle a rename would otherwise union
+        # two spellings of the same column (hard error) or anti-join
+        # vectors against the wrong names — the rewrite stages LOGICAL
+        # names (drops materialized), which later replays leave intact.
+        src_df = _strip_dropped(
+            table._apply_delete_vectors(
+                spark,
+                table._scan_files(
+                    spark,
+                    matched,
+                    annotate_positions=table._has_positional_dvs(m),
+                    evolution=m.meta.get("schema_evolution"),
+                ),
+                m,
+            )
         )
     if zorder_by is not None:
         from pyspark.sql import functions as _F

@@ -406,11 +406,22 @@ def delete_where_mor_positional(
 
     m = table.read_manifest()
     scanned = set(m.files)
-    scan = spark.read.parquet(*[f"{table.root}/{p}" for p in m.files])
+    # evolution-aware grouped scan, positions annotated per group: the
+    # predicate is written in LOGICAL column names — a flat multi-file
+    # read samples one footer, so on a renamed table half the files
+    # would surface NULL for the predicate column and silently escape
+    # the delete; the grouped scan also recovers hive partition columns
+    # so predicates on them work
+    scan = table._scan_files(
+        spark,
+        m.files,
+        annotate_positions=True,
+        evolution=m.meta.get("schema_evolution"),
+    )
     dv_rel = f"_dv/dvp-{uuid.uuid4().hex[:12]}.parquet"
     hits = scan.where(F.expr(predicate)).select(
-        table._rel_path_col().alias("file"),
-        F.col("_metadata.row_index").cast("long").alias("pos"),
+        F.col("_dv_file").alias("file"),
+        F.col("_dv_pos").cast("long").alias("pos"),
     )
     hits.write.mode("errorifexists").parquet(f"{table.root}/{dv_rel}")
 

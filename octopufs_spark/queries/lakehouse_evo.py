@@ -240,3 +240,58 @@ def q_ext_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clone_rows").cast("long").alias("clone_rows"),
         "clone_total",
     )
+
+
+@register(
+    "q_ext_restore",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM orders WHERE year(o_orderdate) <= 1996) AS BIGINT) AS n_v1,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 0) AS BIGINT) AS n_v3,
+       CAST((SELECT COUNT(*) FROM orders WHERE year(o_orderdate) <= 1996) AS BIGINT) AS n_restored,
+       CAST(4 AS BIGINT) AS restore_version,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE year(o_orderdate) <= 1996) AS DOUBLE) AS restored_total
+""",
+)
+def q_ext_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style RESTORE, value-verified: v1 commits the pre-1997
+    orders, v2 appends the rest, v3 MOR-deletes every 10th key — then
+    RESTORE(1) publishes v4 whose content is EXACTLY the v1 snapshot
+    (the append gone, the delete vector gone) without copying a single
+    data file; the rolled-back v3 stays time-travelable. The oracle
+    recomputes each state's count from the base table, so a restore
+    that leaks the parent's delete vector into the restored snapshot
+    (hiding rows v1 had) or fails to shed the append flips the hash."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.merge import delete_where_mor
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_restore_")
+    table = ManifestTable(root)
+    write_and_commit(o.where(F.col("yr") <= 1996), table)
+    write_and_commit(o.where(F.col("yr") >= 1997), table, mode="append")
+    delete_where_mor(
+        spark,
+        table,
+        o.where(F.col("o_orderkey") % 10 == 0).select("o_orderkey").distinct(),
+        keys=["o_orderkey"],
+    )
+    n_v1 = table.read(spark, version=1).count()
+    n_v3 = table.read(spark).count()
+    v = table.restore(1)
+    restored = table.read(spark)
+    agg = restored.agg(
+        F.count("*").alias("n_restored"),
+        F.sum("price").cast("double").alias("restored_total"),
+    )
+    return agg.select(
+        F.lit(n_v1).cast("long").alias("n_v1"),
+        F.lit(n_v3).cast("long").alias("n_v3"),
+        F.col("n_restored").cast("long").alias("n_restored"),
+        F.lit(v).cast("long").alias("restore_version"),
+        "restored_total",
+    )

@@ -2492,3 +2492,127 @@ def test_manifest_stream_replays_schema_evolution(spark, tmp_path):
     # pre-rename files' 'v' landed in 'val' — no half-NULL columns
     assert rows.where(F.col("val").isNull()).count() == 0
     assert rows.agg(F.sum("val")).collect()[0][0] == sum(2 * i for i in range(150))
+
+
+# ---------- RESTORE + DESCRIBE HISTORY ----------
+
+
+def test_restore_rolls_back_content_and_metadata(spark, table):
+    """RESTORE publishes a new commit with exactly the old snapshot's
+    content: rows, delete vectors, and the schema-evolution log all
+    roll back, zero data files are copied, and the restored files are
+    re-protected from vacuum. History is preserved (the rolled-back
+    version stays time-travelable)."""
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100), table)  # v1: id, v
+    delete_where_mor(spark, table, spark.range(0, 10).select("id"), keys=["id"])  # v2
+    v2_rows = table.read(spark).count()
+    assert v2_rows == 90
+    table.rename_column("v", "val")  # v3
+    write_and_commit(
+        _df(spark, 100, 200).withColumnRenamed("v", "val"), table, mode="append"
+    )  # v4
+    assert table.read(spark).count() == 190
+
+    v = table.restore(2)
+    assert v == 5
+    m = table.read_manifest()
+    assert m.operation == "restore" and m.meta["restored_from"] == 2
+    got = table.read(spark)
+    assert got.count() == 90  # the append rolled back, the vector re-applies
+    assert "v" in got.columns and "val" not in got.columns  # rename rolled back
+    # the abandoned v4 stays time-travelable until vacuum
+    assert table.read(spark, version=4).count() == 190
+    # vacuum keeps the restored files (the live snapshot references them)
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    assert table.read(spark).count() == 90
+
+
+def test_restore_keeps_stream_replay_marks(spark, table):
+    """RESTORE rolls back content but NOT stream high-water marks —
+    resetting them would let an idempotent sink's replayed batch
+    double-land after the restore."""
+    from octopufs_spark.manifest import _max_committed_stream_batch
+
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(
+        _df(spark, 10, 20), table, mode="append", meta={"stream_txn": {"w1": 7}}
+    )
+    table.restore(1)
+    assert table.read(spark).count() == 10
+    assert _max_committed_stream_batch(table, "w1") == 7
+
+
+def test_restore_refuses_vacuumed_snapshot(spark, table):
+    from octopufs_spark.manifest import SnapshotVacuumedError
+
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 100, 120), table)  # overwrite: v1 unreferenced
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises((SnapshotVacuumedError, FileNotFoundError)):
+        table.restore(1)
+
+
+def test_history_describes_commits_newest_first(spark, table):
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100).repartition(2), table)
+    write_and_commit(_df(spark, 100, 150), table, mode="append")
+    delete_where_mor(spark, table, spark.range(0, 5).select("id"), keys=["id"])
+    h = table.history()
+    assert [e["version"] for e in h] == [3, 2, 1]
+    assert [e["operation"] for e in h] == ["delete_mor", "append", "overwrite"]
+    assert h[2]["n_removed"] == 0 and h[2]["n_added"] == h[2]["n_files"]
+    assert h[1]["n_removed"] == 0 and h[1]["n_added"] >= 1
+    assert h[0]["n_added"] == 0  # MOR delete adds vectors, not data files
+    ts = [e["timestamp"] for e in h]
+    assert ts[0] > ts[1] > ts[2]
+    assert len(table.history(limit=2)) == 2
+
+
+def test_scoped_compaction_across_rename(spark, table):
+    """A partition-scoped OPTIMIZE over files that STRADDLE a rename
+    (pre-rename commit + post-rename append into the same partition)
+    must rewrite under the logical schema — without evolution replay
+    the scoped scan unions two spellings of one column."""
+    from octopufs_spark.manifest import compact_and_commit
+
+    df1 = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    write_and_commit(df1.repartition("k"), table, partition_by=["k"])
+    table.rename_column("v", "val")
+    df2 = spark.range(40, 60).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("k"),
+        F.col("id").alias("val"),
+    )
+    write_and_commit(df2.repartition("k"), table, mode="append", partition_by=["k"])
+    v = compact_and_commit(
+        spark, table, target_file_bytes=1 << 40, partition_values={"k": "1"}
+    )
+    assert v is not None
+    got = table.read(spark)
+    assert got.count() == 60
+    assert "val" in got.columns and "v" not in got.columns
+    assert got.where(F.col("val").isNull()).count() == 0
+    assert got.agg(F.sum("val")).collect()[0][0] == sum(range(60))
+    assert got.where(F.col("k") == "1").count() == 30
+
+
+def test_positional_delete_predicate_binds_after_rename(spark, table):
+    """delete_where_mor_positional takes a predicate in LOGICAL names;
+    after a rename, files written under the OLD physical name must
+    still match (a flat scan would surface NULL for them and the
+    delete would silently miss those rows)."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 50), table)  # physical 'v'
+    table.rename_column("v", "val")
+    write_and_commit(
+        _df(spark, 50, 100).withColumnRenamed("v", "val"), table, mode="append"
+    )
+    delete_where_mor_positional(spark, table, "val < 60")  # ids 0..29 (v=2*id)
+    got = table.read(spark)
+    assert got.count() == 70
+    assert got.agg(F.min("val")).collect()[0][0] == 60
