@@ -348,13 +348,27 @@ class ManifestTable:
         double-land an idempotent sink's replayed batches). RESTORE is
         deliberately last-writer-wins: a concurrent append between
         resolve and publish is rolled back with everything else —
-        that is what restoring to a point in time means."""
+        that is what restoring to a point in time means.
+
+        RESTORE vs concurrent VACUUM: the restored files are OLD (old
+        mtime), so the retention window that protects a compaction's
+        freshly-staged files does not protect them — a vacuum pass
+        that resolved its live set before this restore published can
+        delete them just after (the same documented exposure as Delta
+        RESTORE racing VACUUM). The pre-publish existence check
+        narrows the window and the post-publish re-check turns the
+        remaining sliver into a LOUD :class:`SnapshotVacuumedError`
+        (re-run the restore from a retained version) instead of a
+        silently dangling live snapshot. Don't schedule vacuum
+        concurrently with restores of beyond-retention snapshots."""
         old = self.read_manifest(version)
         # restoring a half-vacuumed snapshot would publish dangling refs
         self._check_not_vacuumed(old)
         meta = {k: v for k, v in old.meta.items() if k != "stream_txn"}
         meta["restored_from"] = version
-        return self._commit_with_retry(list(old.files), "restore", meta, carry=False)
+        v = self._commit_with_retry(list(old.files), "restore", meta, carry=False)
+        self._check_not_vacuumed(self.read_manifest(v))
+        return v
 
     def history(self, limit: int | None = None) -> list[dict]:
         """DESCRIBE HISTORY: one entry per retained version, NEWEST

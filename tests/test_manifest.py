@@ -1349,11 +1349,11 @@ def _race(table, racer):
     orig = table._commit_with_retry
     fired = {"done": False}
 
-    def wrapped(build, operation, meta):
+    def wrapped(build, operation, meta, *a, **kw):
         if not fired["done"]:
             fired["done"] = True
             racer(ManifestTable(table.root))
-        return orig(build, operation, meta)
+        return orig(build, operation, meta, *a, **kw)
 
     table._commit_with_retry = wrapped
     return fired
@@ -2616,3 +2616,132 @@ def test_positional_delete_predicate_binds_after_rename(spark, table):
     got = table.read(spark)
     assert got.count() == 70
     assert got.agg(F.min("val")).collect()[0][0] == 60
+
+
+def test_restore_rolls_back_racing_append_by_design(spark, table):
+    """RESTORE is last-writer-wins: an append landing between the
+    restore's resolve and its publish is rolled back with everything
+    else — that IS the semantics of restoring to a point in time."""
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 10, 20), table, mode="append")
+
+    def racer(t2):
+        write_and_commit(_df(spark, 500, 510), t2, mode="append")
+
+    fired = _race(table, racer)
+    table.restore(1)
+    assert fired["done"]
+    assert {r.id for r in table.read(spark).collect()} == set(range(10))
+
+
+def test_restore_racing_vacuum_fails_loudly(spark, table):
+    """A vacuum that deletes the restore target's files inside the
+    check->publish window must surface as SnapshotVacuumedError (a
+    loud, retryable failure), never as a silently dangling live
+    snapshot."""
+    from octopufs_spark.manifest import SnapshotVacuumedError
+
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 100, 130), table)  # overwrite: v1 unreferenced
+
+    def racer(t2):
+        t2.vacuum(keep_versions=1, retention_seconds=0)
+
+    _race(table, racer)
+    with pytest.raises(SnapshotVacuumedError):
+        table.restore(1)
+    # the loud failure may have published a dangling manifest — the
+    # documented recovery is restoring a retained version over it
+    table.restore(2)
+    assert table.read(spark).count() == 30
+
+
+def test_merge_upsert_after_rename(spark, table):
+    """MERGE keyed on the CURRENT logical name works across a rename:
+    the read side replays the log, the rewrite stages logical names,
+    and carried pre-rename files keep replaying."""
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    write_and_commit(_df(spark, 0, 50), table)  # physical 'v'
+    table.rename_column("v", "val")
+    changes = spark.range(40, 60).withColumn("val", F.col("id") * 100)
+    merge_upsert_manifest(spark, table, changes, keys=["id"])
+    got = table.read(spark)
+    assert got.count() == 60
+    assert got.where(F.col("id") == 45).collect()[0].val == 4500
+    assert got.where(F.col("id") == 10).collect()[0].val == 20
+
+
+def test_mixed_op_contention_with_renamer(spark, table):
+    """Third fuzz round: a RENAMER chains metadata-only renames
+    (v -> val1 -> val2 -> ...) while appenders (writing the ORIGINAL
+    physical name) and a compactor race. Invariants: ids compose
+    serializably, the value column always equals 2*id under whatever
+    logical name the last successful rename gave it (a half-applied
+    rename would surface NULLs or two spellings), and a full
+    compaction clearing the event log never changes logical names."""
+    from octopufs_spark.manifest import ConcurrentModificationError, compact_and_commit
+
+    write_and_commit(_df(spark, 0, 100).repartition(6), table)
+
+    lock = threading.Lock()
+    appended: list[range] = []
+    renames: list[str] = ["v"]
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def appender(w: int):
+        for r in range(3):
+            lo = 1000 * (w + 1) + 100 * r
+            try:
+                write_and_commit(_df(spark, lo, lo + 10), table, mode="append")
+                with lock:
+                    appended.append(range(lo, lo + 10))
+            except RuntimeError:
+                pass
+
+    def renamer():
+        for i in range(1, 4):
+            with lock:
+                src = renames[-1]
+            try:
+                table.rename_column(src, f"val{i}")
+                with lock:
+                    renames.append(f"val{i}")
+            except (ValueError, RuntimeError):
+                pass  # commit-race exhaustion; chain state unchanged
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+            except ConcurrentModificationError:
+                pass
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in range(3)]
+    threads.append(threading.Thread(target=renamer))
+    ct = threading.Thread(target=compactor)
+    ct.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    ct.join()
+
+    assert not errors, f"compactor crashed: {errors[0]!r}"
+    final_col = renames[-1]
+    got = table.read(spark)
+    assert final_col in got.columns
+    assert len([c for c in got.columns if c.startswith("val") or c == "v"]) == 1
+    ids = {r.id for r in got.collect()}
+    expect = set(range(100))
+    for rg in appended:
+        expect |= set(rg)
+    assert ids == expect
+    # the value column survived every rename/compaction intact
+    assert got.where(F.col(final_col) != F.col("id") * 2).count() == 0
