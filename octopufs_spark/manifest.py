@@ -1670,16 +1670,23 @@ def compact_and_commit(
 
         c1, c2 = zorder_by
 
+        evo_events = m.meta.get("schema_evolution", [])
+
         def _bounds_from_zone_maps(col: str) -> tuple | None:
             # global min/max from the snapshot's own zone maps when
-            # EVERY file has stats for the column — saves the pre-scan
+            # EVERY file has stats for the column — saves the pre-scan.
+            # Stats recorded before a rename are keyed by the old name;
+            # the alias chain resolves the logical clustering column to
+            # whichever spelling each file's stats carry.
             st = m.meta.get("file_stats") or {}
+            aliases = _alias_chain(col, evo_events)
             los, his = [], []
             for f in matched:
                 e = st.get(f)
-                if not e or col not in e.get("min", {}):
+                a = next((a for a in aliases if e and a in e.get("min", {})), None)
+                if a is None:
                     return None
-                lo, hi = e["min"][col], e["max"][col]
+                lo, hi = e["min"][a], e["max"][a]
                 # zorder normalization needs numerics; stats may hold
                 # canon()-stringified dates — those fall back to the scan
                 if isinstance(lo, bool) or not isinstance(lo, (int, float)):
@@ -1931,19 +1938,28 @@ def clone_table(
         s = f"{src.root_path}/{rel}"
         d = f"{dest.root_path}/{rel}"
         dest.fs.create_dir(_os.path.dirname(d), recursive=True)
-        if linkable:
-            try:
-                _os.link(s, d)
-                continue
-            except OSError:
-                pass  # cross-device or link-less fs: fall through to copy
-        with src.fs.open_input_stream(s) as fin:
-            with dest.fs.open_output_stream(d) as fout:
-                while True:
-                    chunk = fin.read(8 << 20)
-                    if not chunk:
-                        break
-                    fout.write(chunk)
+        try:
+            if linkable:
+                try:
+                    _os.link(s, d)
+                    continue
+                except FileNotFoundError:
+                    raise
+                except OSError:
+                    pass  # cross-device or link-less fs: fall through to copy
+            with src.fs.open_input_stream(s) as fin:
+                with dest.fs.open_output_stream(d) as fout:
+                    while True:
+                        chunk = fin.read(8 << 20)
+                        if not chunk:
+                            break
+                        fout.write(chunk)
+        except FileNotFoundError:
+            # a vacuum deleted a source file between the manifest read
+            # and this link/copy: fail TYPED and loud — the clone never
+            # committed, so the half-linked dest is inert staging for
+            # cleanup, never a live table with dangling refs
+            raise SnapshotVacuumedError(src.root, m.version, [rel]) from None
     dest._commit_with_retry(
         list(m.files), "clone", {**m.meta, "clone_source": src.root}
     )

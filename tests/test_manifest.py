@@ -2745,3 +2745,55 @@ def test_mixed_op_contention_with_renamer(spark, table):
     assert ids == expect
     # the value column survived every rename/compaction intact
     assert got.where(F.col(final_col) != F.col("id") * 2).count() == 0
+
+
+def test_clone_racing_vacuum_fails_typed_without_committing(spark, table, tmp_path):
+    """A vacuum deleting a source file between clone_table's manifest
+    read and its link must raise SnapshotVacuumedError — and the half-
+    staged destination must have NO committed manifest (inert staging,
+    not a live table with dangling refs)."""
+    import os
+
+    from octopufs_spark.manifest import ManifestTable, SnapshotVacuumedError, clone_table
+
+    write_and_commit(_df(spark, 0, 50).repartition(4), table)
+    m = table.read_manifest()
+    # simulate the race deterministically: a file vanishes post-check
+    victim = f"{table.root_path}/{m.files[-1]}"
+    orig_link = os.link
+
+    def link_with_race(srcp, dstp, *a, **kw):
+        if srcp == victim and os.path.exists(victim):
+            os.unlink(victim)  # "vacuum" wins the race
+        return orig_link(srcp, dstp, *a, **kw)
+
+    dest_root = str(tmp_path / "race_clone")
+    import unittest.mock as mock
+
+    with mock.patch("os.link", side_effect=link_with_race):
+        with pytest.raises(SnapshotVacuumedError):
+            clone_table(table, dest_root)
+    assert ManifestTable(dest_root).latest_version() is None
+
+
+def test_zorder_bounds_from_zone_maps_after_rename(spark, table):
+    """OPTIMIZE ZORDER on a RENAMED clustering column still derives its
+    global bounds from the zone maps recorded under the old name (the
+    alias chain), instead of paying a pre-scan — and the rewrite is
+    correct either way."""
+    from octopufs_spark.manifest import compact_and_commit
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 400).alias("b")
+    )
+    write_and_commit(df.repartition(4), table, stats=True)
+    table.rename_column("a", "x")
+    table.rename_column("b", "y")
+    v = compact_and_commit(
+        spark, table, target_file_bytes=1, zorder_by=("x", "y"), stats=True
+    )
+    assert v is not None
+    got = table.read(spark)
+    assert got.count() == 400
+    assert set(got.columns) == {"x", "y"}
+    assert got.agg(F.sum("x")).collect()[0][0] == sum(range(400))
