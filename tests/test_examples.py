@@ -19,7 +19,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize(
-    "script", ["examples/lakehouse_stream_demo.py", "examples/cdc_upsert_demo.py"]
+    "script",
+    [
+        "examples/lakehouse_stream_demo.py",
+        "examples/cdc_upsert_demo.py",
+        "examples/schema_evolution_demo.py",
+    ],
 )
 def test_demo_runs_clean(script):
     proc = subprocess.run(
