@@ -312,3 +312,61 @@ def test_synthgen_pushdown_interval_equivalence(preds, nparts):
         i for i in range(total) if all(ops[op](i, v) for op, v in preds)
     }
     assert generated == expected
+
+
+@st.composite
+def _evolution_log(draw):
+    """A VALID schema-evolution event log over a small column universe:
+    renames target fresh never-retired names, drops retire live names —
+    exactly the states rename_column/drop_column can produce."""
+    live = {"a", "b", "c"}
+    retired: set[str] = set()
+    fresh = iter(f"n{i}" for i in range(40))
+    events = []
+    for _ in range(draw(st.integers(min_value=0, max_value=8))):
+        kind = draw(st.sampled_from(["rename", "drop"]))
+        if not live:
+            break
+        src = draw(st.sampled_from(sorted(live)))
+        if kind == "rename":
+            new = next(fresh)
+            events.append(["rename", src, new])
+            live.remove(src)
+            retired.add(src)
+            live.add(new)
+        else:
+            events.append(["drop", src])
+            live.remove(src)
+            retired.add(src)
+    return events, sorted(live)
+
+
+@given(_evolution_log())
+@settings(max_examples=200)
+def test_evolution_name_algebra_roundtrip(log_live):
+    """For any valid event log: (a) replaying the log on the ORIGINAL
+    column names yields exactly the live logical names plus drop
+    sentinels; (b) every live logical name's alias chain leads back,
+    via replay, to that same name — i.e. _alias_chain (used by
+    pruning) and _evolve_names (used by reads and delete vectors) are
+    inverses over every intermediate spelling a file could carry."""
+    from octopufs_spark.manifest import _DROPPED_PREFIX, _alias_chain, _evolve_names
+
+    events, live = log_live
+    evolved = _evolve_names(["a", "b", "c"], events)
+    finals = [n for n in evolved if not n.startswith(_DROPPED_PREFIX)]
+    assert sorted(finals) == live
+    dropped = [n for n in evolved if n.startswith(_DROPPED_PREFIX)]
+    assert len(set(evolved)) == 3  # bijective: no two columns collide
+    assert len(dropped) == 3 - len(live)
+    for col in live:
+        chain = _alias_chain(col, events)
+        assert chain[0] == col
+        for i, alias in enumerate(chain):
+            # a file written when the column was spelled `alias` replays
+            # to the current logical name: suffix of the log from any
+            # point must map alias -> col (replay is order-insensitive
+            # here because retired names are never reused)
+            assert _evolve_names([alias], events)[0] == col, (alias, events)
+        # chain entries are unique (no cycles)
+        assert len(set(chain)) == len(chain)
