@@ -295,3 +295,51 @@ def q_ext_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(v).cast("long").alias("restore_version"),
         "restored_total",
     )
+
+
+@register(
+    "q_sink_manifest_writer",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_sink_manifest_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest tables through Spark's NATIVE write protocol:
+    ``df.write.format("manifest")`` runs a real two-phase commit — each
+    task streams its partition into one staged parquet file (Arrow
+    row-group batches) and reports it in a WriterCommitMessage; the
+    driver publishes exactly the REPORTED files as one atomic manifest
+    version, so a speculative/zombie attempt's orphan can never be
+    published (the hazard listing-based committers have). The query
+    writes orders through the connector (overwrite, then an append of
+    the same rows split off by priority), reads the committed snapshot
+    back, and aggregates — the oracle recomputes from the base table,
+    so a dropped partition message, a double-published attempt, or a
+    lost append flips the hash."""
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.sources import register_manifest_table_source
+
+    register_manifest_table_source(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_wsink_") + "/orders"
+    first = o.where(F.col("o_orderkey") % 3 != 0)
+    rest = o.where(F.col("o_orderkey") % 3 == 0)
+    first.write.format("manifest").mode("overwrite").option("stats", "true").save(root)
+    rest.write.format("manifest").mode("append").save(root)
+    table = ManifestTable(root)
+    return (
+        table.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )

@@ -600,6 +600,140 @@ class ManifestStreamSource(DataSource):
         return ManifestStreamReader(self.options)
 
 
+class _ManifestWriteMsg(WriterCommitMessage):
+    def __init__(self, rel_file: str, rows: int):
+        self.rel_file = rel_file
+        self.rows = rows
+
+
+class ManifestBatchWriter(DataSourceWriter):
+    """Batch WRITER for manifest tables through Spark's native write
+    protocol: ``df.write.format("manifest").mode("append").save(root)``.
+
+    Two-phase commit, manifest-style: every task streams its rows into
+    ONE parquet file under a job-unique staging dir (Arrow row-group
+    batches — peak task memory is one batch, not one partition) and
+    reports the file in its commit message; the driver's ``commit()``
+    publishes exactly the REPORTED files as one atomic manifest
+    version. Because the committed file list comes from the messages —
+    not from listing the staging dir — a speculative duplicate or
+    zombie task attempt's orphan file is never published (the classic
+    rename-based committer hazard); it stays invisible staging for
+    ``vacuum``. ``abort()`` removes the whole staging dir, and a
+    driver crash between write and commit leaves only invisible
+    orphans — the same crash contract as ``write_and_commit``.
+
+    Options: ``stats=true`` records zone-map file stats at commit
+    (driver-side footer reads). Overwriting with an EMPTY frame is
+    rejected (a manifest snapshot must list files); an empty append is
+    a no-op (no new version). Nested structs round-trip via recursive
+    Row conversion."""
+
+    _BATCH_ROWS = 65536
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest writer requires a 'path' (save path)")
+        self.schema = schema
+        self.overwrite = overwrite
+        self.stats = str(options.get("stats", "false")).lower() == "true"
+        # fixed on the DRIVER at plan time: all tasks share one staging
+        # dir; retries of the same job stay under it
+        self.staged = f"pyds-{uuid.uuid4().hex[:12]}"
+
+    def write(self, rows: Iterator) -> _ManifestWriteMsg | None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from octopufs_spark.fs.core import get_filesystem
+
+        fs, root = get_filesystem(self.path)
+        arrow_schema = to_arrow_schema(self.schema)
+        rel = f"{self.staged}/part-{uuid.uuid4().hex[:12]}.parquet"
+        writer = None
+        total = 0
+        buf: list[dict] = []
+
+        def flush():
+            nonlocal writer
+            if not buf:
+                return
+            batch = pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+            if writer is None:
+                fs.create_dir(f"{root}/{self.staged}", recursive=True)
+                writer = pq.ParquetWriter(f"{root}/{rel}", arrow_schema, filesystem=fs)
+            writer.write_batch(batch)
+            buf.clear()
+
+        for row in rows:
+            buf.append(row.asDict(recursive=True))
+            total += 1
+            if len(buf) >= self._BATCH_ROWS:
+                flush()
+        flush()
+        if writer is None:
+            # empty partition: stage nothing (the runtime requires a
+            # message object even so; rel_file=None marks "no file")
+            return _ManifestWriteMsg(None, 0)
+        writer.close()
+        return _ManifestWriteMsg(rel, total)
+
+    def commit(self, messages) -> None:
+        from octopufs_spark.manifest import ManifestTable
+
+        table = ManifestTable(self.path)
+        files = sorted(m.rel_file for m in messages if m is not None and m.rel_file)
+        meta: dict = {}
+        if not files:
+            if self.overwrite:
+                raise ValueError(
+                    "refusing to overwrite a manifest table with an empty "
+                    "frame: a snapshot must list at least one file"
+                )
+            return  # empty append: no new version
+        if self.stats:
+            meta["file_stats"] = table.collect_file_stats(files)
+        if self.overwrite:
+            table._commit_with_retry(files, "overwrite", meta)
+        else:
+
+            def build(parent):
+                return sorted((parent.files if parent else []) + files)
+
+            table._commit_with_retry(build, "append", meta)
+
+    def abort(self, messages) -> None:
+        from octopufs_spark.fs.core import get_filesystem
+
+        fs, root = get_filesystem(self.path)
+        try:
+            fs.delete_dir(f"{root}/{self.staged}")
+        except (OSError, FileNotFoundError):
+            pass  # uncommitted staging is invisible; vacuum collects it
+
+
+class ManifestTableSource(DataSource):
+    """``format("manifest")``: the batch write half of the manifest
+    table's Spark-native API (the streaming read half is
+    ``format("manifest_stream")``; batch reads go through
+    ``ManifestTable.read``, which owns time travel, delete vectors and
+    schema evolution)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def writer(self, schema, overwrite: bool) -> ManifestBatchWriter:
+        return ManifestBatchWriter(self.options, schema, overwrite)
+
+
+def register_manifest_table_source(spark) -> None:
+    """Idempotently register the manifest batch-writer source."""
+    spark.dataSource.register(ManifestTableSource)
+
+
 def register_synthgen(spark) -> None:
     """Idempotently register the synthgen source on a session.
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from octopufs_spark.sources import (
@@ -593,3 +595,90 @@ def test_manifest_stream_splits_one_commit_across_triggers(spark, tmp_path):
     r3 = ManifestStreamReader({"path": table.root, "maxFilesPerTrigger": "3"})
     r3.commit({"version": 2})
     assert r3.latestOffset() == {"version": 2}
+
+
+def test_manifest_writer_two_phase_commit(spark, tmp_path):
+    """df.write.format('manifest'): each task stages one parquet file
+    and reports it in a commit message; the driver publishes exactly
+    the REPORTED files as one manifest version — overwrite, append,
+    stats collection, and pruning all work through Spark's native
+    write protocol."""
+    from pyspark.sql import functions as F
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.sources import register_manifest_table_source
+
+    register_manifest_table_source(spark)
+    root = str(tmp_path / "wtbl")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    df.write.format("manifest").mode("overwrite").option("stats", "true").save(root)
+    t = ManifestTable(root)
+    assert t.latest_version() == 1
+    got = t.read(spark)
+    assert got.count() == 1000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(1000))
+    # stats recorded -> zone-map pruning fires
+    keep, skipped = t.prune_plan([("id", ">=", 990)])
+    assert skipped >= 1
+
+    spark.range(1000, 1500).withColumn("v", F.col("id") * 2).write.format(
+        "manifest"
+    ).mode("append").save(root)
+    assert t.latest_version() == 2
+    assert t.read(spark).count() == 1500
+    assert [e["operation"] for e in t.history()] == ["append", "overwrite"]
+
+
+def test_manifest_writer_failed_job_publishes_nothing(spark, tmp_path):
+    """A task failure aborts the whole write: no new manifest version,
+    the staged orphans invisible to readers."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.sources import register_manifest_table_source
+
+    register_manifest_table_source(spark)
+    root = str(tmp_path / "wtbl2")
+    spark.range(0, 100).withColumn("v", F.col("id")).write.format("manifest").mode(
+        "overwrite"
+    ).save(root)
+    t = ManifestTable(root)
+
+    @udf("long")
+    def boom(x):
+        if x == 150:
+            raise RuntimeError("injected task failure")
+        return x
+
+    with pytest.raises(Exception):
+        spark.range(100, 200).select(boom("id").alias("id")).withColumn(
+            "v", F.col("id")
+        ).write.format("manifest").mode("append").save(root)
+    assert t.latest_version() == 1
+    assert t.read(spark).count() == 100
+
+
+def test_manifest_writer_empty_frames(spark, tmp_path):
+    """Empty append is a version-less no-op; empty overwrite is
+    rejected (a manifest snapshot must list files)."""
+    from pyspark.sql import functions as F
+
+    from octopufs_spark.manifest import ManifestTable
+    from octopufs_spark.sources import register_manifest_table_source
+
+    register_manifest_table_source(spark)
+    root = str(tmp_path / "wtbl3")
+    spark.range(0, 10).withColumn("v", F.col("id")).write.format("manifest").mode(
+        "overwrite"
+    ).save(root)
+    t = ManifestTable(root)
+    spark.range(0, 0).withColumn("v", F.col("id")).write.format("manifest").mode(
+        "append"
+    ).save(root)
+    assert t.latest_version() == 1  # no new version
+    with pytest.raises(Exception):
+        spark.range(0, 0).withColumn("v", F.col("id")).write.format("manifest").mode(
+            "overwrite"
+        ).save(root)
+    assert t.read(spark).count() == 10
