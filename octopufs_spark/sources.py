@@ -376,11 +376,20 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "(rows changed without new files); set skipChangeCommits=true "
                 "to skip change commits"
             )
-        if m.operation not in self._APPEND_OPS or (
-            m.operation == "overwrite" and m.parent is not None
-        ):
+        if m.parent is None:
+            # the table's FIRST commit is its initial snapshot whatever
+            # its operation name says — a clone's v1, a promotion's v1,
+            # a seed overwrite: pure content with no history to violate.
+            # (Every row is by definition "added" here; the op-name
+            # check below only guards REWRITES of prior history.)
+            return list(m.added) if m.added is not None else list(m.files)
+        if m.operation not in self._APPEND_OPS:
             raise ValueError(
                 f"manifest_stream is append-only: v{v} is a {m.operation!r} commit"
+            )
+        if m.operation == "overwrite":
+            raise ValueError(
+                f"manifest_stream is append-only: v{v} is a 'overwrite' commit"
             )
         if m.added is not None:
             # publish-time added-file list: one manifest read per

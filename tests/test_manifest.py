@@ -2797,3 +2797,63 @@ def test_zorder_bounds_from_zone_maps_after_rename(spark, table):
     assert got.count() == 400
     assert set(got.columns) == {"x", "y"}
     assert got.agg(F.sum("x")).collect()[0][0] == sum(range(400))
+
+
+def test_stream_seeds_from_clone_and_custom_initial_ops(spark, tmp_path):
+    """The table's FIRST commit is its initial snapshot whatever its
+    operation name says: a clone's v1 (operation 'clone') and a
+    custom-named seed must stream, then later appends stream
+    incrementally — previously any parent-less op outside the
+    append whitelist refused to seed a stream."""
+    from octopufs_spark.manifest import ManifestTable, clone_table, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    src = ManifestTable(str(tmp_path / "src"))
+    write_and_commit(_df(spark, 0, 60), src)
+    clone = clone_table(src, str(tmp_path / "cl"))
+    write_and_commit(_df(spark, 60, 100), clone, mode="append")
+
+    stream = spark.readStream.format("manifest_stream").option("path", clone.root).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("m_clone_seed")
+        .option("checkpointLocation", str(tmp_path / "ck_cs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    assert spark.table("m_clone_seed").count() == 100
+
+    # custom-named parent-less seed streams too
+    t2 = ManifestTable(str(tmp_path / "seeded"))
+    _df(spark, 0, 30).write.parquet(f"{t2.root}/init")
+    t2.commit_overwrite("init", operation="bulk-import")
+    s2 = spark.readStream.format("manifest_stream").option("path", t2.root).load()
+    q2 = (
+        s2.writeStream.format("memory")
+        .queryName("m_custom_seed")
+        .option("checkpointLocation", str(tmp_path / "ck_bs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    q2.stop()
+    assert spark.table("m_custom_seed").count() == 30
+
+
+def test_clone_partitioned_table_preserves_layout_and_pruning(spark, table, tmp_path):
+    """Cloning a hive-partitioned table keeps the k=v layout in the
+    linked rel paths: the clone's reads recover the partition column
+    and its prune_plan skips partitions."""
+    from octopufs_spark.manifest import clone_table
+
+    df = spark.range(0, 40).withColumn("k", (F.col("id") % 4).cast("string"))
+    write_and_commit(df.repartition("k"), table, partition_by=["k"])
+    clone = clone_table(table, str(tmp_path / "pclone"))
+    got = clone.read(spark)
+    assert "k" in got.columns and got.count() == 40
+    keep, skipped = clone.prune_plan([("k", "=", "2")])
+    assert skipped >= 3
+    assert clone.read_pruned(spark, [("k", "=", "2")]).where(F.col("k") == "2").count() == 10
