@@ -144,6 +144,72 @@ def _hive_segments_of(rel_file: str) -> list[tuple[str, str | None]]:
 _DROPPED_PREFIX = "__octopufs_dropped_"
 
 
+def hidden_transform_expr(kind: str, src: str, param=None):
+    """Spark column expression of an Iceberg-style hidden-partition
+    transform. Each has an EXACT Python twin
+    (:func:`hidden_transform_value`) used by ``prune_plan`` to map a
+    predicate on the SOURCE column to the transformed dir value — the
+    two must stay in lockstep or pruning silently loses rows, so both
+    live here side by side.
+
+    - ``days``: whole days since 1970-01-01 (Iceberg's day transform:
+      an INT, not a date string, so segment RANGE comparisons stay
+      numeric);
+    - ``month``: months since 1970-01 ((y-1970)*12 + m-1);
+    - ``truncate``: floor(value / param) * param (numeric ranges);
+    - ``bucket``: md5-derived 60-bit hash mod param. md5, not
+      xxhash64, deliberately: the same bucket is computable in plain
+      Python (pruning) and in SQL oracles, the r3b cross-engine trick.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(src)
+    if kind == "days":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    if kind == "month":
+        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("long")
+    if kind == "truncate":
+        return (F.floor(c / F.lit(int(param))) * int(param)).cast("long")
+    if kind == "bucket":
+        return F.pmod(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
+            F.lit(int(param)),
+        )
+    raise ValueError(f"unknown hidden-partition transform {kind!r}")
+
+
+def hidden_transform_value(kind: str, value, param=None):
+    """Python twin of :func:`hidden_transform_expr` — see there."""
+    import datetime as _dt
+    import hashlib
+
+    if kind in ("days", "month"):
+        d = value
+        if isinstance(d, str):
+            d = _dt.date.fromisoformat(d[:10])
+        elif isinstance(d, _dt.datetime):
+            d = d.date()
+        if not isinstance(d, _dt.date):
+            raise ValueError(f"not a date: {value!r}")
+        if kind == "days":
+            return (d - _dt.date(1970, 1, 1)).days
+        return (d.year - 1970) * 12 + d.month - 1
+    if kind == "truncate":
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise ValueError(f"truncate needs an int: {value!r}")
+        return (value // int(param)) * int(param)
+    if kind == "bucket":
+        s = str(value)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % int(param)
+    raise ValueError(f"unknown hidden-partition transform {kind!r}")
+
+
+# op on the SOURCE column -> conservative op on the (monotone)
+# transformed value: col > X can hold inside the boundary partition
+# T(X) itself, so strict ops relax to inclusive ones.
+_MONOTONE_OP = {"=": "=", ">": ">=", ">=": ">=", "<": "<=", "<=": "<="}
+
+
 def _apply_evolution(df: DataFrame, events: list) -> DataFrame:
     """Apply the schema-evolution event log to one scan group (or a
     delete-vector key frame). Events replay IN ORDER; a drop renames to
@@ -459,7 +525,15 @@ class ManifestTable:
             annotate_positions=self._has_positional_dvs(m),
             evolution=m.meta.get("schema_evolution"),
         )
-        return _strip_dropped(self._apply_delete_vectors(spark, df, m))
+        df = _strip_dropped(self._apply_delete_vectors(spark, df, m))
+        return self._strip_hidden(df, m)
+
+    @staticmethod
+    def _strip_hidden(df: DataFrame, m: Manifest) -> DataFrame:
+        """Hidden-partition columns are a storage layout detail (the
+        Iceberg model): reads surface the SOURCE column only."""
+        hidden = [c for c in m.meta.get("hidden_partitions", {}) if c in df.columns]
+        return df.drop(*hidden) if hidden else df
 
     @staticmethod
     def _has_positional_dvs(m: Manifest) -> bool:
@@ -977,6 +1051,25 @@ class ManifestTable:
             return {k: v for k, v in meta.items() if k != "schema_evolution"}
         return {**meta, "schema_evolution": events}
 
+    @staticmethod
+    def _carry_hidden_partitions(
+        parent: Manifest | None, files: list[str], meta: dict
+    ) -> dict:
+        """Carry the hidden-partition transform map on every commit
+        retaining a parent file (new specs from this commit win on
+        name collision); a full rewrite drops it — the rewritten files
+        no longer live under the transformed dirs. Same lifecycle as
+        delete vectors and the evolution log."""
+        parent_hp = dict(parent.meta.get("hidden_partitions", {})) if parent else {}
+        if parent_hp:
+            parent_files = set(parent.files)
+            if not any(f in parent_files for f in files):
+                parent_hp = {}
+        merged = {**parent_hp, **meta.get("hidden_partitions", {})}
+        if not merged:
+            return {k: v for k, v in meta.items() if k != "hidden_partitions"}
+        return {**meta, "hidden_partitions": merged}
+
     def _commit_with_retry(
         self, files_or_build, operation: str, meta: dict | None, carry: bool = True
     ) -> int:
@@ -996,10 +1089,14 @@ class ManifestTable:
                 built_meta = self._carry_skipping_meta(
                     parent,
                     files,
-                    self._carry_schema_evolution(
+                    self._carry_hidden_partitions(
                         parent,
                         files,
-                        self._carry_delete_vectors(parent, files, meta or {}),
+                        self._carry_schema_evolution(
+                            parent,
+                            files,
+                            self._carry_delete_vectors(parent, files, meta or {}),
+                        ),
                     ),
                 )
             else:
@@ -1241,6 +1338,29 @@ class ManifestTable:
         # pruning keeps working across renames instead of silently
         # reading everything (or worse, matching the wrong column)
         events = m.meta.get("schema_evolution", [])
+        # hidden partitioning (Iceberg transforms): a predicate on the
+        # SOURCE column derives a conservative predicate on the
+        # transformed dir value — monotone transforms map ranges
+        # (strict ops relaxed to inclusive), bucket maps equality only.
+        # Derivation failures (non-date probe on a days transform, a
+        # float on truncate) just skip the derived predicate: pruning
+        # is an optimization, never a correctness filter.
+        derived: list[tuple] = []
+        for col, op, val in predicates:
+            src_aliases = _alias_chain(col, events)
+            for name, spec in m.meta.get("hidden_partitions", {}).items():
+                kind, src = spec[0], spec[1]
+                param = spec[2] if len(spec) > 2 else None
+                if src not in src_aliases:
+                    continue
+                if kind == "bucket" and op != "=":
+                    continue
+                try:
+                    tval = hidden_transform_value(kind, val, param)
+                except (ValueError, TypeError):
+                    continue
+                derived.append((name, _MONOTONE_OP[op], tval))
+        predicates = list(predicates) + derived
         alias_of = {col: _alias_chain(col, events) for col, _, _ in predicates}
 
         def _seg_num(x):
@@ -1358,7 +1478,8 @@ class ManifestTable:
             annotate_positions=self._has_positional_dvs(m),
             evolution=evolution,
         )
-        return _strip_dropped(self._apply_delete_vectors(spark, df, m))
+        df = _strip_dropped(self._apply_delete_vectors(spark, df, m))
+        return self._strip_hidden(df, m)
 
     # ---------- maintenance ----------
 
@@ -1496,6 +1617,7 @@ def write_and_commit(
     partition_by: list[str] | None = None,
     bloom_columns: list[str] | None = None,
     expectations: list[tuple[str, str]] | None = None,
+    hidden_partition: dict[str, tuple] | None = None,
 ) -> int:
     """Write ``df`` to a fresh staging directory under the table root,
     then publish it as one atomic snapshot commit. The staging dir name
@@ -1509,8 +1631,32 @@ def write_and_commit(
     (the partition dirs ride along in the committed relative paths);
     with ``expectations`` ([(name, sql_condition), ...]) the commit is
     REJECTED if any staged row violates a condition — CHECK
-    constraints enforced at the publish boundary."""
+    constraints enforced at the publish boundary.
+
+    ``hidden_partition`` ({name: (kind, src_col[, param])}) is
+    Iceberg-style HIDDEN partitioning: the table is laid out by a
+    TRANSFORM of a source column — ``("days", col)``, ``("month",
+    col)``, ``("truncate", col, N)``, ``("bucket", col, N)`` — without
+    the user ever seeing (or filtering on) the derived column. Reads
+    drop it; ``prune_plan`` maps predicates on the SOURCE column to
+    the transformed dir values, so ``o_orderdate >= X`` prunes month
+    dirs and ``o_custkey = k`` prunes to one bucket. The frame is
+    repartitioned on the transform columns first, so each dir is
+    written by exactly one task (one file per partition dir —
+    deterministic layout, no small-file spray)."""
     staged = f"data-{uuid.uuid4().hex[:12]}"
+    partition_by = list(partition_by or [])
+    if hidden_partition:
+        for name, spec in hidden_partition.items():
+            kind, src = spec[0], spec[1]
+            param = spec[2] if len(spec) > 2 else None
+            df = df.withColumn(name, hidden_transform_expr(kind, src, param))
+        df = df.repartition(*hidden_partition.keys())
+        partition_by += list(hidden_partition.keys())
+        meta = {
+            **(meta or {}),
+            "hidden_partitions": {k: list(v) for k, v in hidden_partition.items()},
+        }
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

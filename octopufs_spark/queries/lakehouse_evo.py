@@ -343,3 +343,86 @@ def q_sink_manifest_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("total_price"),
         )
     )
+
+
+_HP_BUCKET_SQL = (
+    "CAST(CONCAT('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 8"
+)
+_HP_MONTH_SQL = "(year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1"
+
+
+@register(
+    "q_ext_hidden_partitioning",
+    oracle=f"""
+SELECT CAST((SELECT COUNT(DISTINCT ({_HP_MONTH_SQL}, {_HP_BUCKET_SQL})) FROM orders) AS BIGINT) AS files_total,
+       CAST((SELECT COUNT(DISTINCT {_HP_BUCKET_SQL}) FROM orders
+             WHERE o_orderdate BETWEEN DATE '1995-10-01' AND DATE '1995-10-31') AS BIGINT) AS files_oct95,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderdate BETWEEN DATE '1995-10-01' AND DATE '1995-10-31') AS BIGINT) AS rows_oct95,
+       CAST((SELECT COUNT(DISTINCT {_HP_MONTH_SQL}) FROM orders
+             WHERE {_HP_BUCKET_SQL} = (SELECT CAST(CONCAT('0x', substr(md5('1'), 1, 15)) AS BIGINT) % 8)) AS BIGINT) AS files_cust1,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = 1) AS BIGINT) AS rows_cust1,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+             WHERE o_orderdate BETWEEN DATE '1995-10-01' AND DATE '1995-10-31') AS DOUBLE) AS total_oct95
+""",
+)
+def q_ext_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style HIDDEN PARTITIONING, value-verified to the file
+    count: orders lay out as month(o_orderdate) x bucket8(o_custkey)
+    — two TRANSFORMS of source columns the reader never sees — and
+    predicates on the SOURCE columns prune transformed dirs. The
+    bucket transform is md5-derived specifically so the ORACLE can
+    recompute the physical layout itself (the r3b cross-engine hash
+    trick): files_total is the exact dir count, files_oct95 the exact
+    dirs a one-month probe must read (distinct buckets present that
+    month), files_cust1 the exact dirs a customer-equality probe must
+    read (distinct months in custkey 1's hash bucket). The write
+    repartitions on the transform columns, so one dir == one file ==
+    one task — the layout is deterministic at every SF, and both
+    over-pruning (lost rows, via rows_*/total) and under-pruning
+    (files_* too high) flip the hash. At 100 TB this is the partition
+    strategy that lets a date-range + customer probe read one
+    thousandth of the table without the user ever spelling a
+    partition column."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_hidden_")
+    table = ManifestTable(root)
+    write_and_commit(
+        o,
+        table,
+        hidden_partition={
+            "m": ("month", "o_orderdate"),
+            "b": ("bucket", "o_custkey", 8),
+        },
+    )
+    m = table.read_manifest()
+    files_total = len(m.files)
+    oct_preds = [("o_orderdate", ">=", "1995-10-01"), ("o_orderdate", "<=", "1995-10-31")]
+    keep_oct, _ = table.prune_plan(oct_preds)
+    oct_df = table.read_pruned(spark, oct_preds).where(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") <= "1995-10-31")
+    )
+    cust_preds = [("o_custkey", "=", 1)]
+    keep_cust, _ = table.prune_plan(cust_preds)
+    rows_cust1 = (
+        table.read_pruned(spark, cust_preds).where(F.col("o_custkey") == 1).count()
+    )
+    agg = oct_df.agg(
+        F.count("*").alias("rows_oct95"),
+        F.sum("price").cast("double").alias("total_oct95"),
+    )
+    return agg.select(
+        F.lit(files_total).cast("long").alias("files_total"),
+        F.lit(len(keep_oct)).cast("long").alias("files_oct95"),
+        F.col("rows_oct95").cast("long").alias("rows_oct95"),
+        F.lit(len(keep_cust)).cast("long").alias("files_cust1"),
+        F.lit(rows_cust1).cast("long").alias("rows_cust1"),
+        "total_oct95",
+    )

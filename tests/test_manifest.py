@@ -2900,3 +2900,95 @@ def test_vacuum_of_clone_leaves_source_intact(spark, table, tmp_path):
     assert removed, "clone vacuum should drop the linked originals"
     assert table.read(spark).count() == 80
     assert clone.read(spark).count() == 80
+
+
+# ---------- hidden partitioning (Iceberg transforms) ----------
+
+
+def test_hidden_partitioning_prunes_on_source_predicates(spark, table):
+    """Iceberg-style hidden partitioning: the layout is month(ts) x
+    bucket8(cust), the user NEVER sees the derived columns, and
+    predicates on the SOURCE columns prune transformed dirs — a date
+    range hits only its months, a customer equality hits only its
+    bucket, combined probes hit single files."""
+    df = (
+        spark.range(0, 4000)
+        .withColumn(
+            "ts", F.date_add(F.lit("1994-01-01").cast("date"), (F.col("id") % 400).cast("int"))
+        )
+        .withColumn("cust", (F.col("id") % 53).cast("long"))
+    )
+    write_and_commit(
+        df, table, hidden_partition={"m": ("month", "ts"), "b": ("bucket", "cust", 8)}
+    )
+    got = table.read(spark)
+    assert set(got.columns) == {"id", "ts", "cust"}  # hidden cols invisible
+    full = got.count()
+    assert full == 4000
+
+    keep, skipped = table.prune_plan([("ts", ">=", "1994-09-15")])
+    assert skipped >= 8 * 8  # Jan..Aug dirs all gone
+    pruned = table.read_pruned(spark, [("ts", ">=", "1994-09-15")]).where(
+        F.col("ts") >= "1994-09-15"
+    )
+    assert pruned.count() == got.where(F.col("ts") >= "1994-09-15").count()
+
+    keep_b, skipped_b = table.prune_plan([("cust", "=", 17)])
+    assert skipped_b >= 1
+    rb = table.read_pruned(spark, [("cust", "=", 17)]).where(F.col("cust") == 17)
+    assert rb.count() == got.where(F.col("cust") == 17).count()
+
+    # strict boundary: ts > the LAST day of a month must still read
+    # that month's dir (the op relaxes to >=; rows beyond the boundary
+    # may share the partition)
+    boundary = "1994-01-31"
+    rows = table.read_pruned(spark, [("ts", ">", boundary)]).where(
+        F.col("ts") > boundary
+    )
+    assert rows.count() == got.where(F.col("ts") > boundary).count()
+
+
+def test_hidden_partitioning_survives_source_rename(spark, table):
+    """Renaming the SOURCE column of a hidden transform keeps pruning:
+    the derivation resolves the predicate column through its alias
+    chain back to the recorded source name."""
+    df = spark.range(0, 1000).withColumn(
+        "ts", F.date_add(F.lit("1994-01-01").cast("date"), (F.col("id") % 200).cast("int"))
+    )
+    write_and_commit(df, table, hidden_partition={"m": ("month", "ts")})
+    table.rename_column("ts", "event_ts")
+    keep, skipped = table.prune_plan([("event_ts", ">=", "1994-06-01")])
+    assert skipped >= 4
+    got = table.read_pruned(spark, [("event_ts", ">=", "1994-06-01")]).where(
+        F.col("event_ts") >= "1994-06-01"
+    )
+    assert got.count() == 1000 - 1000 * 151 // 200  # days 0..150 excluded
+    assert "m" not in table.read(spark).columns
+
+
+def test_hidden_partitioning_scoped_optimize_and_full_rewrite(spark, table):
+    """Scoped OPTIMIZE addresses hidden dirs by identity; a FULL
+    rewrite materializes the layout away and drops the transform map
+    (same lifecycle as vectors/evolution)."""
+    from octopufs_spark.manifest import compact_and_commit
+
+    df = spark.range(0, 600).withColumn(
+        "ts", F.date_add(F.lit("1994-01-01").cast("date"), (F.col("id") % 90).cast("int"))
+    )
+    write_and_commit(df, table, hidden_partition={"m": ("month", "ts")})
+    write_and_commit(
+        df.withColumn("id", F.col("id") + 1000),
+        table,
+        mode="append",
+        hidden_partition={"m": ("month", "ts")},
+    )
+    # month 288 = 1994-01: compact just that partition, identity-scoped
+    v = compact_and_commit(spark, table, target_file_bytes=1 << 40,
+                           partition_values={"m": "288"})
+    assert v is not None
+    assert table.read(spark).count() == 1200
+    assert table.read_manifest().meta.get("hidden_partitions")
+    # full rewrite: transform map drops with the dirs
+    compact_and_commit(spark, table, target_file_bytes=1 << 40)
+    assert "hidden_partitions" not in table.read_manifest().meta
+    assert table.read(spark).count() == 1200
