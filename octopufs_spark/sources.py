@@ -322,11 +322,15 @@ class ManifestStreamReader(DataSourceStreamReader):
         # under the current logical names. Serialized with the reader,
         # so executor-side read() sees the same pinned log.
         try:
-            self._evolution = (
-                self._table().read_manifest().meta.get("schema_evolution", [])
-            )
+            meta = self._table().read_manifest().meta
+            self._evolution = meta.get("schema_evolution", [])
+            # hidden-partition dirs are storage layout, not data: the
+            # stream drops them exactly like the batch read (pinned at
+            # query start, same contract as the evolution log)
+            self._hidden = list(meta.get("hidden_partitions", {}))
         except FileNotFoundError:
             self._evolution = []
+            self._hidden = []
 
     def _table(self):
         from octopufs_spark.manifest import ManifestTable
@@ -516,7 +520,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         # segments (partition_by layouts store those columns in dir
         # names, not file bytes) are re-attached as constant string
         # columns, matching schema()'s contract.
-        parts = _hive_segments(partition.rel_file)
+        hidden = set(getattr(self, "_hidden", []))
+        parts = [(k, v) for k, v in _hive_segments(partition.rel_file) if k not in hidden]
         evolution = getattr(self, "_evolution", [])
         pf = pq.ParquetFile(fs.open_input_file(f"{root}/{partition.rel_file}"))
         for batch in pf.iter_batches(row_groups=partition.row_groups):
@@ -583,8 +588,11 @@ class ManifestStreamSource(DataSource):
         table = ManifestTable(self.options["path"])
         m = table.read_manifest()
         fs, root = get_filesystem(self.options["path"])
+        hidden = set(m.meta.get("hidden_partitions", {}))
         st = from_arrow_schema(pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs))
         for k, _ in _hive_segments(m.files[0]):
+            if k in hidden:
+                continue  # storage layout, not data — dropped like the batch read
             # nullable: __HIVE_DEFAULT_PARTITION__ segments decode to
             # null (the batch reader surfaces them as null too)
             st = st.add(StructField(k, StringType(), True))

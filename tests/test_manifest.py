@@ -2992,3 +2992,63 @@ def test_hidden_partitioning_scoped_optimize_and_full_rewrite(spark, table):
     compact_and_commit(spark, table, target_file_bytes=1 << 40)
     assert "hidden_partitions" not in table.read_manifest().meta
     assert table.read(spark).count() == 1200
+
+
+def test_manifest_stream_hides_hidden_partitions(spark, tmp_path):
+    """Streaming a hidden-partitioned table surfaces the SOURCE columns
+    only — transformed dirs are layout, not data, and the stream
+    matches the batch read's schema."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    t = ManifestTable(str(tmp_path / "hp_stream"))
+    df = spark.range(0, 300).withColumn(
+        "ts", F.date_add(F.lit("1994-01-01").cast("date"), (F.col("id") % 90).cast("int"))
+    )
+    write_and_commit(df, t, hidden_partition={"m": ("month", "ts")})
+    stream = spark.readStream.format("manifest_stream").option("path", t.root).load()
+    assert "m" not in stream.columns and "ts" in stream.columns
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("m_hp")
+        .option("checkpointLocation", str(tmp_path / "ck_hp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = spark.table("m_hp")
+    assert rows.count() == 300
+    assert set(rows.columns) == {"id", "ts"}
+
+
+def test_merge_on_hidden_partitioned_table_stays_correct(spark, table):
+    """MERGE on a hidden-partitioned table: the rewrite stages files
+    without the transformed dirs (the derived column is invisible to
+    the read the merge sources), which degrades pruning for the
+    rewritten files but NEVER correctness — untransformed files are
+    simply always read. Rows must compose exactly."""
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.date_add(F.lit("1994-01-01").cast("date"), (F.col("id") % 60).cast("int")).alias("ts"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_and_commit(df, table, hidden_partition={"m": ("month", "ts")})
+    changes = spark.range(450, 550).select(
+        F.col("id"),
+        F.lit("1999-06-15").cast("date").alias("ts"),
+        (F.col("id") * 100).alias("v"),
+    )
+    merge_upsert_manifest(spark, table, changes, keys=["id"])
+    got = table.read(spark)
+    assert got.count() == 550
+    assert got.where(F.col("id") == 470).collect()[0].v == 47000
+    assert got.where(F.col("id") == 100).collect()[0].v == 200
+    # pruning still sound: a probe undercounts nothing
+    pruned = table.read_pruned(spark, [("ts", ">=", "1999-01-01")]).where(
+        F.col("ts") >= "1999-01-01"
+    )
+    assert pruned.count() == got.where(F.col("ts") >= "1999-01-01").count() == 100
