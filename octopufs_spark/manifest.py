@@ -144,6 +144,19 @@ def _hive_segments_of(rel_file: str) -> list[tuple[str, str | None]]:
 _DROPPED_PREFIX = "__octopufs_dropped_"
 
 
+def _evolution_dtype(spec: str):
+    """Parse an ``add`` event's type spec WITHOUT a SparkSession (the
+    stream source replays the log inside data-source workers where no
+    session exists): ``_parse_datatype_json_value`` is pure Python and
+    accepts the primitive names Spark's JSON schema format uses —
+    "string", "long", "integer", "double", "boolean", "date",
+    "timestamp", "decimal(p,s)", ... — which is also the vocabulary
+    ``add_column`` documents."""
+    from pyspark.sql.types import _parse_datatype_json_value
+
+    return _parse_datatype_json_value(spec)
+
+
 def hidden_transform_expr(kind: str, src: str, param=None):
     """Spark column expression of an Iceberg-style hidden-partition
     transform. Each has an EXACT Python twin
@@ -220,12 +233,19 @@ def _apply_evolution(df: DataFrame, events: list) -> DataFrame:
     strips sentinels last. Events whose source column is absent are
     no-ops — a group written after a rename already has the new name,
     so replaying the full log converges every group to one schema."""
+    from pyspark.sql import functions as _F
+
     for i, ev in enumerate(events):
         kind, *args = ev
         if kind == "rename" and args[0] in df.columns:
             df = df.withColumnRenamed(args[0], args[1])
         elif kind == "drop" and args[0] in df.columns:
             df = df.withColumnRenamed(args[0], f"{_DROPPED_PREFIX}{i}")
+        elif kind == "add" and args[0] not in df.columns:
+            # metadata-only ADD COLUMN with a default: groups written
+            # before the add (or omitting the column) surface the
+            # default, not NULL — Delta's default-values model
+            df = df.withColumn(args[0], _F.lit(args[1]).cast(_evolution_dtype(args[2])))
     return df
 
 
@@ -262,6 +282,8 @@ def _alias_chain(col: str, events: list) -> list[str]:
                 break  # name was renamed AWAY earlier: older `col` is another column
         elif kind == "drop" and args[0] == target:
             break  # name was dropped earlier: older `col` is the dropped column
+        elif kind == "add" and args[0] == target:
+            break  # column born here: nothing earlier can spell it
     return chain
 
 
@@ -873,7 +895,13 @@ class ManifestTable:
             sch = pq.read_schema(f"{self.root_path}/{f}", filesystem=self.fs)
             phys.update(sch.names)
             phys.update(k for k, _ in _hive_segments_of(f))
-        logical = set(_evolve_names(sorted(phys), m.meta.get("schema_evolution", [])))
+        events = m.meta.get("schema_evolution", [])
+        logical = set(_evolve_names(sorted(phys), events))
+        # names born by `add` events, pushed through the REST of the log
+        # (a later rename/drop applies to them like any other column)
+        for i, ev in enumerate(events):
+            if ev[0] == "add":
+                logical.update(_evolve_names([ev[1]], events[i + 1 :]))
         return {c for c in logical if not c.startswith(_DROPPED_PREFIX)}
 
     def rename_column(self, old: str, new: str) -> int:
@@ -909,6 +937,35 @@ class ManifestTable:
 
         return self._commit_with_retry(
             build, "rename_column", {"schema_evolution_new": [["rename", old, new]]}
+        )
+
+    def add_column(self, col: str, dtype: str, default=None) -> int:
+        """Metadata-only ADD COLUMN with an optional default: files
+        written before the add (and any append omitting the column)
+        surface ``default`` instead of NULL at read — Delta's
+        default-values model, one manifest commit, zero rewrites. The
+        name must be genuinely fresh: reusing a retired or existing
+        name would make old files' columns ambiguous (same rule as
+        rename targets)."""
+
+        _evolution_dtype(dtype)  # fail fast on an unparseable type spec
+
+        def build(parent: Manifest | None) -> list[str]:
+            if parent is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
+            events = parent.meta.get("schema_evolution", [])
+            retired = {ev[1] for ev in events if ev[0] in ("rename", "drop")}
+            if col in retired:
+                raise ValueError(
+                    f"column name {col!r} was previously retired by a rename/drop; "
+                    "reusing it would make old files ambiguous — pick a fresh name"
+                )
+            if col in self._logical_columns(parent):
+                raise ValueError(f"column {col!r} already exists")
+            return list(parent.files)
+
+        return self._commit_with_retry(
+            build, "add_column", {"schema_evolution_new": [["add", col, default, dtype]]}
         )
 
     def drop_column(self, col: str) -> int:

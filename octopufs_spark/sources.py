@@ -364,7 +364,7 @@ class ManifestStreamReader(DataSourceStreamReader):
             ) from None
         if m.operation == "dv-consolidate":
             return []  # vector maintenance: no files added, no visible-row change
-        if m.operation in ("rename_column", "drop_column"):
+        if m.operation in ("rename_column", "drop_column", "add_column"):
             # metadata-only schema evolution: no files added, no row
             # change. Events BEFORE the stream started are replayed per
             # batch (the pinned log); an event committed MID-STREAM
@@ -532,7 +532,9 @@ class ManifestStreamReader(DataSourceStreamReader):
                     arrays.append(pa.array([v] * batch.num_rows, type=pa.string()))
                     names.append(k)
                 if evolution:
-                    names, arrays = _evolved_columns(names, arrays, evolution)
+                    names, arrays = _evolved_columns(
+                        names, arrays, evolution, batch.num_rows
+                    )
                 batch = pa.RecordBatch.from_arrays(arrays, names=names)
             yield batch
 
@@ -548,16 +550,36 @@ def _hive_segments(rel_file: str) -> list[tuple[str, str]]:
     return _hive_segments_of(rel_file)
 
 
-def _evolved_columns(names: list[str], arrays: list, evolution: list):
+def _evolved_columns(names: list[str], arrays: list, evolution: list, num_rows: int):
     """Replay the table's schema-evolution log on an Arrow batch's
-    column list: historical names map to current logical names,
-    dropped columns vanish (canonical name semantics live with the
-    manifest's ``_evolve_names``)."""
-    from octopufs_spark.manifest import _DROPPED_PREFIX, _evolve_names
+    column list, mirroring the batch read's ``_apply_evolution``:
+    historical names map to current logical names, dropped columns
+    vanish, and ``add`` events materialize their default as a constant
+    column (canonical semantics live with the manifest module)."""
+    import pyarrow as pa
 
-    evolved = _evolve_names(names, evolution)
-    keep = [i for i, n in enumerate(evolved) if not n.startswith(_DROPPED_PREFIX)]
-    return [evolved[i] for i in keep], [arrays[i] for i in keep]
+    from octopufs_spark.manifest import _DROPPED_PREFIX
+
+    names = list(names)
+    arrays = list(arrays)
+    for i, ev in enumerate(evolution):
+        kind, *args = ev
+        if kind == "rename":
+            if args[0] in names:
+                names[names.index(args[0])] = args[1]
+        elif kind == "drop":
+            if args[0] in names:
+                names[names.index(args[0])] = f"{_DROPPED_PREFIX}{i}"
+        elif kind == "add" and args[0] not in names:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            from octopufs_spark.manifest import _evolution_dtype
+
+            at = to_arrow_type(_evolution_dtype(args[2]))
+            names.append(args[0])
+            arrays.append(pa.array([args[1]] * num_rows, type=at))
+    keep = [i for i, n in enumerate(names) if not n.startswith(_DROPPED_PREFIX)]
+    return [names[i] for i in keep], [arrays[i] for i in keep]
 
 
 class ManifestStreamSource(DataSource):
@@ -599,15 +621,30 @@ class ManifestStreamSource(DataSource):
         evolution = m.meta.get("schema_evolution", [])
         if evolution:
             # same log the per-batch reader replays: the stream schema
-            # shows current LOGICAL names, dropped columns omitted
-            from octopufs_spark.manifest import _DROPPED_PREFIX, _evolve_names
+            # shows current LOGICAL names, dropped columns omitted,
+            # added columns appended with their declared type (same
+            # order the per-batch replay appends them)
+            from octopufs_spark.manifest import _DROPPED_PREFIX, _evolution_dtype
             from pyspark.sql.types import StructType
 
-            evolved = _evolve_names(list(st.names), evolution)
+            fields = [(f.name, f.dataType, f.nullable) for f in st.fields]
+            for i, ev in enumerate(evolution):
+                kind, *args = ev
+                if kind == "rename":
+                    fields = [
+                        ((args[1] if n == args[0] else n), t, nb) for n, t, nb in fields
+                    ]
+                elif kind == "drop":
+                    fields = [
+                        ((f"{_DROPPED_PREFIX}{i}" if n == args[0] else n), t, nb)
+                        for n, t, nb in fields
+                    ]
+                elif kind == "add" and args[0] not in [n for n, _, _ in fields]:
+                    fields.append((args[0], _evolution_dtype(args[2]), True))
             st = StructType(
                 [
-                    StructField(n, f.dataType, f.nullable)
-                    for n, f in zip(evolved, st.fields)
+                    StructField(n, t, nb)
+                    for n, t, nb in fields
                     if not n.startswith(_DROPPED_PREFIX)
                 ]
             )

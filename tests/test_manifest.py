@@ -3052,3 +3052,61 @@ def test_merge_on_hidden_partitioned_table_stays_correct(spark, table):
         F.col("ts") >= "1999-01-01"
     )
     assert pruned.count() == got.where(F.col("ts") >= "1999-01-01").count() == 100
+
+
+def test_add_column_metadata_only_with_default(spark, table):
+    """ADD COLUMN with a default is one manifest commit: pre-add files
+    surface the default (not NULL), post-add appends carry real
+    values, the added column renames/drops like any other, and time
+    travel to the pre-add snapshot lacks it."""
+    write_and_commit(_df(spark, 0, 50), table)
+    v = table.add_column("source", "string", default="backfill")
+    assert table.read_manifest(v).files == table.read_manifest(v - 1).files
+    got = table.read(spark)
+    assert got.where(F.col("source") == "backfill").count() == 50
+    write_and_commit(
+        _df(spark, 50, 80).withColumn("source", F.lit("live")), table, mode="append"
+    )
+    got = table.read(spark)
+    assert got.count() == 80
+    assert got.where(F.col("source") == "live").count() == 30
+    assert got.where(F.col("source").isNull()).count() == 0
+    # added column participates in later evolution
+    table.rename_column("source", "origin")
+    assert "origin" in table.read(spark).columns
+    with pytest.raises(ValueError):
+        table.add_column("v", "long")  # exists
+    with pytest.raises(ValueError):
+        table.add_column("source", "string")  # retired by the rename
+    assert "source" not in table.read(spark, version=v - 1).columns
+
+
+def test_add_column_null_default_and_stream(spark, tmp_path):
+    """A None default reads as typed NULL; the stream replays adds the
+    same way the batch read does (schema and batches agree)."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    t = ManifestTable(str(tmp_path / "addtbl"))
+    write_and_commit(_df(spark, 0, 40), t)
+    t.add_column("score", "double", default=1.5)
+    t.add_column("note", "string")  # default None
+    stream = spark.readStream.format("manifest_stream").option("path", t.root).load()
+    assert dict(stream.dtypes)["score"] == "double"
+    assert dict(stream.dtypes)["note"] == "string"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("m_add")
+        .option("checkpointLocation", str(tmp_path / "ck_add"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = spark.table("m_add")
+    assert rows.count() == 40
+    assert rows.where(F.col("score") == 1.5).count() == 40
+    assert rows.where(F.col("note").isNull()).count() == 40
+    batch = t.read(spark)
+    assert batch.where(F.col("score") == 1.5).count() == 40
