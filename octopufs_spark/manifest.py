@@ -42,6 +42,23 @@ from octopufs_spark.fs.core import get_filesystem, list_tree
 
 _MANIFEST_DIR = "_manifest"
 _VERSION_RE = re.compile(r"v(\d+)\.json$")
+_TAGS_DIR = f"{_MANIFEST_DIR}/tags"
+_TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def _version_of(path: str) -> int | None:
+    """Version number of a manifest file path, or None for anything
+    that is not DIRECTLY ``_manifest/v<N>.json``. A bare
+    ``_VERSION_RE.search`` matches *inside* other names — a tag file
+    ``_manifest/tags/relv2.json`` ends with ``v2.json`` — so version
+    discovery and vacuum's manifest pass must anchor on the full
+    basename AND the parent directory, or a tag named ``*v<digits>``
+    would be listed (and pruned!) as a table version."""
+    parts = path.rstrip("/").rsplit("/", 2)
+    if len(parts) < 2 or parts[-2] != _MANIFEST_DIR:
+        return None
+    m = re.fullmatch(r"v(\d+)\.json", parts[-1])
+    return int(m.group(1)) if m else None
 
 
 class ConcurrentModificationError(RuntimeError):
@@ -51,6 +68,11 @@ class ConcurrentModificationError(RuntimeError):
     The operation aborts with nothing published — rerun against the
     new snapshot. Mirrors Delta's behavior of failing OPTIMIZE on a
     conflicting commit rather than publishing a lost update."""
+
+
+class _ModeChanged(Exception):
+    """Internal: publish_wap resolved fast-forward vs re-apply from a
+    head that moved before the commit built — re-resolve and retry."""
 
 
 class SnapshotVacuumedError(FileNotFoundError):
@@ -309,9 +331,9 @@ class ManifestTable:
             return []
         out = []
         for el in infos:
-            m = _VERSION_RE.search(el.path)
-            if m and not el.is_dir:
-                out.append(int(m.group(1)))
+            v = _version_of(el.path)
+            if v is not None and not el.is_dir:
+                out.append(v)
         return sorted(out)
 
     def latest_version(self) -> int | None:
@@ -361,9 +383,29 @@ class ManifestTable:
         except OSError:
             pass
 
+    def current_version(self) -> int | None:
+        """Newest MAIN-lineage version: the latest commit that is not a
+        STAGED write-audit-publish snapshot (``meta["wap"]``). Staged
+        snapshots occupy version numbers in the same log (they are
+        time-travelable and vacuum-aware like any commit) but are
+        invisible to the table's readers, its stream, and — via
+        ``_commit_with_retry``'s parent resolution — to every later
+        commit, until :meth:`publish_wap` re-commits their content onto
+        main. The walk follows parent pointers, and a staged commit's
+        parent is by construction the main head at its commit time, so
+        this is O(consecutive staged snapshots at the top), i.e. one
+        extra manifest read only while an audit is actually in flight."""
+        v = self.latest_version()
+        while v is not None:
+            m = self.read_manifest(v)
+            if "wap" not in m.meta:
+                return v
+            v = m.parent
+        return None
+
     def read_manifest(self, version: int | None = None) -> Manifest:
         if version is None:
-            version = self.latest_version()
+            version = self.current_version()
             if version is None:
                 raise FileNotFoundError(f"no committed manifest under {self.root}")
         with self.fs.open_input_stream(f"{self._mdir}/v{version}.json") as f:
@@ -419,7 +461,23 @@ class ManifestTable:
                 lo = mid
             else:
                 hi = mid - 1
-        return vs[lo]
+        # A staged WAP snapshot was never visible on main, so AS OF a
+        # timestamp inside its audit window answers with the main head
+        # of that moment — its parent. (In-commit timestamps are forced
+        # monotonic along the MAIN lineage; staged snapshots interleave
+        # in wall-clock order, which keeps the search exact except under
+        # a clock regression during an in-flight audit — there the
+        # resolution degrades to the parent main snapshot, never to
+        # unaudited content.)
+        m = self.read_manifest(vs[lo])
+        while "wap" in m.meta:
+            if m.parent is None:
+                raise ValueError(
+                    f"timestamp {ts} resolves only staged (write-audit-publish) "
+                    f"snapshots of {self.root}; nothing was published on main yet"
+                )
+            m = self.read_manifest(m.parent)
+        return m.version
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: publish a NEW commit whose content is
@@ -452,7 +510,16 @@ class ManifestTable:
         old = self.read_manifest(version)
         # restoring a half-vacuumed snapshot would publish dangling refs
         self._check_not_vacuumed(old)
-        meta = {k: v for k, v in old.meta.items() if k != "stream_txn"}
+        # stream_txn: replay protection carries forward, never resets.
+        # WAP markers don't re-carry either: a restored "wap" marker
+        # would stage the restore itself, and a re-carried
+        # "wap_published"/"wap_aborted" marker would confuse a later
+        # publish's idempotence walk.
+        meta = {
+            k: v
+            for k, v in old.meta.items()
+            if k not in ("stream_txn", "wap", "wap_published", "wap_aborted")
+        }
         meta["restored_from"] = version
         v = self._commit_with_retry(list(old.files), "restore", meta, carry=False)
         self._check_not_vacuumed(self.read_manifest(v))
@@ -482,6 +549,15 @@ class ManifestTable:
                 "n_files": len(m.files),
                 "n_added": len(m.added) if m.added is not None else None,
                 "n_removed": None,
+                # staged write-audit-publish snapshots show in history
+                # (they are real commits) but flagged, with their wap id
+                "staged": "wap" in m.meta,
+                "wap_id": (
+                    m.meta.get("wap")
+                    or m.meta.get("wap_published")
+                    or m.meta.get("wap_aborted")
+                    or {}
+                ).get("id"),
             }
             if m.parent is not None:
                 parent = manifests.get(m.parent)
@@ -503,12 +579,84 @@ class ManifestTable:
             out.append(entry)
         return out
 
+    # ---------- named tags (immutable snapshot refs) ----------
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: the current main head) under an
+        immutable name — the Iceberg tag model. A tag is a retention
+        ref, not a copy: ``read(tag=...)`` resolves it, and ``vacuum``
+        keeps the tagged snapshot's manifest and every file it
+        references alive regardless of ``keep_versions``, so an audit
+        or reproducibility baseline ('the exact training set of run X')
+        survives arbitrary later rewrites. Publish is the same
+        no-overwrite primitive as manifest commits, so two racers
+        creating the same tag get exactly one winner
+        (``FileExistsError`` for the loser — tags never silently
+        move; delete + recreate to retarget)."""
+        if not _TAG_NAME_RE.fullmatch(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
+        # tagging a vanished version would pin nothing
+        m = self.read_manifest(version)
+        self.fs.create_dir(f"{self.root_path}/{_TAGS_DIR}", recursive=True)
+        final = f"{self.root_path}/{_TAGS_DIR}/{name}.json"
+        tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(json.dumps({"name": name, "version": m.version}).encode())
+        try:
+            self._no_overwrite_move(tmp, final)
+        except Exception:
+            try:
+                self.fs.delete_file(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+        return m.version
+
+    def tags(self) -> dict[str, int]:
+        """All tags as ``{name: version}``."""
+        try:
+            infos = list_tree(f"{self.root}/{_TAGS_DIR}")
+        except FileNotFoundError:
+            return {}
+        out: dict[str, int] = {}
+        for el in infos:
+            base = el.path.rsplit("/", 1)[-1]
+            if el.is_dir or not base.endswith(".json") or ".tmp." in base:
+                continue
+            try:
+                with self.fs.open_input_stream(el.path) as f:
+                    d = json.loads(f.read().decode())
+                out[d["name"]] = int(d["version"])
+            except (OSError, ValueError, KeyError):
+                continue  # torn/foreign file: not a tag
+        return out
+
+    def tag_version(self, name: str) -> int:
+        v = self.tags().get(name)
+        if v is None:
+            raise FileNotFoundError(f"no tag {name!r} on {self.root}")
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        """Drop the ref (the snapshot stays until vacuum outlives it)."""
+        if not _TAG_NAME_RE.fullmatch(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        try:
+            self.fs.delete_file(f"{self.root_path}/{_TAGS_DIR}/{name}.json")
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no tag {name!r} on {self.root}") from None
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         merge_schema: bool = False,
         timestamp=None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Load the committed snapshot — optionally time-traveled.
         Merge-on-read delete vectors recorded in the manifest meta
@@ -530,10 +678,14 @@ class ManifestTable:
 
         ``timestamp`` (epoch seconds or datetime) is AS OF TIMESTAMP:
         resolved to the newest version committed at-or-before it via
-        :meth:`version_as_of`, mutually exclusive with ``version``."""
+        :meth:`version_as_of`; ``tag`` resolves a named ref created by
+        :meth:`create_tag`. version/timestamp/tag are mutually
+        exclusive."""
+        if sum(x is not None for x in (version, timestamp, tag)) > 1:
+            raise ValueError("pass at most one of version, timestamp, tag")
+        if tag is not None:
+            version = self.tag_version(tag)
         if timestamp is not None:
-            if version is not None:
-                raise ValueError("pass version OR timestamp, not both")
             version = self.version_as_of(timestamp)
         m = self.read_manifest(version)
         if version is not None:
@@ -823,9 +975,9 @@ class ManifestTable:
             if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
                 raise FileExistsError(final)
             self.fs.move(tmp, final)
-        m = _VERSION_RE.search(final)
-        if m:
-            self._write_latest_hint(int(m.group(1)))
+        v = _version_of(final)
+        if v is not None:
+            self._write_latest_hint(v)
 
     def _rel(self, uri: str) -> str:
         _, p = get_filesystem(uri)
@@ -844,7 +996,11 @@ class ManifestTable:
         )
 
     def commit_overwrite(
-        self, staged_subdir: str, operation: str = "overwrite", meta: dict | None = None
+        self,
+        staged_subdir: str,
+        operation: str = "overwrite",
+        meta: dict | None = None,
+        wap_id: str | None = None,
     ) -> int:
         """Publish the parquet files under ``root/staged_subdir`` as the
         table's complete new content (full-snapshot commit). Retries the
@@ -852,7 +1008,7 @@ class ManifestTable:
         files = self._data_files_under(staged_subdir)
         if not files:
             raise ValueError(f"nothing staged under {self.root}/{staged_subdir}")
-        return self._commit_with_retry(files, operation, meta)
+        return self._commit_with_retry(files, operation, meta, wap_id=wap_id)
 
     def commit_replace(
         self,
@@ -876,6 +1032,202 @@ class ManifestTable:
             return sorted(kept + staged)
 
         return self._commit_with_retry(build, operation, meta)
+
+    # ---------- write-audit-publish (staged snapshots) ----------
+
+    def find_wap(self, wap_id: str) -> int:
+        """Newest staged snapshot carrying ``wap_id``. This scans the
+        version log newest-first (staged snapshots sit at the top while
+        an audit is in flight, so the scan is short in practice) — the
+        staging call's return value is the cheaper handle when the
+        stager and publisher share state."""
+        for v in sorted(self.versions(), reverse=True):
+            try:
+                m = self.read_manifest(v)
+            except (FileNotFoundError, OSError):
+                continue
+            w = m.meta.get("wap")
+            if w and w.get("id") == wap_id:
+                return v
+        raise FileNotFoundError(f"no staged snapshot with wap_id {wap_id!r} on {self.root}")
+
+    def _walk_wap_outcome(self, start: Manifest | None, base_v: int | None, staged_v: int):
+        """Walk main lineage from ``start`` back to the staged base,
+        returning ('published', version) / ('aborted', version) if a
+        prior publish/abort of ``staged_v`` already landed, else None.
+        Runs INSIDE the commit build so a concurrent publisher's commit
+        is seen on retry — two racing publishers converge on one
+        published version instead of double-applying the batch."""
+        p = start
+        while p is not None and p.version != base_v:
+            pub = p.meta.get("wap_published")
+            if pub and pub.get("staged_version") == staged_v:
+                return ("published", p.version)
+            ab = p.meta.get("wap_aborted")
+            if ab and ab.get("staged_version") == staged_v:
+                return ("aborted", p.version)
+            if p.parent is None:
+                break
+            p = self.read_manifest(p.parent)
+        return None
+
+    def publish_wap(self, wap_id: str | None = None, version: int | None = None) -> int:
+        """Publish a staged write-audit-publish snapshot onto main —
+        the Iceberg WAP 'cherry-pick' step. The staged snapshot (see
+        ``write_and_commit(wap_id=...)``) was committed against a base
+        main head and audited via ``read(version=staged)``; publishing
+        re-commits its content as a NORMAL main commit:
+
+        - base still the head → FAST-FORWARD: the staged file list and
+          its content metadata publish wholesale (op ``wap-publish``,
+          or ``wap-publish-replace`` when the staged commit removed
+          base files — the stream source treats only the former as an
+          append).
+        - main advanced and the staged commit was a PURE APPEND → its
+          added files re-apply on the new head (zone maps/Blooms for
+          the staged files merge in; vectors/evolution/layout carry
+          from the LIVE head, exactly like a plain append racing those
+          commits). A schema-evolution or hidden-layout change since
+          staging aborts instead: the staged files were written under
+          the old contract.
+        - main advanced and the staged commit replaced/removed files →
+          :class:`ConcurrentModificationError` (re-stage against the
+          new head), the same reconcile-or-abort line every other
+          maintenance commit draws.
+
+        Publishing is IDEMPOTENT per staged version: the conflict walk
+        runs inside the commit build, so racing/replayed publishers
+        return the one already-published version instead of applying
+        the batch twice. Publishing an aborted snapshot fails."""
+        if (wap_id is None) == (version is None):
+            raise ValueError("pass exactly one of wap_id, version")
+        v = version if version is not None else self.find_wap(wap_id)
+        s = self.read_manifest(v)
+        wap = s.meta.get("wap")
+        if wap is None:
+            raise ValueError(f"v{v} of {self.root} is not a staged WAP snapshot")
+        # publishing dangling refs would corrupt main (staged snapshots
+        # older than the vacuum retention window expire)
+        self._check_not_vacuumed(s)
+        base_v = wap.get("base")
+        base = self.read_manifest(base_v) if base_v is not None else None
+        base_files = set(base.files) if base else set()
+        s_added = [f for f in s.files if f not in base_files]
+        pure_append = base_files <= set(s.files)
+        content_meta = {
+            k: val for k, val in s.meta.items() if k not in ("wap", "stream_txn")
+        }
+        marker = {"wap_published": {"id": wap.get("id"), "staged_version": v}}
+
+        class _Done(Exception):
+            def __init__(self, version: int):
+                self.version = version
+
+        for _ in range(5):
+            head_v = self.current_version()
+            fast_forward = head_v == base_v
+
+            def build(parent: Manifest | None) -> list[str]:
+                outcome = self._walk_wap_outcome(parent, base_v, v)
+                if outcome is not None:
+                    kind, at = outcome
+                    if kind == "published":
+                        raise _Done(at)
+                    raise ValueError(
+                        f"staged snapshot v{v} was aborted at v{at}; re-stage to publish"
+                    )
+                if ((parent.version if parent else None) == base_v) != fast_forward:
+                    raise _ModeChanged()
+                if fast_forward:
+                    return list(s.files)
+                if not pure_append:
+                    raise ConcurrentModificationError(
+                        f"staged snapshot v{v} replaces files of base v{base_v}, but "
+                        f"{self.root} advanced to v{parent.version if parent else None} "
+                        "since staging — re-stage against the new head"
+                    )
+                for key in ("schema_evolution", "hidden_partitions"):
+                    if (parent.meta.get(key) or None) != (
+                        (base.meta.get(key) if base else None) or None
+                    ):
+                        raise ConcurrentModificationError(
+                            f"table {key} changed since v{v} was staged against "
+                            f"v{base_v} — the staged files were written under the "
+                            "old contract; re-stage"
+                        )
+                pf = set(parent.files) if parent else set()
+                return sorted((parent.files if parent else []) + [f for f in s_added if f not in pf])
+
+            if fast_forward:
+                op = "wap-publish" if pure_append else "wap-publish-replace"
+                meta = {**content_meta, **marker}
+                carry = False
+            else:
+                # re-apply: content metadata comes from the LIVE head via
+                # carry; the staged commit contributes only the skipping
+                # metadata describing its own added files
+                op = "wap-publish"
+                meta = dict(marker)
+                fstats = content_meta.get("file_stats") or {}
+                sub = {f: fstats[f] for f in s_added if f in fstats}
+                if sub:
+                    meta["file_stats"] = sub
+                blooms = content_meta.get("bloom_index") or {}
+                bsub = {
+                    col: {f: per[f] for f in s_added if f in per}
+                    for col, per in blooms.items()
+                }
+                bsub = {col: per for col, per in bsub.items() if per}
+                if bsub:
+                    meta["bloom_index"] = bsub
+                carry = True
+            try:
+                return self._commit_with_retry(build, op, meta, carry=carry)
+            except _Done as d:
+                return d.version
+            except _ModeChanged:
+                continue
+        raise RuntimeError(f"lost the publish race 5 times on {self.root}")
+
+    def abort_wap(self, wap_id: str | None = None, version: int | None = None) -> int:
+        """Mark a staged snapshot dead without publishing it. The abort
+        is itself a no-op MAIN commit (op ``wap-abort``, same file list
+        as its parent) carrying an ``wap_aborted`` marker — deleting
+        the staged manifest instead would punch a mid-log version gap
+        and break ``latest_version``'s forward probe. A subsequent
+        ``publish_wap`` of the same staged version fails loudly; the
+        staged manifest and its data files expire through vacuum's
+        normal retention window."""
+        if (wap_id is None) == (version is None):
+            raise ValueError("pass exactly one of wap_id, version")
+        v = version if version is not None else self.find_wap(wap_id)
+        s = self.read_manifest(v)
+        wap = s.meta.get("wap")
+        if wap is None:
+            raise ValueError(f"v{v} of {self.root} is not a staged WAP snapshot")
+        base_v = wap.get("base")
+        marker = {"wap_aborted": {"id": wap.get("id"), "staged_version": v}}
+
+        class _Done(Exception):
+            def __init__(self, version: int):
+                self.version = version
+
+        def build(parent: Manifest | None) -> list[str]:
+            outcome = self._walk_wap_outcome(parent, base_v, v)
+            if outcome is not None:
+                kind, at = outcome
+                if kind == "aborted":
+                    raise _Done(at)
+                raise ValueError(
+                    f"staged snapshot v{v} was already published at v{at}; "
+                    "aborting now would not retract it"
+                )
+            return list(parent.files) if parent else []
+
+        try:
+            return self._commit_with_retry(build, "wap-abort", marker)
+        except _Done as d:
+            return d.version
 
     # ---------- metadata-only schema evolution ----------
 
@@ -1128,13 +1480,32 @@ class ManifestTable:
         return {**meta, "hidden_partitions": merged}
 
     def _commit_with_retry(
-        self, files_or_build, operation: str, meta: dict | None, carry: bool = True
+        self,
+        files_or_build,
+        operation: str,
+        meta: dict | None,
+        carry: bool = True,
+        wap_id: str | None = None,
     ) -> int:
         import time
 
         for _ in range(5):  # reference-style bounded retry
             latest = self.latest_version()
-            parent = self.read_manifest(latest) if latest is not None else None
+            # Version numbers allocate from the TRUE newest manifest
+            # (staged WAP snapshots included — they own their slot in
+            # the log), but the commit BUILDS AGAINST the main-lineage
+            # head: a staged snapshot must never become another
+            # commit's parent, or its unaudited content would leak
+            # into main through the child's file list.
+            parent = None
+            if latest is not None:
+                parent = self.read_manifest(latest)
+                while parent is not None and "wap" in parent.meta:
+                    parent = (
+                        self.read_manifest(parent.parent)
+                        if parent.parent is not None
+                        else None
+                    )
             files = files_or_build(parent) if callable(files_or_build) else files_or_build
             parent_files = set(parent.files) if parent else set()
             # in-commit timestamp, forced strictly above the parent's so
@@ -1157,15 +1528,25 @@ class ManifestTable:
                     ),
                 )
             else:
-                # carry=False (RESTORE): the caller supplies the COMPLETE
-                # content metadata (vectors/stats/evolution come from the
-                # restored snapshot, not the abandoned parent)
+                # carry=False (RESTORE / WAP fast-forward): the caller
+                # supplies the COMPLETE content metadata (vectors/stats/
+                # evolution come from the restored or staged snapshot,
+                # not the abandoned parent)
                 built_meta = dict(meta or {})
+            if wap_id is not None:
+                # staged write-audit-publish snapshot: invisible to main
+                # (current_version skips it) until publish_wap re-commits
+                # it. "base" records the main head it was built against,
+                # which publish uses for its conflict check.
+                built_meta["wap"] = {
+                    "id": wap_id,
+                    "base": parent.version if parent else None,
+                }
             m = Manifest(
                 version=(latest or 0) + 1 if latest is not None else 1,
                 files=files,
                 operation=operation,
-                parent=latest,
+                parent=parent.version if parent else None,
                 # stream high-water marks carry UNCONDITIONALLY: they are
                 # writer-replay protection, not content state — resetting
                 # them (even on RESTORE) would let an idempotent sink's
@@ -1581,7 +1962,27 @@ class ManifestTable:
             now = _dt.datetime.now(tz=mtime.tzinfo) if mtime.tzinfo else _dt.datetime.now()
             return (now - mtime).total_seconds() < retention_seconds
 
-        keep = set(vs[-keep_versions:])
+        # Retention policy refs:
+        #  - ``keep_versions`` counts along the MAIN lineage (parent
+        #    chain from the current head) — a staged write-audit-publish
+        #    snapshot sitting at the top of the version log must not
+        #    push the table's readable head out of retention.
+        #  - TAGGED versions are pinned unconditionally (the Iceberg tag
+        #    model): their manifests and files survive until the tag is
+        #    deleted.
+        #  - Staged WAP snapshots themselves are protected only by the
+        #    retention window: an audit in flight (younger than the
+        #    window) is safe, an abandoned one expires like any orphan.
+        keep: set[int] = set(self.tags().values())
+        v = self.current_version()
+        walked = 0
+        while v is not None and walked < keep_versions:
+            keep.add(v)
+            walked += 1
+            try:
+                v = self.read_manifest(v).parent
+            except (FileNotFoundError, OSError):
+                break  # older lineage already pruned
         entries = [
             el for el in list_tree(self.root, tolerate_vanished=True) if not el.is_dir
         ]
@@ -1593,10 +1994,9 @@ class ManifestTable:
             rel = el.path[len(self.root_path) + 1 :]
             if not rel.startswith(_MANIFEST_DIR + "/"):
                 continue
-            m = _VERSION_RE.search(rel)
-            if not m:
-                continue
-            v = int(m.group(1))
+            v = _version_of(rel)
+            if v is None:
+                continue  # tag refs / hint file: never version-pruned
             if v in keep or _too_young(el.path):
                 survivors.add(v)
             else:
@@ -1675,6 +2075,7 @@ def write_and_commit(
     bloom_columns: list[str] | None = None,
     expectations: list[tuple[str, str]] | None = None,
     hidden_partition: dict[str, tuple] | None = None,
+    wap_id: str | None = None,
 ) -> int:
     """Write ``df`` to a fresh staging directory under the table root,
     then publish it as one atomic snapshot commit. The staging dir name
@@ -1700,7 +2101,13 @@ def write_and_commit(
     dirs and ``o_custkey = k`` prunes to one bucket. The frame is
     repartitioned on the transform columns first, so each dir is
     written by exactly one task (one file per partition dir —
-    deterministic layout, no small-file spray)."""
+    deterministic layout, no small-file spray).
+
+    ``wap_id`` stages the commit as a write-audit-publish snapshot
+    (Iceberg WAP): the data lands and is time-travel-readable at the
+    returned version, but main readers, the table's stream, and later
+    commits do NOT see it until ``table.publish_wap(wap_id=...)``
+    promotes it (an audit failure instead calls ``abort_wap``)."""
     staged = f"data-{uuid.uuid4().hex[:12]}"
     partition_by = list(partition_by or [])
     if hidden_partition:
@@ -1729,7 +2136,7 @@ def write_and_commit(
             col: table.collect_bloom_index(staged_files, col) for col in bloom_columns
         }
     if mode == "overwrite":
-        return table.commit_overwrite(staged, meta=meta)
+        return table.commit_overwrite(staged, meta=meta, wap_id=wap_id)
     if mode == "append":
         # the parent's zone maps / blooms carry forward at publish time
         # (_carry_skipping_meta), against the LIVE parent rather than a
@@ -1739,7 +2146,7 @@ def write_and_commit(
             base = parent.files if parent else []
             return sorted(base + table._data_files_under(staged))
 
-        return table._commit_with_retry(build, "append", meta)
+        return table._commit_with_retry(build, "append", meta, wap_id=wap_id)
     raise ValueError(f"unsupported mode {mode!r}")
 
 
@@ -2163,9 +2570,11 @@ def clone_table(
             # committed, so the half-linked dest is inert staging for
             # cleanup, never a live table with dangling refs
             raise SnapshotVacuumedError(src.root, m.version, [rel]) from None
-    dest._commit_with_retry(
-        list(m.files), "clone", {**m.meta, "clone_source": src.root}
-    )
+    # WAP markers don't travel: cloning an explicitly-named staged
+    # snapshot produces a NORMAL table (a staged v1 would leave the
+    # clone with no readable main head at all)
+    meta = {k: v for k, v in m.meta.items() if k not in ("wap", "wap_published", "wap_aborted")}
+    dest._commit_with_retry(list(m.files), "clone", {**meta, "clone_source": src.root})
     return dest
 
 
@@ -2332,8 +2741,8 @@ def promote_partitions_to_manifest(
         if failed:
             raise RuntimeError(f"copy failed for partition {name}: {failed[0].path}")
 
-    latest = table.latest_version()
-    src_files = set(table.read_manifest(latest).files) if latest is not None else set()
+    head = table.current_version()  # main lineage: staged WAP content is not ours to replace
+    src_files = set(table.read_manifest(head).files) if head is not None else set()
     replaced_at_read = {f for f in src_files if set(f.split("/")) & set(part_names)}
 
     def build(parent):

@@ -32,3 +32,4 @@ from octopufs_spark.queries import curation  # noqa: E402,F401
 from octopufs_spark.queries import subq  # noqa: E402,F401
 from octopufs_spark.queries import buckets  # noqa: E402,F401
 from octopufs_spark.queries import lakehouse_evo  # noqa: E402,F401
+from octopufs_spark.queries import lakehouse_wap  # noqa: E402,F401

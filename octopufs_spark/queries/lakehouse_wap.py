@@ -1,0 +1,153 @@
+"""Write-audit-publish and tag-pinned retention queries: the manifest
+table's staged-snapshot workflow (Iceberg WAP model) and immutable
+named tags that vacuum must respect.
+
+Both register with full DuckDB oracles recomputing every phase's
+expected aggregate from the base ``orders`` table, so the metadata
+machinery — staged invisibility, parent-chain skipping, publish
+re-application onto an advanced head, tag-protected vacuum — is
+value-verified: a staged row leaking into main, a publish dropping the
+racing append, or vacuum breaking the tagged snapshot flips the hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopufs_spark.registry import register
+from octopufs_spark.tables import load
+
+
+def _phase_agg(df: DataFrame, phase: str) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    ).select(F.lit(phase).alias("phase"), "o_orderpriority", "n_orders", "total")
+
+
+_WAP_ORACLE_PHASE = """
+SELECT '{phase}' AS phase, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE {cond} GROUP BY o_orderpriority
+"""
+
+_WAP_ORACLE = " UNION ALL ".join(
+    _WAP_ORACLE_PHASE.format(phase=phase, cond=cond)
+    for phase, cond in [
+        ("audit", "o_orderkey % 5 <> 0 OR o_orderkey % 10 = 0"),
+        ("pre_publish", "o_orderkey % 5 <> 0 OR o_orderkey % 10 = 5"),
+        ("published", "TRUE"),
+    ]
+)
+
+
+@register("q_ext_wap_publish", oracle=_WAP_ORACLE)
+def q_ext_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on a manifest table (the Iceberg WAP /
+    Delta-on-branch pattern): a pipeline stages a batch that LANDS in
+    the table's version log but is invisible to main — readers, the
+    stream, and later commits all skip it — audits it by explicit
+    version, and only then publishes it as a normal commit. At 100 TB
+    this is how bad data is kept out of a production table without a
+    staging copy: staging is one manifest write, audit reads the real
+    files in place, publish is metadata-only.
+
+    The scenario exercises the hard part — CONCURRENCY during the
+    audit: base (keys not divisible by 5) seeds main; the staged WAP
+    batch (keys = 0 mod 10) commits with ``wap_id``; a RACING normal
+    append (keys = 5 mod 10) lands while the audit is in flight and
+    must chain to main's head, not the staged snapshot; publish then
+    RE-APPLIES the staged pure-append onto the advanced head
+    (``ManifestTable.publish_wap``, octopufs_spark/manifest.py).
+    Three phases hash-verify against the oracle's recomputation:
+    'audit' (staged read = base ∪ staged), 'pre_publish' (main after
+    the racer = base ∪ racer — any staged leak flips this), and
+    'published' (everything, exactly once — a double-applied or
+    dropped batch flips this)."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_wap_")
+    table = ManifestTable(root)
+    write_and_commit(o.where(F.col("o_orderkey") % 5 != 0), table)
+    staged_v = write_and_commit(
+        o.where(F.col("o_orderkey") % 10 == 0),
+        table,
+        mode="append",
+        wap_id="quality-audit",
+    )
+    audit = _phase_agg(table.read(spark, version=staged_v), "audit")
+    # racing append lands mid-audit; must build on MAIN's head
+    write_and_commit(o.where(F.col("o_orderkey") % 10 == 5), table, mode="append")
+    pre = _phase_agg(table.read(spark), "pre_publish")
+    table.publish_wap(wap_id="quality-audit")
+    published = _phase_agg(table.read(spark), "published")
+    return audit.unionByName(pre).unionByName(published)
+
+
+@register(
+    "q_ext_table_tag",
+    oracle="""
+SELECT 'tagged' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT 'current' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+UNION ALL
+SELECT 'invariants' AS phase, CAST(1 AS BIGINT) AS n_rows, CAST(0 AS DOUBLE) AS total
+""",
+)
+def q_ext_table_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot tags with vacuum protection (the Iceberg tag
+    model): ``create_tag`` pins a version under an immutable name, and
+    ``vacuum`` keeps the tagged snapshot's manifest AND files alive
+    regardless of its retention policy — the mechanism behind 'the
+    exact training set of run X stays reproducible' on a table that
+    keeps compacting and vacuuming. A tag is a ref, not a copy: at
+    100 TB it costs one JSON file.
+
+    The scenario: v1 (odd keys) is tagged 'baseline'; even keys
+    append; a full OPTIMIZE rewrites every live file; an aggressive
+    ``vacuum(keep_versions=1, retention_seconds=0)`` then prunes all
+    unprotected history. The 'tagged' phase re-reads THROUGH the tag
+    after vacuum — if tag protection failed, the files are gone and
+    the query dies; if the ref resolved wrong, the aggregate flips the
+    hash. 'current' pins that the live table still holds everything,
+    and 'invariants' pins that vacuum actually removed the untagged
+    middle version (the protection is selective, not a vacuum no-op)
+    while only {tag, head} manifests survive."""
+    from octopufs_spark.manifest import ManifestTable, compact_and_commit, write_and_commit
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_tag_")
+    table = ManifestTable(root)
+    v1 = write_and_commit(o.where(F.col("o_orderkey") % 2 == 1), table)
+    table.create_tag("baseline", version=v1)
+    write_and_commit(o.where(F.col("o_orderkey") % 2 == 0), table, mode="append")
+    head = compact_and_commit(spark, table)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+
+    def one(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "total")
+
+    tagged = one(table.read(spark, tag="baseline"), "tagged")
+    current = one(table.read(spark), "current")
+    invariants_hold = bool(removed) and set(table.versions()) == {v1, head}
+    inv = spark.range(1).select(
+        F.lit("invariants").alias("phase"),
+        F.lit(1 if invariants_hold else 0).cast("long").alias("n_rows"),
+        F.lit(0.0).alias("total"),
+    )
+    return tagged.unionByName(current).unionByName(inv)

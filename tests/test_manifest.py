@@ -622,11 +622,11 @@ def test_compaction_carries_concurrent_append_forward(spark, table):
     orig = mod.ManifestTable._commit_with_retry
     fired = {"done": False}
 
-    def racing(self, files_or_build, operation, meta):
+    def racing(self, files_or_build, operation, meta, *a, **kw):
         if operation == "compact" and not fired["done"]:
             fired["done"] = True
             write_and_commit(_df(spark, 900, 910), table, mode="append")
-        return orig(self, files_or_build, operation, meta)
+        return orig(self, files_or_build, operation, meta, *a, **kw)
 
     mod.ManifestTable._commit_with_retry = racing
     try:
