@@ -1057,7 +1057,12 @@ class ManifestTable:
         prior publish/abort of ``staged_v`` already landed, else None.
         Runs INSIDE the commit build so a concurrent publisher's commit
         is seen on retry — two racing publishers converge on one
-        published version instead of double-applying the batch."""
+        published version instead of double-applying the batch. The
+        walk stops BEFORE the base (the base predates the staging, so
+        it cannot carry our outcome marker — and it may already be
+        vacuum-pruned) and tolerates pruned older lineage: a marker
+        old enough to be vacuumed means a republish lands as a no-op
+        (every staged file already in the head dedups out)."""
         p = start
         while p is not None and p.version != base_v:
             pub = p.meta.get("wap_published")
@@ -1066,9 +1071,12 @@ class ManifestTable:
             ab = p.meta.get("wap_aborted")
             if ab and ab.get("staged_version") == staged_v:
                 return ("aborted", p.version)
-            if p.parent is None:
+            if p.parent is None or p.parent == base_v:
                 break
-            p = self.read_manifest(p.parent)
+            try:
+                p = self.read_manifest(p.parent)
+            except (FileNotFoundError, OSError):
+                break
         return None
 
     def publish_wap(self, wap_id: str | None = None, version: int | None = None) -> int:
@@ -1109,11 +1117,20 @@ class ManifestTable:
         # publishing dangling refs would corrupt main (staged snapshots
         # older than the vacuum retention window expire)
         self._check_not_vacuumed(s)
+        # Everything publish needs about the staging comes from the
+        # staged manifest itself — base version number, its publish-time
+        # added list, the removed-count in the wap marker, and its
+        # CARRIED copy of the base's evolution/layout meta. The base
+        # manifest is never read: a stale staged snapshot can outlive it
+        # (vacuum prunes the base once main advances past it while the
+        # younger staged snapshot is still retention-protected), and
+        # publishing a pure append needs no base content anyway.
         base_v = wap.get("base")
-        base = self.read_manifest(base_v) if base_v is not None else None
-        base_files = set(base.files) if base else set()
-        s_added = [f for f in s.files if f not in base_files]
-        pure_append = base_files <= set(s.files)
+        s_added = list(s.added) if s.added is not None else list(s.files)
+        # missing "removed" (a marker this code didn't write) reads as
+        # NOT pure — the conservative side is a conflict abort, never a
+        # silently-dropped base removal
+        pure_append = wap.get("removed") == 0
         content_meta = {
             k: val for k, val in s.meta.items() if k not in ("wap", "stream_txn")
         }
@@ -1146,10 +1163,11 @@ class ManifestTable:
                         f"{self.root} advanced to v{parent.version if parent else None} "
                         "since staging — re-stage against the new head"
                     )
+                # s carried the base's evolution log / hidden layout at
+                # stage time (a pure append never alters either), so the
+                # staged meta doubles as the base's copy for this check
                 for key in ("schema_evolution", "hidden_partitions"):
-                    if (parent.meta.get(key) or None) != (
-                        (base.meta.get(key) if base else None) or None
-                    ):
+                    if (parent.meta.get(key) or None) != (s.meta.get(key) or None):
                         raise ConcurrentModificationError(
                             f"table {key} changed since v{v} was staged against "
                             f"v{base_v} — the staged files were written under the "
@@ -1536,11 +1554,16 @@ class ManifestTable:
             if wap_id is not None:
                 # staged write-audit-publish snapshot: invisible to main
                 # (current_version skips it) until publish_wap re-commits
-                # it. "base" records the main head it was built against,
-                # which publish uses for its conflict check.
+                # it. "base" records the main head it was built against
+                # and "removed" how many base files this snapshot drops —
+                # publish needs both WITHOUT re-reading the base manifest
+                # (a stale staged snapshot can outlive its base: vacuum
+                # prunes the base once main advances past it, while the
+                # younger staged snapshot is still retention-protected).
                 built_meta["wap"] = {
                     "id": wap_id,
                     "base": parent.version if parent else None,
+                    "removed": sum(1 for f in parent_files if f not in set(files)),
                 }
             m = Manifest(
                 version=(latest or 0) + 1 if latest is not None else 1,

@@ -161,6 +161,23 @@ def test_concurrent_publishers_converge(spark, table):
     assert _ids(table.read(spark)) == set(range(15))
 
 
+def test_publish_survives_vacuumed_base_manifest(spark, table):
+    """A stale staged snapshot can outlive its BASE manifest: once main
+    advances past the base, vacuum may prune it while the younger
+    staged snapshot is still retention-protected. Publish must not
+    need the base manifest — the staged commit carries its added list,
+    removed-count, and the base's evolution/layout meta itself."""
+    write_and_commit(_df(spark, 0, 10), table)
+    sv = write_and_commit(_df(spark, 10, 15), table, mode="append", wap_id="w1", stats=True)
+    write_and_commit(_df(spark, 100, 103), table, mode="append")
+    # simulate vacuum pruning the base (v1): only its manifest goes —
+    # its files are still referenced by the live head and survive
+    table.fs.delete_file(f"{table._mdir}/v1.json")
+    pv = table.publish_wap(version=sv)
+    assert table.read_manifest(pv).operation == "wap-publish"
+    assert _ids(table.read(spark)) == set(range(15)) | {100, 101, 102}
+
+
 # ---------- abort ----------
 
 
