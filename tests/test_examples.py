@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "examples/lakehouse_stream_demo.py",
         "examples/cdc_upsert_demo.py",
         "examples/schema_evolution_demo.py",
+        "examples/wap_tag_demo.py",
     ],
 )
 def test_demo_runs_clean(script):

@@ -348,6 +348,195 @@ def test_clone_of_staged_snapshot_is_normal_table(spark, table, tmp_path):
     assert _ids(c.read(spark)) == set(range(15))
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    schedule=st.lists(
+        st.sampled_from(["append", "stage", "publish", "abort", "compact"]),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_wap_schedule_matches_model(spark, tmp_path_factory, schedule):
+    """Model-based property: ANY interleaving of append / stage /
+    publish / abort / compact leaves main holding exactly the seed,
+    every normal append, and every PUBLISHED staged batch — aborted
+    and still-staged batches contribute nothing. publish/abort resolve
+    the OLDEST in-flight staging (queue order), so schedules cover
+    publishes onto heads that advanced by appends, compactions, and
+    other publishes since staging."""
+    from octopufs_spark.manifest import compact_and_commit
+
+    table = ManifestTable(str(tmp_path_factory.mktemp("wapsched") / "tbl"))
+    write_and_commit(_df(spark, 0, 10), table)
+    model: set[int] = set(range(10))  # expected MAIN content
+    in_flight: list[tuple[int, range]] = []  # (staged_version, rows)
+    nxt = [1]
+
+    def fresh_range() -> range:
+        lo = 100 * nxt[0]
+        nxt[0] += 1
+        return range(lo, lo + 5)
+
+    for op in schedule:
+        if op == "append":
+            rg = fresh_range()
+            write_and_commit(_df(spark, rg.start, rg.stop), table, mode="append")
+            model.update(rg)
+        elif op == "stage":
+            rg = fresh_range()
+            sv = write_and_commit(
+                _df(spark, rg.start, rg.stop), table, mode="append", wap_id=f"w{rg.start}"
+            )
+            in_flight.append((sv, rg))
+        elif op == "publish" and in_flight:
+            sv, rg = in_flight.pop(0)
+            table.publish_wap(version=sv)
+            model.update(rg)
+        elif op == "abort" and in_flight:
+            sv, rg = in_flight.pop(0)
+            table.abort_wap(version=sv)
+        elif op == "compact":
+            compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+        assert _ids(table.read(spark)) == model, f"after {op}: main diverged from model"
+
+
+def test_wap_mixed_op_fuzz(spark, table):
+    """WAP under contention: concurrent normal appenders, stage→audit→
+    publish/abort workers, a compactor, and a vacuumer against one
+    table. Serializable outcome:
+
+      final ids = seed + normal appends + PUBLISHED wap batches
+                  (exactly once each) — aborted batches fully absent
+
+    plus the structural invariant that makes WAP safe at all: no
+    non-staged commit ever chains to a staged parent (staged content
+    can only enter main through an explicit publish)."""
+    import threading
+
+    write_and_commit(_df(spark, 0, 100).repartition(4), table)
+
+    lock = threading.Lock()
+    appended: list[range] = []
+    published: list[range] = []
+    aborted: list[range] = []
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def appender(w: int):
+        for r in range(2):
+            lo = 1000 * (w + 1) + 100 * r
+            try:
+                write_and_commit(_df(spark, lo, lo + 10), table, mode="append")
+                with lock:
+                    appended.append(range(lo, lo + 10))
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def wap_worker(w: int):
+        for r in range(2):
+            lo = 5000 + 1000 * w + 100 * r
+            wid = f"audit-{w}-{r}"
+            try:
+                sv = write_and_commit(
+                    _df(spark, lo, lo + 10), table, mode="append", wap_id=wid
+                )
+                # the audit: staged batch must be whole at its version
+                got = {
+                    x.id
+                    for x in table.read(spark, version=sv)
+                    .where(F.col("id").between(lo, lo + 9))
+                    .collect()
+                }
+                assert got == set(range(lo, lo + 10)), f"torn staged batch {wid}"
+                if (w + r) % 3 == 0:
+                    table.abort_wap(wap_id=wid)
+                    with lock:
+                        aborted.append(range(lo, lo + 10))
+                else:
+                    table.publish_wap(wap_id=wid)
+                    with lock:
+                        published.append(range(lo, lo + 10))
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def compactor():
+        from octopufs_spark.manifest import (
+            ConcurrentModificationError as CME,
+        )
+        from octopufs_spark.manifest import compact_and_commit
+
+        while not stop.is_set():
+            try:
+                compact_and_commit(spark, table, target_file_bytes=512 * 1024 * 1024)
+            except (RuntimeError, CME):
+                pass
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def vacuumer():
+        removed_live: list[str] = []
+        while not stop.is_set():
+            try:
+                removed_live.extend(table.vacuum())  # default 24h retention
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+        with lock:
+            # everything here is younger than the retention window
+            assert removed_live == []
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in range(3)]
+    threads += [threading.Thread(target=wap_worker, args=(w,)) for w in range(3)]
+    ct, vt = threading.Thread(target=compactor), threading.Thread(target=vacuumer)
+    ct.start()
+    vt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    ct.join()
+    vt.join()
+
+    assert not errors, f"background thread crashed: {errors[0]!r}"
+    assert len(published) + len(aborted) == 6  # every staging resolved
+
+    # structural: main lineage never chains through a staged commit
+    manifests = {v: table.read_manifest(v) for v in table.versions()}
+    for m in manifests.values():
+        if "wap" not in m.meta and m.parent in manifests:
+            assert "wap" not in manifests[m.parent].meta, (
+                f"v{m.version} (non-staged) chains to staged v{m.parent}"
+            )
+
+    rows = table.read(spark).collect()
+    ids = {r.id for r in rows}
+    assert len(rows) == len(ids), "duplicate rows: a batch landed twice"
+    expect = set(range(100))
+    for rg in appended:
+        expect |= set(rg)
+    for rg in published:
+        expect |= set(rg)
+    assert ids == expect
+    for rg in aborted:
+        assert not (ids & set(rg)), "aborted staged rows leaked into main"
+
+
 def test_wap_on_partitioned_table(spark, table):
     base = _df(spark, 0, 10).withColumn("p", F.col("id") % 2)
     write_and_commit(base, table, partition_by=["p"])

@@ -65,6 +65,7 @@ FLAGSHIPS = [
     ("q_graph_components", "label propagation on derived edges: bounded per-round shuffles"),
     ("q_sink_bucketed", "bucketBy(8)+sortBy write pair: SMJ with ZERO exchange/sort on either side"),
     ("q_ext_partition_evolution", "spec evolution: per-commit basePath scan groups unioned, dual-metadata pruning"),
+    ("q_ext_wap_publish", "WAP: stage/audit/publish are manifest-only; phase reads stay plain parquet scans + one-exchange aggs"),
 ]
 
 
