@@ -43,6 +43,7 @@ from octopufs_spark.fs.core import get_filesystem, list_tree
 _MANIFEST_DIR = "_manifest"
 _VERSION_RE = re.compile(r"v(\d+)\.json$")
 _TAGS_DIR = f"{_MANIFEST_DIR}/tags"
+_BRANCHES_DIR = f"{_MANIFEST_DIR}/branches"
 _TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
 
 
@@ -383,25 +384,47 @@ class ManifestTable:
         except OSError:
             pass
 
-    def current_version(self) -> int | None:
-        """Newest MAIN-lineage version: the latest commit that is not a
-        STAGED write-audit-publish snapshot (``meta["wap"]``). Staged
-        snapshots occupy version numbers in the same log (they are
-        time-travelable and vacuum-aware like any commit) but are
-        invisible to the table's readers, its stream, and — via
-        ``_commit_with_retry``'s parent resolution — to every later
-        commit, until :meth:`publish_wap` re-commits their content onto
-        main. The walk follows parent pointers, and a staged commit's
-        parent is by construction the main head at its commit time, so
-        this is O(consecutive staged snapshots at the top), i.e. one
-        extra manifest read only while an audit is actually in flight."""
-        v = self.latest_version()
-        while v is not None:
-            m = self.read_manifest(v)
-            if "wap" not in m.meta:
+    @staticmethod
+    def _is_main(m: Manifest) -> bool:
+        """True for MAIN-lineage commits. Staged write-audit-publish
+        snapshots (``meta["wap"]``) and branch commits
+        (``meta["branch"]``) occupy version numbers in the same log —
+        they are time-travelable and vacuum-aware like any commit —
+        but are invisible to the table's readers, its stream, and
+        every later main commit's parent resolution."""
+        return "wap" not in m.meta and "branch" not in m.meta
+
+    def _main_version_at_or_below(self, v: int | None) -> int | None:
+        """Newest main-lineage version ``<= v``. Walks version NUMBERS
+        downward (not parent pointers: a branch commit's parents lead
+        to its fork base, not the live main head); version numbers are
+        contiguous down to the vacuum horizon, and a read below it
+        falls back to the listed version set. Cost is O(consecutive
+        non-main commits at the top) — one manifest read on a table
+        with no audit or branch write in flight."""
+        while v is not None and v >= 1:
+            try:
+                m = self.read_manifest(v)
+            except (FileNotFoundError, OSError):
+                for x in reversed([x for x in self.versions() if x <= v]):
+                    try:
+                        m = self.read_manifest(x)
+                    except (FileNotFoundError, OSError):
+                        continue
+                    if self._is_main(m):
+                        return x
+                return None
+            if self._is_main(m):
                 return v
-            v = m.parent
+            v -= 1
         return None
+
+    def current_version(self) -> int | None:
+        """Newest MAIN-lineage version — the snapshot default reads
+        resolve to. Staged WAP snapshots and branch commits at the top
+        of the log are skipped; their content enters main only through
+        an explicit :meth:`publish_wap` / :meth:`fast_forward`."""
+        return self._main_version_at_or_below(self.latest_version())
 
     def read_manifest(self, version: int | None = None) -> Manifest:
         if version is None:
@@ -461,23 +484,22 @@ class ManifestTable:
                 lo = mid
             else:
                 hi = mid - 1
-        # A staged WAP snapshot was never visible on main, so AS OF a
-        # timestamp inside its audit window answers with the main head
-        # of that moment — its parent. (In-commit timestamps are forced
-        # monotonic along the MAIN lineage; staged snapshots interleave
-        # in wall-clock order, which keeps the search exact except under
-        # a clock regression during an in-flight audit — there the
-        # resolution degrades to the parent main snapshot, never to
-        # unaudited content.)
-        m = self.read_manifest(vs[lo])
-        while "wap" in m.meta:
-            if m.parent is None:
-                raise ValueError(
-                    f"timestamp {ts} resolves only staged (write-audit-publish) "
-                    f"snapshots of {self.root}; nothing was published on main yet"
-                )
-            m = self.read_manifest(m.parent)
-        return m.version
+        # A staged WAP snapshot or branch commit was never visible on
+        # main, so AS OF a timestamp inside its window answers with the
+        # main head of that moment — the newest main version at or
+        # below it. (In-commit timestamps are forced monotonic along
+        # each lineage; staged/branch commits interleave in wall-clock
+        # order, which keeps the search exact except under a clock
+        # regression during an in-flight audit/branch write — there the
+        # resolution degrades to the prior main snapshot, never to
+        # unpublished content.)
+        mv = self._main_version_at_or_below(vs[lo])
+        if mv is None:
+            raise ValueError(
+                f"timestamp {ts} resolves only staged/branch snapshots of "
+                f"{self.root}; nothing was published on main yet"
+            )
+        return mv
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: publish a NEW commit whose content is
@@ -518,7 +540,15 @@ class ManifestTable:
         meta = {
             k: v
             for k, v in old.meta.items()
-            if k not in ("stream_txn", "wap", "wap_published", "wap_aborted")
+            if k
+            not in (
+                "stream_txn",
+                "wap",
+                "wap_published",
+                "wap_aborted",
+                "branch",
+                "branch_published",
+            )
         }
         meta["restored_from"] = version
         v = self._commit_with_retry(list(old.files), "restore", meta, carry=False)
@@ -549,8 +579,9 @@ class ManifestTable:
                 "n_files": len(m.files),
                 "n_added": len(m.added) if m.added is not None else None,
                 "n_removed": None,
-                # staged write-audit-publish snapshots show in history
-                # (they are real commits) but flagged, with their wap id
+                # staged write-audit-publish snapshots and branch
+                # commits show in history (they are real commits) but
+                # flagged, with their wap id / branch name
                 "staged": "wap" in m.meta,
                 "wap_id": (
                     m.meta.get("wap")
@@ -558,6 +589,7 @@ class ManifestTable:
                     or m.meta.get("wap_aborted")
                     or {}
                 ).get("id"),
+                "branch": (m.meta.get("branch") or {}).get("name"),
             }
             if m.parent is not None:
                 parent = manifests.get(m.parent)
@@ -657,6 +689,7 @@ class ManifestTable:
         merge_schema: bool = False,
         timestamp=None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Load the committed snapshot — optionally time-traveled.
         Merge-on-read delete vectors recorded in the manifest meta
@@ -679,12 +712,14 @@ class ManifestTable:
         ``timestamp`` (epoch seconds or datetime) is AS OF TIMESTAMP:
         resolved to the newest version committed at-or-before it via
         :meth:`version_as_of`; ``tag`` resolves a named ref created by
-        :meth:`create_tag`. version/timestamp/tag are mutually
-        exclusive."""
-        if sum(x is not None for x in (version, timestamp, tag)) > 1:
-            raise ValueError("pass at most one of version, timestamp, tag")
+        :meth:`create_tag`; ``branch`` reads a branch's head snapshot.
+        version/timestamp/tag/branch are mutually exclusive."""
+        if sum(x is not None for x in (version, timestamp, tag, branch)) > 1:
+            raise ValueError("pass at most one of version, timestamp, tag, branch")
         if tag is not None:
             version = self.tag_version(tag)
+        if branch is not None:
+            version = self.branch_head(branch)
         if timestamp is not None:
             version = self.version_as_of(timestamp)
         m = self.read_manifest(version)
@@ -1001,6 +1036,7 @@ class ManifestTable:
         operation: str = "overwrite",
         meta: dict | None = None,
         wap_id: str | None = None,
+        branch: str | None = None,
     ) -> int:
         """Publish the parquet files under ``root/staged_subdir`` as the
         table's complete new content (full-snapshot commit). Retries the
@@ -1008,7 +1044,7 @@ class ManifestTable:
         files = self._data_files_under(staged_subdir)
         if not files:
             raise ValueError(f"nothing staged under {self.root}/{staged_subdir}")
-        return self._commit_with_retry(files, operation, meta, wap_id=wap_id)
+        return self._commit_with_retry(files, operation, meta, wap_id=wap_id, branch=branch)
 
     def commit_replace(
         self,
@@ -1246,6 +1282,163 @@ class ManifestTable:
             return self._commit_with_retry(build, "wap-abort", marker)
         except _Done as d:
             return d.version
+
+    # ---------- named branches (writable refs) ----------
+
+    def _branch_dir(self, name: str) -> str:
+        if not _TAG_NAME_RE.fullmatch(name):
+            raise ValueError(f"invalid branch name {name!r}")
+        return f"{self.root_path}/{_BRANCHES_DIR}/{name}"
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Fork a writable branch at ``version`` (default: the current
+        main head) — the Iceberg branch model generalizing WAP from
+        one staged commit to a whole staged LINEAGE: commits targeted
+        at the branch (``write_and_commit(branch=...)``) chain off the
+        branch head, stay invisible to main, and land on main only
+        through :meth:`fast_forward`. The branch head is a CAS ref — a
+        directory of monotonically numbered seq files whose writes use
+        the same no-overwrite primitive as manifest publishes, so two
+        racing branch committers get exactly one winner and the loser
+        rebuilds (its already-published manifest becomes an invisible
+        orphan for vacuum). Duplicate creation fails
+        (``FileExistsError``); delete + recreate to re-fork."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
+        m = self.read_manifest(version)  # forking a vanished version pins nothing
+        refdir = self._branch_dir(name)
+        self.fs.create_dir(refdir, recursive=True)
+        self._cas_ref(refdir, 1, m.version)
+        return m.version
+
+    def _cas_ref(self, refdir: str, seq: int, version: int) -> None:
+        final = f"{refdir}/{seq}.json"
+        tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(json.dumps({"version": version}).encode())
+        try:
+            self._no_overwrite_move(tmp, final)
+        except Exception:
+            try:
+                self.fs.delete_file(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+
+    def _branch_head_seq(self, name: str) -> tuple[int, int]:
+        """(seq, version) of the branch's newest ref entry."""
+        refdir = self._branch_dir(name)
+        try:
+            infos = list_tree(refdir.replace(self.root_path, self.root, 1))
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no branch {name!r} on {self.root}") from None
+        best: tuple[int, int] | None = None
+        for el in infos:
+            base = el.path.rsplit("/", 1)[-1]
+            mm = re.fullmatch(r"(\d+)\.json", base)
+            if el.is_dir or not mm:
+                continue
+            seq = int(mm.group(1))
+            if best is None or seq > best[0]:
+                try:
+                    with self.fs.open_input_stream(el.path) as f:
+                        ver = int(json.loads(f.read().decode())["version"])
+                except (OSError, ValueError, KeyError):
+                    continue  # torn write: a lower seq is the head
+                best = (seq, ver)
+        if best is None:
+            raise FileNotFoundError(f"no branch {name!r} on {self.root}")
+        return best
+
+    def branch_head(self, name: str) -> int:
+        return self._branch_head_seq(name)[1]
+
+    def branches(self) -> dict[str, int]:
+        """All branches as ``{name: head_version}``."""
+        try:
+            infos = list_tree(f"{self.root}/{_BRANCHES_DIR}")
+        except FileNotFoundError:
+            return {}
+        names = {
+            el.path.rstrip("/").rsplit("/", 1)[-1] for el in infos if el.is_dir
+        }
+        out: dict[str, int] = {}
+        for n in sorted(names):
+            try:
+                out[n] = self.branch_head(n)
+            except FileNotFoundError:
+                continue
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the ref; the branch's commits expire through vacuum."""
+        refdir = self._branch_dir(name)
+        try:
+            infos = list_tree(refdir.replace(self.root_path, self.root, 1))
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no branch {name!r} on {self.root}") from None
+        for el in infos:
+            if not el.is_dir:
+                self.fs.delete_file(el.path)
+        self.fs.delete_dir(refdir)
+
+    def _advance_branch(self, name: str, version: int, expected: int | None) -> bool:
+        """CAS the branch head from ``expected`` to ``version``; False
+        on a lost race (someone else advanced the ref first)."""
+        try:
+            seq, head = self._branch_head_seq(name)
+        except FileNotFoundError:
+            return False  # branch deleted under the committer
+        if head != expected:
+            return False
+        try:
+            self._cas_ref(self._branch_dir(name), seq + 1, version)
+        except FileExistsError:
+            return False
+        return True
+
+    def fast_forward(self, name: str) -> int:
+        """Publish the branch head's content onto main — legal only
+        while main still sits at the branch's FORK POINT (the Iceberg
+        fast-forward contract: main must be an ancestor of the branch).
+        The publish is metadata-only: the new main commit lists the
+        branch head's files and takes its content metadata wholesale
+        (the branch carried vectors/stats/evolution commit by commit).
+        If main advanced since the fork — including a racing
+        fast-forward of the same branch — the commit aborts with
+        :class:`ConcurrentModificationError`; rebase by re-creating
+        the branch from the new head. The branch ref itself stays
+        where it was (re-fork to continue the line)."""
+        bh = self.branch_head(name)
+        h = self.read_manifest(bh)
+        bmeta = h.meta.get("branch")
+        if bmeta is None:
+            # ref still at its fork point: nothing staged, nothing to do
+            return bh
+        self._check_not_vacuumed(h)
+        base = bmeta.get("base")
+        content_meta = {
+            k: val for k, val in h.meta.items() if k not in ("branch", "stream_txn")
+        }
+        op = (
+            "branch-fastforward"
+            if bmeta.get("removed") == 0
+            else "branch-fastforward-replace"
+        )
+
+        def build(parent: Manifest | None) -> list[str]:
+            if (parent.version if parent else None) != base:
+                raise ConcurrentModificationError(
+                    f"cannot fast-forward branch {name!r}: main is at "
+                    f"v{parent.version if parent else None}, not the fork point "
+                    f"v{base} — re-create the branch from the new head and replay"
+                )
+            return list(h.files)
+
+        meta = {**content_meta, "branch_published": {"name": name, "head": bh}}
+        return self._commit_with_retry(build, op, meta, carry=False)
 
     # ---------- metadata-only schema evolution ----------
 
@@ -1504,26 +1697,29 @@ class ManifestTable:
         meta: dict | None,
         carry: bool = True,
         wap_id: str | None = None,
+        branch: str | None = None,
     ) -> int:
         import time
+
+        if branch is not None and wap_id is not None:
+            raise ValueError("a commit targets a branch OR stages a WAP snapshot, not both")
 
         for _ in range(5):  # reference-style bounded retry
             latest = self.latest_version()
             # Version numbers allocate from the TRUE newest manifest
-            # (staged WAP snapshots included — they own their slot in
-            # the log), but the commit BUILDS AGAINST the main-lineage
-            # head: a staged snapshot must never become another
-            # commit's parent, or its unaudited content would leak
-            # into main through the child's file list.
-            parent = None
-            if latest is not None:
-                parent = self.read_manifest(latest)
-                while parent is not None and "wap" in parent.meta:
-                    parent = (
-                        self.read_manifest(parent.parent)
-                        if parent.parent is not None
-                        else None
-                    )
+            # (staged WAP snapshots and branch commits included — they
+            # own their slot in the log), but the commit BUILDS AGAINST
+            # its lineage head: the main head normally, the BRANCH head
+            # for a branch-targeted commit. A staged/branch snapshot
+            # must never become a main commit's parent, or its
+            # unaudited content would leak into main through the
+            # child's file list.
+            if branch is not None:
+                bh = self.branch_head(branch)
+                parent = self.read_manifest(bh) if bh is not None else None
+            else:
+                head = self._main_version_at_or_below(latest)
+                parent = self.read_manifest(head) if head is not None else None
             files = files_or_build(parent) if callable(files_or_build) else files_or_build
             parent_files = set(parent.files) if parent else set()
             # in-commit timestamp, forced strictly above the parent's so
@@ -1565,6 +1761,27 @@ class ManifestTable:
                     "base": parent.version if parent else None,
                     "removed": sum(1 for f in parent_files if f not in set(files)),
                 }
+            if branch is not None:
+                # branch commit: invisible to main until fast_forward.
+                # "base" is the FORK POINT main version (copied down the
+                # branch chain — O(1) at fast-forward, no walk) and
+                # "removed" accumulates files dropped since the fork, so
+                # fast_forward can classify itself append vs replace
+                # without the fork-base manifest (which vacuum may have
+                # pruned once main moved on).
+                pb = (parent.meta.get("branch") or {}) if parent else {}
+                on_this_branch = pb.get("name") == branch
+                fork_base = (
+                    pb.get("base")
+                    if on_this_branch
+                    else (parent.version if parent else None)
+                )
+                built_meta["branch"] = {
+                    "name": branch,
+                    "base": fork_base,
+                    "removed": (pb.get("removed", 0) if on_this_branch else 0)
+                    + sum(1 for f in parent_files if f not in set(files)),
+                }
             m = Manifest(
                 version=(latest or 0) + 1 if latest is not None else 1,
                 files=files,
@@ -1579,9 +1796,18 @@ class ManifestTable:
                 committed_at=max(time.time(), parent_ts + 0.001),
             )
             try:
-                return self._publish(m)
+                v = self._publish(m)
             except FileExistsError:
                 continue  # someone committed our version number: re-resolve
+            if branch is not None and not self._advance_branch(
+                branch, v, expected=parent.version if parent else None
+            ):
+                # lost the branch-head CAS: another branch commit won.
+                # Our published manifest is an ORPHAN (no ref ever
+                # pointed at it — invisible everywhere, vacuumed by
+                # retention); rebuild against the new branch head.
+                continue
+            return v
         raise RuntimeError(f"lost the commit race 5 times on {self.root}")
 
     # ---------- data skipping (zone-map stats) ----------
@@ -1996,7 +2222,11 @@ class ManifestTable:
         #  - Staged WAP snapshots themselves are protected only by the
         #    retention window: an audit in flight (younger than the
         #    window) is safe, an abandoned one expires like any orphan.
+        #  - Every BRANCH HEAD is pinned (the ref names it); older
+        #    branch commits and CAS-orphaned manifests age out through
+        #    the retention window like staged snapshots.
         keep: set[int] = set(self.tags().values())
+        keep.update(self.branches().values())
         v = self.current_version()
         walked = 0
         while v is not None and walked < keep_versions:
@@ -2099,6 +2329,7 @@ def write_and_commit(
     expectations: list[tuple[str, str]] | None = None,
     hidden_partition: dict[str, tuple] | None = None,
     wap_id: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` to a fresh staging directory under the table root,
     then publish it as one atomic snapshot commit. The staging dir name
@@ -2130,7 +2361,11 @@ def write_and_commit(
     (Iceberg WAP): the data lands and is time-travel-readable at the
     returned version, but main readers, the table's stream, and later
     commits do NOT see it until ``table.publish_wap(wap_id=...)``
-    promotes it (an audit failure instead calls ``abort_wap``)."""
+    promotes it (an audit failure instead calls ``abort_wap``).
+    ``branch`` targets the commit at a named branch created by
+    ``table.create_branch``: it chains off the BRANCH head (invisible
+    to main like a staged snapshot) until ``table.fast_forward``
+    publishes the whole branch line."""
     staged = f"data-{uuid.uuid4().hex[:12]}"
     partition_by = list(partition_by or [])
     if hidden_partition:
@@ -2159,7 +2394,7 @@ def write_and_commit(
             col: table.collect_bloom_index(staged_files, col) for col in bloom_columns
         }
     if mode == "overwrite":
-        return table.commit_overwrite(staged, meta=meta, wap_id=wap_id)
+        return table.commit_overwrite(staged, meta=meta, wap_id=wap_id, branch=branch)
     if mode == "append":
         # the parent's zone maps / blooms carry forward at publish time
         # (_carry_skipping_meta), against the LIVE parent rather than a
@@ -2169,7 +2404,7 @@ def write_and_commit(
             base = parent.files if parent else []
             return sorted(base + table._data_files_under(staged))
 
-        return table._commit_with_retry(build, "append", meta, wap_id=wap_id)
+        return table._commit_with_retry(build, "append", meta, wap_id=wap_id, branch=branch)
     raise ValueError(f"unsupported mode {mode!r}")
 
 
@@ -2593,10 +2828,14 @@ def clone_table(
             # committed, so the half-linked dest is inert staging for
             # cleanup, never a live table with dangling refs
             raise SnapshotVacuumedError(src.root, m.version, [rel]) from None
-    # WAP markers don't travel: cloning an explicitly-named staged
-    # snapshot produces a NORMAL table (a staged v1 would leave the
-    # clone with no readable main head at all)
-    meta = {k: v for k, v in m.meta.items() if k not in ("wap", "wap_published", "wap_aborted")}
+    # WAP/branch markers don't travel: cloning an explicitly-named
+    # staged or branch snapshot produces a NORMAL table (a staged v1
+    # would leave the clone with no readable main head at all)
+    meta = {
+        k: v
+        for k, v in m.meta.items()
+        if k not in ("wap", "wap_published", "wap_aborted", "branch", "branch_published")
+    }
     dest._commit_with_retry(list(m.files), "clone", {**meta, "clone_source": src.root})
     return dest
 

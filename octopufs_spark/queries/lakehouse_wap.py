@@ -90,6 +90,58 @@ def q_ext_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.unionByName(pre).unionByName(published)
 
 
+_BRANCH_ORACLE = " UNION ALL ".join(
+    _WAP_ORACLE_PHASE.format(phase=phase, cond=cond)
+    for phase, cond in [
+        ("main_during", "o_orderkey % 4 <> 0"),
+        ("branch_mid", "o_orderkey % 4 <> 0 OR o_orderkey % 8 = 0"),
+        ("after_ff", "TRUE"),
+    ]
+)
+
+
+@register("q_ext_branch_ff", oracle=_BRANCH_ORACLE)
+def q_ext_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named branches with fast-forward publish (the Iceberg branch
+    model, generalizing WAP from one staged commit to a whole staged
+    LINEAGE): commits targeted at a branch chain off the branch's CAS
+    ref head, invisible to main, until ``fast_forward`` publishes the
+    entire line as one metadata-only main commit. At 100 TB this is
+    how a multi-batch backfill or experiment lands atomically: every
+    batch is durable and branch-readable as it arrives, main flips
+    once.
+
+    The scenario: main seeds 3/4 of orders; a 'features' branch takes
+    TWO appends (the remaining quarter, split); reads are phased —
+    'main_during' (main mid-branch-work: the seed only; any branch
+    leak flips it), 'branch_mid' (the branch after its first commit:
+    seed + batch1 — proving the branch chains off its own head), and
+    'after_ff' (main after fast-forward: everything, exactly once).
+    The oracle recomputes each phase from orders
+    (``ManifestTable.create_branch/fast_forward``,
+    octopufs_spark/manifest.py)."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_branch_")
+    table = ManifestTable(root)
+    write_and_commit(o.where(F.col("o_orderkey") % 4 != 0), table)
+    table.create_branch("features")
+    write_and_commit(
+        o.where(F.col("o_orderkey") % 8 == 0), table, mode="append", branch="features"
+    )
+    branch_mid = _phase_agg(table.read(spark, branch="features"), "branch_mid")
+    write_and_commit(
+        o.where(F.col("o_orderkey") % 8 == 4), table, mode="append", branch="features"
+    )
+    main_during = _phase_agg(table.read(spark), "main_during")
+    table.fast_forward("features")
+    after_ff = _phase_agg(table.read(spark), "after_ff")
+    return main_during.unionByName(branch_mid).unionByName(after_ff)
+
+
 @register(
     "q_ext_table_tag",
     oracle="""

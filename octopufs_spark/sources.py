@@ -290,7 +290,15 @@ class ManifestStreamReader(DataSourceStreamReader):
     option ``skipChangeCommits=true`` (Delta's escape hatch, with the
     same downstream-staleness caveat)."""
 
-    _APPEND_OPS = ("commit", "append", "seed", "overwrite", "stream-append", "wap-publish")
+    _APPEND_OPS = (
+        "commit",
+        "append",
+        "seed",
+        "overwrite",
+        "stream-append",
+        "wap-publish",
+        "branch-fastforward",
+    )
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -362,23 +370,25 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "by vacuum before this stream consumed it — restart with a "
                 "fresh checkpoint (optionally startingVersion=latest)"
             ) from None
-        if "wap" in m.meta:
-            # STAGED write-audit-publish snapshot: its files are not on
-            # main (and may never be — an audit can abort it), so the
-            # main stream emits nothing here. If it publishes, the
-            # wap-publish commit re-adds the files vs ITS parent and
-            # streams them exactly once then.
+        if "wap" in m.meta or "branch" in m.meta:
+            # STAGED write-audit-publish snapshot or BRANCH commit: its
+            # files are not on main (and may never be — an audit can
+            # abort, a branch can be dropped), so the main stream emits
+            # nothing here. If it publishes / fast-forwards, THAT commit
+            # re-adds the files vs its parent and streams them exactly
+            # once then.
             return []
         if m.operation in ("dv-consolidate", "wap-abort"):
             return []  # maintenance markers: no files added, no visible-row change
-        if m.operation == "wap-publish-replace":
-            # a published staged snapshot that REPLACED base files: rows
-            # changed beyond pure addition — same contract as delete_mor
+        if m.operation in ("wap-publish-replace", "branch-fastforward-replace"):
+            # a published staged/branch line that REPLACED base files:
+            # rows changed beyond pure addition — same contract as
+            # delete_mor
             if self.skip_change_commits:
                 return []
             raise ValueError(
-                f"manifest_stream is append-only: v{v} is a 'wap-publish-replace' "
-                "commit (published staged snapshot removed base files); set "
+                f"manifest_stream is append-only: v{v} is a {m.operation!r} "
+                "commit (published staged content removed base files); set "
                 "skipChangeCommits=true to skip change commits"
             )
         if m.operation in ("rename_column", "drop_column", "add_column"):

@@ -1,0 +1,235 @@
+"""Named branches on manifest tables (the Iceberg branch model):
+writable refs whose commits chain off the branch head, stay invisible
+to main, and land on main only through fast_forward. The branch head
+is a CAS ref built from the same no-overwrite primitive as manifest
+publishes, so racing branch committers get exactly one winner."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from octopufs_spark.manifest import (
+    ConcurrentModificationError,
+    ManifestTable,
+    write_and_commit,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+
+
+def _ids(df):
+    return {r.id for r in df.collect()}
+
+
+def test_branch_commits_invisible_to_main(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    assert table.create_branch("dev") == 1
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    write_and_commit(_df(spark, 15, 20), table, mode="append", branch="dev")
+    assert table.current_version() == 1
+    assert _ids(table.read(spark)) == set(range(10))
+    assert _ids(table.read(spark, branch="dev")) == set(range(20))
+    assert table.branches() == {"dev": 3}
+
+
+def test_branch_chains_and_carries_metadata(spark, table):
+    write_and_commit(_df(spark, 0, 10), table, stats=True)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev", stats=True)
+    h = table.read_manifest(table.branch_head("dev"))
+    assert h.meta["branch"] == {"name": "dev", "base": 1, "removed": 0}
+    # zone maps carried from the fork base plus the branch's own files
+    assert set(h.meta["file_stats"]) == set(h.files)
+
+
+def test_main_commit_after_branch_builds_on_main(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    v = write_and_commit(_df(spark, 100, 103), table, mode="append")
+    assert table.read_manifest(v).parent == 1  # not the branch commit
+    assert _ids(table.read(spark)) == set(range(10)) | {100, 101, 102}
+
+
+def test_fast_forward_publishes_branch_line(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    write_and_commit(_df(spark, 15, 20), table, mode="append", branch="dev")
+    pv = table.fast_forward("dev")
+    m = table.read_manifest(pv)
+    assert m.operation == "branch-fastforward" and m.parent == 1
+    assert m.meta["branch_published"]["name"] == "dev"
+    assert _ids(table.read(spark)) == set(range(20))
+
+
+def test_fast_forward_requires_fork_point(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    write_and_commit(_df(spark, 100, 103), table, mode="append")  # main moved
+    with pytest.raises(ConcurrentModificationError, match="fork point"):
+        table.fast_forward("dev")
+    assert _ids(table.read(spark)) == set(range(10)) | {100, 101, 102}
+
+
+def test_fast_forward_of_untouched_branch_is_noop(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    assert table.fast_forward("dev") == 1
+    assert table.latest_version() == 1  # no commit landed
+
+
+def test_branch_overwrite_fast_forwards_as_replace(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 50, 55), table, branch="dev")  # overwrite on branch
+    pv = table.fast_forward("dev")
+    assert table.read_manifest(pv).operation == "branch-fastforward-replace"
+    assert _ids(table.read(spark)) == set(range(50, 55))
+
+
+def test_branch_create_duplicate_and_delete(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    with pytest.raises(FileExistsError):
+        table.create_branch("dev")
+    table.delete_branch("dev")
+    assert table.branches() == {}
+    with pytest.raises(FileNotFoundError):
+        table.branch_head("dev")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        table.create_branch("../escape")
+
+
+def test_concurrent_branch_committers_cas(spark, table):
+    """Two committers racing the same branch head: the CAS ref gives
+    exactly one winner per advance; the loser rebuilds on the new head
+    — both batches land, nothing is lost or doubled."""
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    errors: list[BaseException] = []
+
+    def committer(lo: int):
+        try:
+            write_and_commit(
+                _df(spark, lo, lo + 5), ManifestTable(table.root), mode="append", branch="dev"
+            )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=committer, args=(lo,)) for lo in (100, 200, 300)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    got = _ids(table.read(spark, branch="dev"))
+    assert got == set(range(10)) | set(range(100, 105)) | set(range(200, 205)) | set(range(300, 305))
+    assert _ids(table.read(spark)) == set(range(10))  # main untouched
+
+
+def test_advance_branch_cas_rejects_stale_expected(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    # a committer that resolved the head BEFORE that commit must lose
+    assert table._advance_branch("dev", 99, expected=1) is False
+    assert table.branch_head("dev") == 2
+
+
+def test_vacuum_protects_branch_head_only(spark, table):
+    from octopufs_spark.manifest import compact_and_commit
+
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    write_and_commit(_df(spark, 15, 20), table, mode="append", branch="dev")
+    write_and_commit(_df(spark, 100, 110), table, mode="append")
+    compact_and_commit(spark, table)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    assert removed
+    # head of main + head of branch survive; the branch MIDDLE commit
+    # (v2) and old main versions expired
+    assert set(table.versions()) == {3, 5}
+    assert _ids(table.read(spark, branch="dev")) == set(range(20))
+    assert _ids(table.read(spark)) == set(range(10)) | set(range(100, 110))
+
+
+def test_stream_skips_branch_emits_fast_forward_once(spark, table, tmp_path):
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    seen: list[int] = []
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", table.root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: seen.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(seen) == list(range(10))  # branch commit invisible
+    table.fast_forward("dev")
+    drain()
+    assert sorted(seen) == list(range(15))  # published line streamed once
+
+
+def test_as_of_timestamp_skips_branch_commits(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    bv = write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    ts = table.commit_timestamp(bv)
+    assert table.version_as_of(ts) == 1
+
+
+def test_restore_of_branch_commit_lands_on_main(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    bv = write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    rv = table.restore(bv)
+    m = table.read_manifest(rv)
+    assert "branch" not in m.meta  # marker stripped: a normal main commit
+    assert table.current_version() == rv
+    assert _ids(table.read(spark)) == set(range(15))
+
+
+def test_branch_and_wap_are_exclusive(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    with pytest.raises(ValueError, match="not both"):
+        write_and_commit(
+            _df(spark, 10, 15), table, mode="append", branch="dev", wap_id="w"
+        )
+
+
+def test_tag_can_pin_branch_commit(spark, table):
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    bv = write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    table.create_tag("dev-snap", version=bv)
+    table.delete_branch("dev")
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    # the ref is gone but the tag still pins the snapshot
+    assert _ids(table.read(spark, tag="dev-snap")) == set(range(15))
