@@ -2416,6 +2416,7 @@ def compact_and_commit(
     stats: bool | None = None,
     prefix: str | None = None,
     partition_values: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """Atomic small-file compaction of a manifest table: rewrite the
     current snapshot into ceil(total_bytes/target) files and publish as
@@ -2471,8 +2472,20 @@ def compact_and_commit(
     (each commit stages its own top dir, so one partition's files
     never share a path prefix). Same scoped-rewrite semantics as
     ``prefix``; combinable (both must match).
+
+    ``branch`` runs the OPTIMIZE against a named branch's head and
+    publishes it as a branch commit (Iceberg branch maintenance): a
+    long-lived backfill branch keeps its small files compacted without
+    touching main, the rewrite reconciling against racing commits on
+    the SAME branch exactly as it would on main. A branch compaction
+    removes fork-base files from the branch's view, so a later
+    ``fast_forward`` is (correctly) the replace-flavored op.
     """
-    m = table.read_manifest()
+    m = (
+        table.read_manifest(table.branch_head(branch))
+        if branch is not None
+        else table.read_manifest()
+    )
     scoped = prefix is not None or partition_values is not None
 
     def _in_scope(f: str) -> bool:
@@ -2676,7 +2689,7 @@ def compact_and_commit(
         meta["bloom_index"] = {
             c: table.collect_bloom_index(staged_files, c) for c in bloom_cols
         }
-    return table._commit_with_retry(build, "compact", meta)
+    return table._commit_with_retry(build, "compact", meta, branch=branch)
 
 
 def auto_optimize(

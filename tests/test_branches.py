@@ -224,6 +224,150 @@ def test_branch_and_wap_are_exclusive(spark, table):
         )
 
 
+def test_branch_mixed_op_fuzz(spark, table):
+    """Branches under contention: concurrent committers on TWO
+    branches, main appenders, opportunistic fast-forwards, and a
+    vacuumer. Serializable outcome: main holds the seed, every normal
+    append, and — for each branch — EITHER the whole branch line
+    (exactly once, if some fast-forward won while main sat at the
+    fork) or none of it; branch reads always hold fork content + own
+    commits and never another branch's or main's post-fork appends."""
+    write_and_commit(_df(spark, 0, 100).repartition(4), table)
+    table.create_branch("a")
+    table.create_branch("b")
+
+    lock = threading.Lock()
+    appended: list[range] = []
+    branch_batches: dict[str, list[range]] = {"a": [], "b": []}
+    ff_won: dict[str, bool] = {"a": False, "b": False}
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def main_appender(w: int):
+        for r in range(2):
+            lo = 1000 * (w + 1) + 100 * r
+            try:
+                write_and_commit(_df(spark, lo, lo + 10), table, mode="append")
+                with lock:
+                    appended.append(range(lo, lo + 10))
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def branch_committer(name: str, w: int):
+        for r in range(2):
+            lo = 10000 + 1000 * (ord(name) - ord("a")) + 100 * (2 * w + r)
+            try:
+                write_and_commit(
+                    _df(spark, lo, lo + 10),
+                    ManifestTable(table.root),
+                    mode="append",
+                    branch=name,
+                )
+                with lock:
+                    branch_batches[name].append(range(lo, lo + 10))
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def ff_worker(name: str):
+        while not stop.is_set():
+            try:
+                table.fast_forward(name)
+                with lock:
+                    ff_won[name] = True
+                return
+            except ConcurrentModificationError:
+                return  # main moved: this branch will never land (by design)
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                assert table.vacuum() == []  # everything is young
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    threads = [threading.Thread(target=main_appender, args=(w,)) for w in range(2)]
+    threads += [
+        threading.Thread(target=branch_committer, args=(n, w))
+        for n in ("a", "b")
+        for w in range(2)
+    ]
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # fast-forwards race the (now finished) main appenders' final state
+    ffs = [threading.Thread(target=ff_worker, args=(n,)) for n in ("a", "b")]
+    for t in ffs:
+        t.start()
+    for t in ffs:
+        t.join()
+    stop.set()
+    vt.join()
+    assert not errors, f"background thread crashed: {errors[0]!r}"
+
+    # branch reads: fork content + exactly their own batches
+    for n in ("a", "b"):
+        got = _ids(table.read(spark, branch=n))
+        want = set(range(100))
+        for rg in branch_batches[n]:
+            want |= set(rg)
+        assert got == want, f"branch {n} diverged"
+
+    ids = _ids(table.read(spark))
+    expect = set(range(100))
+    for rg in appended:
+        expect |= set(rg)
+    # main appenders landed -> main moved off both forks -> at most the
+    # FF winners' lines are in (none, if appends finished first — which
+    # they did, so ff_won can only be True if no main append landed)
+    for n in ("a", "b"):
+        if ff_won[n]:
+            for rg in branch_batches[n]:
+                expect |= set(rg)
+    assert ids == expect
+    for n in ("a", "b"):
+        if not ff_won[n]:
+            for rg in branch_batches[n]:
+                assert not (ids & set(rg)), f"unpublished branch {n} leaked into main"
+
+
+def test_compact_on_branch(spark, table):
+    """OPTIMIZE scoped to a branch: the branch's many small files
+    merge in a branch commit — main untouched — and the later
+    fast-forward is the replace-flavored op (fork-base files left the
+    branch's view)."""
+    from octopufs_spark.manifest import compact_and_commit
+
+    write_and_commit(_df(spark, 0, 20).repartition(4), table)
+    table.create_branch("dev")
+    write_and_commit(
+        _df(spark, 20, 40).repartition(4), table, mode="append", branch="dev"
+    )
+    n_before = len(table.read_manifest(table.branch_head("dev")).files)
+    cv = compact_and_commit(spark, table, branch="dev")
+    assert cv is not None
+    h = table.read_manifest(table.branch_head("dev"))
+    assert h.version == cv and h.meta["branch"]["name"] == "dev"
+    assert len(h.files) < n_before
+    assert _ids(table.read(spark, branch="dev")) == set(range(40))
+    assert _ids(table.read(spark)) == set(range(20))  # main untouched
+    pv = table.fast_forward("dev")
+    assert table.read_manifest(pv).operation == "branch-fastforward-replace"
+    assert _ids(table.read(spark)) == set(range(40))
+
+
 def test_tag_can_pin_branch_commit(spark, table):
     write_and_commit(_df(spark, 0, 10), table)
     table.create_branch("dev")

@@ -651,11 +651,11 @@ def test_compaction_aborts_on_conflicting_rewrite(spark, table):
     orig = mod.ManifestTable._commit_with_retry
     fired = {"done": False}
 
-    def racing(self, files_or_build, operation, meta):
+    def racing(self, files_or_build, operation, meta, *a, **kw):
         if operation == "compact" and not fired["done"]:
             fired["done"] = True
             delete_where_mor(spark, table, spark.range(0, 5), ["id"])
-        return orig(self, files_or_build, operation, meta)
+        return orig(self, files_or_build, operation, meta, *a, **kw)
 
     mod.ManifestTable._commit_with_retry = racing
     try:
@@ -949,7 +949,7 @@ def test_positional_delete_aborts_on_concurrent_rewrite(spark, table):
 
     real = ManifestTable._commit_with_retry
 
-    def racing(self, files_or_build, operation, meta):
+    def racing(self, files_or_build, operation, meta, *a, **kw):
         # simulate the race: the parent this commit resolves references
         # a compacted file set that no longer contains the scanned files
         fake_parent = Manifest(
