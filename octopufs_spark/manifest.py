@@ -71,6 +71,18 @@ class ConcurrentModificationError(RuntimeError):
     conflicting commit rather than publishing a lost update."""
 
 
+_REF_MARKERS = ("wap", "wap_published", "wap_aborted", "branch", "branch_published")
+
+
+def _strip_ref_markers(meta: dict) -> dict:
+    """Drop WAP/branch lifecycle markers from a meta dict about to be
+    re-committed wholesale (restore, clone, MOR-delete meta copy). The
+    markers describe ONE commit's role in a staging workflow; carrying
+    them onto an unrelated commit would re-stage it ("wap"/"branch")
+    or smear publish/abort provenance across history."""
+    return {k: v for k, v in meta.items() if k not in _REF_MARKERS}
+
+
 class _ModeChanged(Exception):
     """Internal: publish_wap resolved fast-forward vs re-apply from a
     head that moved before the commit built — re-resolve and retry."""
@@ -394,14 +406,16 @@ class ManifestTable:
         every later main commit's parent resolution."""
         return "wap" not in m.meta and "branch" not in m.meta
 
-    def _main_version_at_or_below(self, v: int | None) -> int | None:
-        """Newest main-lineage version ``<= v``. Walks version NUMBERS
-        downward (not parent pointers: a branch commit's parents lead
-        to its fork base, not the live main head); version numbers are
-        contiguous down to the vacuum horizon, and a read below it
-        falls back to the listed version set. Cost is O(consecutive
-        non-main commits at the top) — one manifest read on a table
-        with no audit or branch write in flight."""
+    def _main_manifest_at_or_below(self, v: int | None) -> Manifest | None:
+        """Newest main-lineage manifest at version ``<= v``. Walks
+        version NUMBERS downward (not parent pointers: a branch
+        commit's parents lead to its fork base, not the live main
+        head); version numbers are contiguous down to the vacuum
+        horizon, and a read below it falls back to the listed version
+        set. Cost is O(consecutive non-main commits at the top) — ONE
+        manifest read on a table with no audit or branch write in
+        flight, which is why this returns the manifest itself (the
+        hot paths would otherwise read the head twice)."""
         while v is not None and v >= 1:
             try:
                 m = self.read_manifest(v)
@@ -412,12 +426,16 @@ class ManifestTable:
                     except (FileNotFoundError, OSError):
                         continue
                     if self._is_main(m):
-                        return x
+                        return m
                 return None
             if self._is_main(m):
-                return v
+                return m
             v -= 1
         return None
+
+    def _main_version_at_or_below(self, v: int | None) -> int | None:
+        m = self._main_manifest_at_or_below(v)
+        return m.version if m is not None else None
 
     def current_version(self) -> int | None:
         """Newest MAIN-lineage version — the snapshot default reads
@@ -428,9 +446,10 @@ class ManifestTable:
 
     def read_manifest(self, version: int | None = None) -> Manifest:
         if version is None:
-            version = self.current_version()
-            if version is None:
+            m = self._main_manifest_at_or_below(self.latest_version())
+            if m is None:
                 raise FileNotFoundError(f"no committed manifest under {self.root}")
+            return m
         with self.fs.open_input_stream(f"{self._mdir}/v{version}.json") as f:
             d = json.loads(f.read().decode())
         return Manifest(
@@ -538,17 +557,7 @@ class ManifestTable:
         # "wap_published"/"wap_aborted" marker would confuse a later
         # publish's idempotence walk.
         meta = {
-            k: v
-            for k, v in old.meta.items()
-            if k
-            not in (
-                "stream_txn",
-                "wap",
-                "wap_published",
-                "wap_aborted",
-                "branch",
-                "branch_published",
-            )
+            k: v for k, v in _strip_ref_markers(old.meta).items() if k != "stream_txn"
         }
         meta["restored_from"] = version
         v = self._commit_with_retry(list(old.files), "restore", meta, carry=False)
@@ -1168,7 +1177,7 @@ class ManifestTable:
         # silently-dropped base removal
         pure_append = wap.get("removed") == 0
         content_meta = {
-            k: val for k, val in s.meta.items() if k not in ("wap", "stream_txn")
+            k: val for k, val in _strip_ref_markers(s.meta).items() if k != "stream_txn"
         }
         marker = {"wap_published": {"id": wap.get("id"), "staged_version": v}}
 
@@ -1420,11 +1429,17 @@ class ManifestTable:
         self._check_not_vacuumed(h)
         base = bmeta.get("base")
         content_meta = {
-            k: val for k, val in h.meta.items() if k not in ("branch", "stream_txn")
+            k: val for k, val in _strip_ref_markers(h.meta).items() if k != "stream_txn"
         }
+        # append-flavored only when NOTHING on the line changed rows
+        # beyond pure addition (no removed files, no new delete
+        # vectors) — the stream treats "branch-fastforward" as an
+        # append, so a rows-changed line must be the replace op.
+        # Markers without "changed" (written before the flag) fall
+        # back to removed-count, defaulting to replace when absent.
         op = (
             "branch-fastforward"
-            if bmeta.get("removed") == 0
+            if not bmeta.get("changed", bmeta.get("removed", 1) != 0)
             else "branch-fastforward-replace"
         )
 
@@ -1718,8 +1733,7 @@ class ManifestTable:
                 bh = self.branch_head(branch)
                 parent = self.read_manifest(bh) if bh is not None else None
             else:
-                head = self._main_version_at_or_below(latest)
-                parent = self.read_manifest(head) if head is not None else None
+                parent = self._main_manifest_at_or_below(latest)
             files = files_or_build(parent) if callable(files_or_build) else files_or_build
             parent_files = set(parent.files) if parent else set()
             # in-commit timestamp, forced strictly above the parent's so
@@ -1776,11 +1790,20 @@ class ManifestTable:
                     if on_this_branch
                     else (parent.version if parent else None)
                 )
+                removed_now = sum(1 for f in parent_files if f not in set(files))
                 built_meta["branch"] = {
                     "name": branch,
                     "base": fork_base,
                     "removed": (pb.get("removed", 0) if on_this_branch else 0)
-                    + sum(1 for f in parent_files if f not in set(files)),
+                    + removed_now,
+                    # rows changed beyond pure addition anywhere on the
+                    # line: removed files OR merge-on-read vectors (a
+                    # delete_mor keeps the file set but hides rows).
+                    # fast_forward uses this to pick the append vs
+                    # replace op the STREAM contract keys on.
+                    "changed": (pb.get("changed", False) if on_this_branch else False)
+                    or removed_now > 0
+                    or operation == "delete_mor",
                 }
             m = Manifest(
                 version=(latest or 0) + 1 if latest is not None else 1,
@@ -2844,33 +2867,39 @@ def clone_table(
     # WAP/branch markers don't travel: cloning an explicitly-named
     # staged or branch snapshot produces a NORMAL table (a staged v1
     # would leave the clone with no readable main head at all)
-    meta = {
-        k: v
-        for k, v in m.meta.items()
-        if k not in ("wap", "wap_published", "wap_aborted", "branch", "branch_published")
-    }
+    meta = _strip_ref_markers(m.meta)
     dest._commit_with_retry(list(m.files), "clone", {**meta, "clone_source": src.root})
     return dest
 
 
-def _max_committed_stream_batch(table: ManifestTable, writer_id: str) -> int | None:
+def _max_committed_stream_batch(
+    table: ManifestTable, writer_id: str, version: int | None = None
+) -> int | None:
     """Highest batch id committed by ``writer_id``, or None.
 
     O(1): every commit carries the full per-writer high-water map
     forward (``_carry_stream_txn``, the Delta ``SetTransaction``
-    model), so the answer is in the NEWEST manifest — no parent walk,
-    no O(versions) work per micro-batch, and vacuum pruning any
+    model), so the answer is in its LINEAGE HEAD manifest — no parent
+    walk, no O(versions) work per micro-batch, and vacuum pruning any
     amount of history cannot reset a writer's mark (the failure mode
     of walking the chain: a pruned walk answering "nothing committed"
     would let a replayed batch append its rows a second time).
-    Tables predating the txn map fall back to a parent walk over
-    retained manifests; a transient read error PROPAGATES — failing
-    the micro-batch (safe: checkpoint recovery retries it) instead of
-    being mistaken for "nothing committed"."""
-    v = table.latest_version()
-    if v is None:
-        return None
-    m = table.read_manifest(v)
+
+    The anchor is the MAIN head (``current_version``), or an explicit
+    ``version`` for branch-targeted writers — NOT ``latest_version``:
+    the newest manifest may be a branch commit whose carried map is
+    the branch lineage's fork-time copy, missing main marks landed
+    since the fork, and a miss here means a replayed batch lands
+    twice. Tables predating the txn map fall back to a parent walk
+    over retained manifests; a transient read error PROPAGATES —
+    failing the micro-batch (safe: checkpoint recovery retries it)
+    instead of being mistaken for "nothing committed"."""
+    if version is not None:
+        m = table.read_manifest(version)
+    else:
+        m = table._main_manifest_at_or_below(table.latest_version())
+        if m is None:
+            return None
     if "stream_txn" in m.meta:
         return m.meta["stream_txn"].get(writer_id)
     # legacy fallback: tables whose commits predate the txn map

@@ -102,6 +102,7 @@ def merge_upsert_manifest(
     expectations: list[tuple[str, str]] | None = None,
     txn: tuple[str, int] | None = None,
     partition_by: list[str] | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """MERGE a changeset into a manifest table atomically: read the
     current snapshot, apply :func:`merge_upsert`, stage the merged
@@ -138,11 +139,17 @@ def merge_upsert_manifest(
     )
 
     if txn is not None:
-        committed = _max_committed_stream_batch(table, txn[0])
+        committed = _max_committed_stream_batch(
+            table, txn[0], version=table.branch_head(branch) if branch else None
+        )
         if committed is not None and committed >= txn[1]:
             return None  # replayed batch: already merged by this writer
     try:
-        src = table.read_manifest()
+        src = (
+            table.read_manifest(table.branch_head(branch))
+            if branch is not None
+            else table.read_manifest()
+        )
         target = table.read(spark, version=src.version)
     except FileNotFoundError:
         src = None  # first batch into an empty table: pure insert
@@ -218,7 +225,7 @@ def merge_upsert_manifest(
             {"writer_id": txn[0], "batch_id": txn[1], "stream_txn": {txn[0]: txn[1]}}
         )
     try:
-        return table._commit_with_retry(build, "merge", meta)
+        return table._commit_with_retry(build, "merge", meta, branch=branch)
     except _BatchAlreadyCommitted:
         return None  # a racing instance of this writer merged the batch first
 
@@ -323,6 +330,7 @@ def delete_where_mor(
     table: ManifestTable,
     delete_keys: DataFrame,
     keys: list[str],
+    branch: str | None = None,
 ) -> int:
     """MERGE-ON-READ delete (Delta deletion-vector / Iceberg
     equality-delete model): instead of rewriting every data file that
@@ -358,10 +366,16 @@ def delete_where_mor(
     # here would resurrect vectors a racing compaction had already
     # materialized and dropped, re-shadowing keys legitimately
     # re-inserted after that compaction.
-    parent = table.read_manifest()
-    meta = dict(parent.meta)
+    from octopufs_spark.manifest import _strip_ref_markers
+
+    parent = (
+        table.read_manifest(table.branch_head(branch))
+        if branch is not None
+        else table.read_manifest()
+    )
+    meta = _strip_ref_markers(parent.meta)
     meta["delete_vectors"] = [{"path": dv_rel, "keys": keys}]
-    return table._commit_with_retry(build, "delete_mor", meta)
+    return table._commit_with_retry(build, "delete_mor", meta, branch=branch)
 
 
 def delete_where_mor_positional(
@@ -443,6 +457,8 @@ def delete_where_mor_positional(
     # at publish time via _carry_delete_vectors. Pre-merging this
     # snapshot's list would resurrect vectors a racing compaction had
     # already materialized and dropped (see delete_where_mor).
-    meta = dict(m.meta)
+    from octopufs_spark.manifest import _strip_ref_markers
+
+    meta = _strip_ref_markers(m.meta)
     meta["delete_vectors"] = [{"path": dv_rel, "type": "positional"}]
     return table._commit_with_retry(build, "delete_mor", meta)

@@ -47,7 +47,7 @@ def test_branch_chains_and_carries_metadata(spark, table):
     table.create_branch("dev")
     write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev", stats=True)
     h = table.read_manifest(table.branch_head("dev"))
-    assert h.meta["branch"] == {"name": "dev", "base": 1, "removed": 0}
+    assert h.meta["branch"] == {"name": "dev", "base": 1, "removed": 0, "changed": False}
     # zone maps carried from the fork base plus the branch's own files
     assert set(h.meta["file_stats"]) == set(h.files)
 
@@ -366,6 +366,66 @@ def test_compact_on_branch(spark, table):
     pv = table.fast_forward("dev")
     assert table.read_manifest(pv).operation == "branch-fastforward-replace"
     assert _ids(table.read(spark)) == set(range(40))
+
+
+def test_merge_into_branch(spark, table):
+    """MERGE targeted at a branch: upserts land as a branch commit
+    (full-rewrite semantics, reconciliation against the BRANCH head),
+    main untouched until fast-forward."""
+    from octopufs_spark.merge import merge_upsert_manifest
+
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    changes = spark.range(5, 15).withColumn("v", F.col("id") * 2 + 777)
+    mv = merge_upsert_manifest(spark, table, changes, keys=["id"], branch="dev")
+    assert table.read_manifest(mv).meta["branch"]["name"] == "dev"
+    got = {(r.id, r.v) for r in table.read(spark, branch="dev").collect()}
+    want = {(i, i * 2) for i in range(5)} | {(i, i * 2 + 777) for i in range(5, 15)}
+    assert got == want
+    assert _ids(table.read(spark)) == set(range(10))  # main: pre-merge values
+    pv = table.fast_forward("dev")
+    # a merge rewrites its read set -> rows changed -> replace flavor
+    assert table.read_manifest(pv).operation == "branch-fastforward-replace"
+    assert {(r.id, r.v) for r in table.read(spark).collect()} == want
+
+
+def test_mor_delete_on_branch_fast_forwards_as_replace(spark, table):
+    """A MOR delete on a branch keeps the file set but hides rows, so
+    the fast-forward must be the replace-flavored op — streaming it as
+    a plain append would silently skip the row change (the same
+    contract that makes delete_mor itself a change commit)."""
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    delete_where_mor(spark, table, spark.range(0, 3), ["id"], branch="dev")
+    assert _ids(table.read(spark, branch="dev")) == set(range(3, 10))
+    assert _ids(table.read(spark)) == set(range(10))
+    pv = table.fast_forward("dev")
+    assert table.read_manifest(pv).operation == "branch-fastforward-replace"
+    assert _ids(table.read(spark)) == set(range(3, 10))
+
+
+def test_stream_sink_replay_detected_with_branch_commit_on_top(spark, table):
+    """Regression: the stream sink's replay check anchors on the MAIN
+    head, not the newest manifest — a branch commit at the top of the
+    log carries the branch lineage's fork-time txn map, and reading
+    THAT map would miss a main mark landed after the fork, letting a
+    replayed batch double-land."""
+    from octopufs_spark.manifest import _commit_stream_batch
+
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")  # fork BEFORE the stream batch lands
+    _commit_stream_batch(table, _df(spark, 100, 110), 7, "writer-x")
+    assert _ids(table.read(spark)) == set(range(10)) | set(range(100, 110))
+    # branch commit becomes the newest manifest (its txn map predates
+    # the stream batch)
+    write_and_commit(_df(spark, 500, 505), table, mode="append", branch="dev")
+    n = len(table.versions())
+    _commit_stream_batch(table, _df(spark, 100, 110), 7, "writer-x")  # replay
+    assert len(table.versions()) == n, "replayed batch landed twice"
+    rows = table.read(spark).collect()
+    assert len(rows) == len({r.id for r in rows})
 
 
 def test_tag_can_pin_branch_commit(spark, table):
