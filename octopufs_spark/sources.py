@@ -307,6 +307,17 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        # option("branch", name): stream the BRANCH's lineage — main
+        # history up to the fork point plus that branch's own commits —
+        # instead of main. The branch identity (name + fork base) is
+        # pinned at query start: commits of a later RE-CREATED branch
+        # of the same name carry a different base and do not stream
+        # (restart to follow the new incarnation). Main commits after
+        # the fork — including this branch's own fast-forward — never
+        # stream here, so a drained-then-published branch is not
+        # double-delivered.
+        self.branch_name = options.get("branch")
+        self._branch_base: int | None = None
         self.starting_version = options.get("startingVersion", "0")
         mft = options.get("maxFilesPerTrigger")
         self.max_files = int(mft) if mft is not None else None
@@ -330,13 +341,27 @@ class ManifestStreamReader(DataSourceStreamReader):
         # under the current logical names. Serialized with the reader,
         # so executor-side read() sees the same pinned log.
         try:
-            meta = self._table().read_manifest().meta
+            table = self._table()
+            if self.branch_name is not None:
+                # pin the branch incarnation AND its schema contract
+                # from the branch head (a branch could have evolved
+                # differently only via its fork history — evolution
+                # commits are main-only — but the head's carried copy
+                # is the authoritative one for this line)
+                bh = table.branch_head(self.branch_name)
+                bm = table.read_manifest(bh)
+                self._branch_base = (bm.meta.get("branch") or {}).get("base", bh)
+                meta = bm.meta
+            else:
+                meta = table.read_manifest().meta
             self._evolution = meta.get("schema_evolution", [])
             # hidden-partition dirs are storage layout, not data: the
             # stream drops them exactly like the batch read (pinned at
             # query start, same contract as the evolution log)
             self._hidden = list(meta.get("hidden_partitions", {}))
         except FileNotFoundError:
+            if self.branch_name is not None:
+                raise  # a branch stream needs the ref to exist
             self._evolution = []
             self._hidden = []
 
@@ -370,7 +395,28 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "by vacuum before this stream consumed it — restart with a "
                 "fresh checkpoint (optionally startingVersion=latest)"
             ) from None
-        if "wap" in m.meta or "branch" in m.meta:
+        bmeta = m.meta.get("branch")
+        if self.branch_name is not None:
+            # BRANCH stream: this line = main history up to the pinned
+            # fork base + commits of the pinned branch incarnation.
+            ours = (
+                bmeta is not None
+                and bmeta.get("name") == self.branch_name
+                and bmeta.get("base") == self._branch_base
+            )
+            pre_fork_main = (
+                bmeta is None
+                and "wap" not in m.meta
+                and self._branch_base is not None
+                and v <= self._branch_base
+            )
+            if not (ours or pre_fork_main):
+                # post-fork main commits (including this branch's own
+                # fast-forward — already streamed as branch commits),
+                # other branches, CAS orphans, staged WAP snapshots
+                return []
+            # member commits fall through to the op validation below
+        elif "wap" in m.meta or bmeta is not None:
             # STAGED write-audit-publish snapshot or BRANCH commit: its
             # files are not on main (and may never be — an audit can
             # abort, a branch can be dropped), so the main stream emits

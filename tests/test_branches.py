@@ -196,6 +196,84 @@ def test_stream_skips_branch_emits_fast_forward_once(spark, table, tmp_path):
     assert sorted(seen) == list(range(15))  # published line streamed once
 
 
+def test_stream_a_branch(spark, table, tmp_path):
+    """option("branch", name): the stream delivers the branch's
+    LINEAGE — main history up to the fork plus the branch's own
+    commits — while post-fork main appends, other branches, and the
+    branch's own fast-forward never stream (no double delivery)."""
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    table.create_branch("other")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    write_and_commit(_df(spark, 100, 105), table, mode="append")  # post-fork main
+    write_and_commit(_df(spark, 900, 905), table, mode="append", branch="other")
+    seen: list[int] = []
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", table.root)
+            .option("branch", "dev")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: seen.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(seen) == list(range(15))  # fork history + dev commits only
+    write_and_commit(_df(spark, 15, 20), table, mode="append", branch="dev")
+    drain()
+    assert sorted(seen) == list(range(20))  # incremental, exactly once
+
+
+def test_branch_stream_skips_own_fast_forward(spark, table, tmp_path):
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    seen: list[int] = []
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", table.root)
+            .option("branch", "dev")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: seen.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    table.fast_forward("dev")
+    drain()
+    # the fast-forward re-lands the same rows on MAIN; the branch
+    # stream already delivered them and must not emit them again
+    assert sorted(seen) == list(range(15))
+
+
+def test_branch_stream_requires_existing_ref(spark, table):
+    from octopufs_spark.sources import ManifestStreamReader
+
+    write_and_commit(_df(spark, 0, 10), table)
+    with pytest.raises(FileNotFoundError, match="no branch"):
+        ManifestStreamReader({"path": table.root, "branch": "nope"})
+
+
 def test_as_of_timestamp_skips_branch_commits(spark, table):
     write_and_commit(_df(spark, 0, 10), table)
     table.create_branch("dev")
