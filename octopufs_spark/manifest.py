@@ -620,6 +620,42 @@ class ManifestTable:
             out.append(entry)
         return out
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: a one-call summary of the live table —
+        location, current version, file count and total bytes,
+        partition columns (hive segments + hidden-partition sources),
+        delete-vector count, retained version span, and the ref
+        surface (tags, branches). Metadata-only: one manifest read
+        plus one batched file-info call."""
+        import pyarrow.fs as pafs
+
+        m = self.read_manifest()
+        infos = self.fs.get_file_info([f"{self.root_path}/{f}" for f in m.files])
+        size = sum(i.size or 0 for i in infos if i.type == pafs.FileType.File)
+        part_cols: list[str] = []
+        for f in m.files:
+            for k, _v in _hive_segments_of(f):
+                if k not in part_cols:
+                    part_cols.append(k)
+        hidden = m.meta.get("hidden_partitions", {})
+        vs = self.versions()
+        return {
+            "location": self.root,
+            "format": "parquet+manifest",
+            "version": m.version,
+            "committed_at": m.committed_at,
+            "operation": m.operation,
+            "num_files": len(m.files),
+            "size_bytes": size,
+            "partition_columns": [c for c in part_cols if c not in hidden],
+            "hidden_partitions": {k: list(v) for k, v in hidden.items()},
+            "num_delete_vectors": len(m.meta.get("delete_vectors", [])),
+            "earliest_retained_version": vs[0] if vs else None,
+            "latest_version": vs[-1] if vs else None,
+            "tags": self.tags(),
+            "branches": self.branches(),
+        }
+
     # ---------- named tags (immutable snapshot refs) ----------
 
     def create_tag(self, name: str, version: int | None = None) -> int:
@@ -2722,6 +2758,7 @@ def auto_optimize(
     min_files: int = 8,
     zorder_by: tuple[str, str] | None = None,
     stats: bool | None = None,
+    branch: str | None = None,
 ) -> dict[str, int]:
     """Table-maintenance policy: compact every hive partition whose
     live file count reached ``min_files``, one scoped commit per
@@ -2732,14 +2769,21 @@ def auto_optimize(
     readers see progress incrementally, a conflict aborts only that
     partition's rewrite, and the commits parallelize across tables.
     Returns {partition: committed version} for the work actually done.
+    ``branch`` runs the whole policy against a branch's head (each
+    partition's rewrite publishing as a branch commit).
     """
-    m = table.read_manifest()
+    m = (
+        table.read_manifest(table.branch_head(branch))
+        if branch is not None
+        else table.read_manifest()
+    )
     groups: dict[tuple, list[str]] = {}
     for f in m.files:
         groups.setdefault(tuple(_hive_segments_of(f)), []).append(f)
     if set(groups) == {()}:
         v = compact_and_commit(
-            spark, table, target_file_bytes, zorder_by=zorder_by, stats=stats
+            spark, table, target_file_bytes, zorder_by=zorder_by, stats=stats,
+            branch=branch,
         )
         return {"<table>": v} if v is not None else {}
     out: dict[str, int] = {}
@@ -2759,6 +2803,7 @@ def auto_optimize(
             zorder_by=zorder_by,
             stats=stats,
             partition_values=dict(key),
+            branch=branch,
         )
         if v is not None:
             out["/".join(f"{k}={val if val is not None else _HIVE_NULL}" for k, val in key)] = v

@@ -319,6 +319,11 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.branch_name = options.get("branch")
         self._branch_base: int | None = None
         self.starting_version = options.get("startingVersion", "0")
+        self.starting_timestamp = options.get("startingTimestamp")
+        if self.starting_timestamp is not None and "startingVersion" in options:
+            raise ValueError(
+                "manifest_stream: pass startingVersion OR startingTimestamp, not both"
+            )
         mft = options.get("maxFilesPerTrigger")
         self.max_files = int(mft) if mft is not None else None
         # newest position this reader instance knows is consumed/planned
@@ -481,13 +486,41 @@ class ManifestStreamReader(DataSourceStreamReader):
         """``startingVersion`` (Delta semantics): the first streamed
         commit. ``"latest"`` skips all existing history and streams
         only commits made after the query starts; an integer N streams
-        from version N (inclusive); default 0 replays everything."""
-        if str(self.starting_version).lower() == "latest":
+        from version N (inclusive); default 0 replays everything.
+        ``startingTimestamp`` (Delta semantics, mutually exclusive):
+        stream every commit whose in-commit timestamp is AT or after
+        the given epoch-seconds/ISO timestamp; a timestamp before the
+        earliest retained commit replays everything."""
+        if self.starting_timestamp is not None:
+            v = self._version_before_timestamp(self.starting_timestamp)
+        elif str(self.starting_version).lower() == "latest":
             v = self._table().latest_version() or 0
         else:
             v = max(0, int(self.starting_version) - 1)
         self._pos = (v, None)
         return {"version": v}
+
+    def _version_before_timestamp(self, ts) -> int:
+        """Offset base for ``startingTimestamp``: the newest version
+        strictly BEFORE the timestamp (consumed), so streaming begins
+        at the first commit committed at-or-after it."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            try:
+                ts = float(ts)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(ts).timestamp()
+        table = self._table()
+        try:
+            below = table.version_as_of(ts)  # newest main version <= ts
+        except ValueError:
+            return 0  # precedes earliest retained history: replay all
+        # version_as_of is at-or-before; a commit EXACTLY at ts must
+        # still stream, so it stays unconsumed
+        if table.commit_timestamp(below) >= ts:
+            return max(0, below - 1)
+        return below
 
     def latestOffset(self) -> dict:
         """Newest available offset, rate-limited by ``maxFilesPerTrigger``:

@@ -506,6 +506,74 @@ def test_stream_sink_replay_detected_with_branch_commit_on_top(spark, table):
     assert len(rows) == len({r.id for r in rows})
 
 
+def test_auto_optimize_on_branch(spark, table):
+    from octopufs_spark.manifest import auto_optimize
+
+    base = _df(spark, 0, 20).withColumn("p", F.col("id") % 2)
+    write_and_commit(base.repartition(2), table, partition_by=["p"])
+    table.create_branch("dev")
+    for lo in range(20, 60, 10):
+        extra = _df(spark, lo, lo + 10).withColumn("p", F.col("id") % 2)
+        write_and_commit(extra, table, mode="append", partition_by=["p"], branch="dev")
+    done = auto_optimize(spark, table, min_files=3, branch="dev")
+    assert done  # at least one partition compacted, as branch commits
+    for v in done.values():
+        assert table.read_manifest(v).meta["branch"]["name"] == "dev"
+    assert _ids(table.read(spark, branch="dev")) == set(range(60))
+    assert _ids(table.read(spark)) == set(range(20))  # main untouched
+
+
+def test_stream_starting_timestamp(spark, table, tmp_path):
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    write_and_commit(_df(spark, 0, 10), table)
+    write_and_commit(_df(spark, 10, 20), table, mode="append")
+    cut = table.commit_timestamp(2)
+    write_and_commit(_df(spark, 20, 30), table, mode="append")
+
+    def drain(ts, ckpt) -> list[int]:
+        got: list[int] = []
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", table.root)
+            .option("startingTimestamp", str(ts))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    # AT the v2 timestamp: v2 and v3 stream, v1 does not
+    assert drain(cut, "ck1") == list(range(10, 30))
+    # strictly after v2, before v3: only v3
+    assert drain(cut + 0.0005, "ck2") == list(range(20, 30))
+    # before all history: replay everything
+    assert drain(0, "ck3") == list(range(30))
+
+
+def test_table_detail(spark, table):
+    from octopufs_spark.merge import delete_where_mor
+
+    base = _df(spark, 0, 20).withColumn("p", F.col("id") % 2)
+    write_and_commit(base.repartition(2), table, partition_by=["p"])
+    delete_where_mor(spark, table, spark.range(0, 3), ["id"])
+    table.create_tag("t1")
+    table.create_branch("dev")
+    d = table.detail()
+    assert d["version"] == 2 and d["operation"] == "delete_mor"
+    assert d["partition_columns"] == ["p"]
+    assert d["num_files"] >= 2 and d["size_bytes"] > 0
+    assert d["num_delete_vectors"] == 1
+    assert d["tags"] == {"t1": 2} and d["branches"] == {"dev": 2}
+    assert d["earliest_retained_version"] == 1
+
+
 def test_tag_can_pin_branch_commit(spark, table):
     write_and_commit(_df(spark, 0, 10), table)
     table.create_branch("dev")
