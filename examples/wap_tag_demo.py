@@ -13,7 +13,10 @@ table without a staging copy, then pinning the good snapshot:
    head — the stream now sees exactly the published rows, once,
 5. TAG the published version, OPTIMIZE + aggressively vacuum — the
    tagged snapshot stays readable through the ref while untagged
-   history is pruned.
+   history is pruned,
+6. fork a BRANCH, land two commits + a branch OPTIMIZE on it (main
+   untouched throughout), stream the branch's lineage, then
+   fast-forward the whole line onto main in one metadata commit.
 
 Run: python examples/wap_tag_demo.py
 """
@@ -109,6 +112,41 @@ def main() -> None:
     assert tagged == 1250
     hist = [(h["version"], h["operation"], h["staged"]) for h in table.history()]
     print(f"history (retained): {hist}")
+
+    # 6. branch: two commits, stream them, branch OPTIMIZE, fast-forward.
+    # The earlier aggressive vacuum pruned pre-tag history, so the
+    # branch stream starts AT the fork (startingVersion) instead of
+    # replaying from v0 — the same contract as any vacuumed stream.
+    main_before = table.read(spark).count()
+    fork_v = table.create_branch("backfill")
+    write_and_commit(rows(2000, 300), table, mode="append", branch="backfill")
+    write_and_commit(rows(2300, 200), table, mode="append", branch="backfill")
+    assert table.read(spark).count() == main_before, "branch leaked into main!"
+    branch_rows: list[int] = []
+    bq = (
+        spark.readStream.format("manifest_stream")
+        .option("path", table.root)
+        .option("branch", "backfill")
+        .option("startingVersion", str(fork_v + 1))
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: branch_rows.extend(r.id for r in df.collect())
+        )
+        .option("checkpointLocation", f"{work}/ck_branch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    bq.awaitTermination(120)
+    assert len(branch_rows) == 500  # the branch's own commits
+    compact_and_commit(spark, table, branch="backfill")
+    ffv = table.fast_forward("backfill")
+    print(
+        f"branch 'backfill': +500 rows staged, streamed {len(branch_rows)} "
+        f"branch rows, compacted on-branch, fast-forwarded as v{ffv}: "
+        f"{table.read(spark).count()} rows"
+    )
+    assert table.read(spark).count() == main_before + 500
+    print(f"detail: {({k: table.detail()[k] for k in ('version', 'num_files', 'tags', 'branches')})}")
 
     spark.stop()
     print("OK")
