@@ -143,6 +143,73 @@ def q_ext_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_wap_quality_gate",
+    oracle="""
+WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+                  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) bad
+           FROM documents WHERE doc_id % 8 = 0),
+     b AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+                  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) bad
+           FROM documents WHERE doc_id % 8 = 4)
+SELECT 'batch_a' AS phase, n AS n_docs, bad AS n_bad, (bad * 100 <= 10 * n) AS published FROM a
+UNION ALL
+SELECT 'batch_b' AS phase, n AS n_docs, bad AS n_bad, (bad * 100 <= 60 * n) AS published FROM b
+UNION ALL
+SELECT 'final' AS phase,
+       CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0)
+            + CASE WHEN (SELECT bad * 100 <= 10 * n FROM a) THEN (SELECT n FROM a) ELSE 0 END
+            + CASE WHEN (SELECT bad * 100 <= 60 * n FROM b) THEN (SELECT n FROM b) ELSE 0 END
+            AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_bad, TRUE AS published
+""",
+)
+def q_ext_wap_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAP workflow doing its actual job — a QUALITY GATE on a
+    training-corpus table: each incoming document batch stages with a
+    ``wap_id``, a curation rule audits the STAGED snapshot in place
+    (short-document fraction, the Gopher-style length screen), and the
+    batch publishes onto main only if it passes — an audit failure
+    aborts it with main never having seen a row. Two batches run the
+    gate at different strictness (10% vs 60% short-doc budget), so the
+    decision logic itself is under the hash: the oracle recomputes
+    each batch's bad-fraction verdict AND the final corpus count
+    implied by which batches passed, from the base table alone. At
+    100 TB this replaces the quarantine-copy pattern: staging is one
+    manifest commit, the audit reads the real files, the decision is
+    metadata-only either way."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="octopufs_wapgate_")
+    table = ManifestTable(root)
+    write_and_commit(d.where(F.col("doc_id") % 4 != 0), table)
+    rows = []
+    for phase, mod8, pct_max in (("batch_a", 0, 10), ("batch_b", 4, 60)):
+        batch = d.where(F.col("doc_id") % 8 == mod8)
+        sv = write_and_commit(batch, table, mode="append", wap_id=phase)
+        audit = (
+            table.read(spark, version=sv)
+            .where(F.col("doc_id") % 8 == mod8)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("n_chars") < 200).cast("long")).alias("bad"),
+            )
+            .collect()[0]
+        )
+        published = audit.bad * 100 <= pct_max * audit.n
+        if published:
+            table.publish_wap(wap_id=phase)
+        else:
+            table.abort_wap(wap_id=phase)
+        rows.append((phase, audit.n, audit.bad, published))
+    final_n = table.read(spark).count()
+    rows.append(("final", final_n, 0, True))
+    return spark.createDataFrame(
+        rows, "phase string, n_docs long, n_bad long, published boolean"
+    )
+
+
+@register(
     "q_ext_table_tag",
     oracle="""
 SELECT 'tagged' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
