@@ -143,6 +143,72 @@ def q_ext_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_materialized_view",
+    oracle="""
+SELECT 'view' AS phase, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+UNION ALL SELECT 'refresh_1', 'full', CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+UNION ALL SELECT 'refresh_2', 'incremental', CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+UNION ALL SELECT 'refresh_3', 'incremental', CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+""",
+)
+def q_ext_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (octopufs_spark/mv.py): a grouped rollup of a manifest table is
+    materialized once, then each appended commit folds in as a
+    partial-aggregate MERGE over ONLY the commit's added files —
+    count→sum-of-counts, sum→sum-of-sums — never rescanning the base.
+    At 100 TB this is the difference between a daily rollup touching
+    one day's commits and recomputing the table; row-changing commits
+    (deletes, rewrites) are detected from the log and trigger one full
+    recompute before incremental maintenance resumes.
+
+    The scenario seeds half of orders, refreshes (full), then lands
+    two appends each followed by an incremental refresh. The emitted
+    refresh MODES pin that the incremental path actually ran, and the
+    final view content must equal the oracle's from-scratch rollup of
+    ALL orders — any partial-merge error (double-fold, missed commit,
+    wrong avg decomposition) flips the hash."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.mv import MaterializedView
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_mv_")
+    src = ManifestTable(f"{root}/src")
+    mv = MaterializedView(
+        src,
+        f"{root}/view",
+        ["o_orderpriority"],
+        {"n_orders": ("count", "*"), "total": ("sum", "price")},
+    )
+    modes = []
+    for i, cond in enumerate(
+        (
+            F.col("o_orderkey") % 2 == 1,
+            F.col("o_orderkey") % 4 == 2,
+            F.col("o_orderkey") % 4 == 0,
+        )
+    ):
+        write_and_commit(o.where(cond), src, mode="overwrite" if i == 0 else "append")
+        mv.refresh(spark)
+        modes.append(mv.view.read_manifest().meta["mv"]["mode"])
+    view = mv.read(spark).select(
+        F.lit("view").alias("phase"),
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total").cast("double").alias("total"),
+    )
+    mode_rows = spark.createDataFrame(
+        [(f"refresh_{i + 1}", m, 0, 0.0) for i, m in enumerate(modes)],
+        "phase string, o_orderpriority string, n_orders long, total double",
+    )
+    return view.unionByName(mode_rows)
+
+
+@register(
     "q_ext_wap_quality_gate",
     oracle="""
 WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) n,

@@ -1,0 +1,213 @@
+"""Incremental materialized views over manifest tables: algebraic
+partial-aggregate merge per appended commit, full-recompute fallback
+on row-changing commits, CAS-guarded concurrent refresh."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from octopufs_spark.manifest import (
+    ConcurrentModificationError,
+    ManifestTable,
+    compact_and_commit,
+    write_and_commit,
+)
+from octopufs_spark.mv import MaterializedView
+
+
+@pytest.fixture()
+def src(tmp_path):
+    return ManifestTable(str(tmp_path / "src"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+    )
+
+
+AGGS = {
+    "n": ("count", "*"),
+    "total": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+    "mean": ("avg", "v"),
+}
+
+
+def _mv(src, tmp_path):
+    return MaterializedView(src, str(tmp_path / "view"), ["g"], AGGS)
+
+
+def _expect(df):
+    return {
+        tuple(r)
+        for r in df.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    }
+
+
+def _got(mv, spark):
+    return {tuple(r) for r in mv.read(spark).collect()}
+
+
+def test_full_then_incremental_matches_recompute(spark, src, tmp_path):
+    write_and_commit(_df(spark, 0, 100), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    write_and_commit(_df(spark, 100, 150), src, mode="append")
+    write_and_commit(_df(spark, 150, 160), src, mode="append")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert _got(mv, spark) == _expect(_df(spark, 0, 160))
+    # current view: refresh is a no-op
+    assert mv.refresh(spark) is None
+
+
+def test_incremental_reads_only_added_files(spark, src, tmp_path):
+    """The whole point at 100 TB: a refresh after an append must scan
+    the APPENDED files, not the table."""
+    write_and_commit(_df(spark, 0, 1000), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    write_and_commit(_df(spark, 1000, 1010), src, mode="append")
+    seen: list[list[str]] = []
+    orig = ManifestTable._scan_files
+
+    def spying(self, spark_, files, **kw):
+        seen.append(list(files))
+        return orig(self, spark_, files, **kw)
+
+    ManifestTable._scan_files = spying
+    try:
+        mv.refresh(spark)
+    finally:
+        ManifestTable._scan_files = orig
+    src_scans = [fs for fs in seen if fs and all("view" not in f for f in fs)]
+    added = set(src.read_manifest().added)
+    assert any(set(fs) == added for fs in src_scans), (
+        "incremental refresh scanned more than the appended files"
+    )
+    assert _got(mv, spark) == _expect(_df(spark, 0, 1010))
+
+
+def test_row_changing_commits_force_full_recompute(spark, src, tmp_path):
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 100), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    delete_where_mor(spark, src, spark.range(0, 10), ["id"])
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    assert _got(mv, spark) == _expect(_df(spark, 10, 100))
+    # compaction (rewrite) likewise
+    write_and_commit(_df(spark, 100, 120), src, mode="append")
+    compact_and_commit(spark, src)
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    assert _got(mv, spark) == _expect(_df(spark, 10, 120))
+    # and incremental resumes after the fallback
+    write_and_commit(_df(spark, 200, 210), src, mode="append")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert _got(mv, spark) == _expect(
+        _df(spark, 10, 120).unionByName(_df(spark, 200, 210))
+    )
+
+
+def test_maintenance_noops_advance_pointer_without_scan(spark, src, tmp_path):
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    # metadata-only rename of a column the view does not reference:
+    # no visible row change, nothing to rescan
+    src.rename_column("id", "event_id")
+    v = mv.refresh(spark)
+    assert v is not None and mv.view.read_manifest().meta["mv"]["mode"] == "noop"
+    assert mv.last_refreshed_source_version() == src.current_version()
+    assert _got(mv, spark) == _expect(_df(spark, 0, 50))
+
+
+def test_staged_and_branch_commits_invisible_to_view(spark, src, tmp_path):
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    write_and_commit(_df(spark, 50, 60), src, mode="append", wap_id="w1")
+    src.create_branch("dev")
+    write_and_commit(_df(spark, 60, 70), src, mode="append", branch="dev")
+    assert mv.refresh(spark) is None  # main did not move
+    assert _got(mv, spark) == _expect(_df(spark, 0, 50))
+    src.publish_wap(wap_id="w1")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert _got(mv, spark) == _expect(_df(spark, 0, 60))
+
+
+def test_fresh_handle_resumes_from_table_state(spark, src, tmp_path):
+    write_and_commit(_df(spark, 0, 50), src)
+    _mv(src, tmp_path).refresh(spark)
+    write_and_commit(_df(spark, 50, 70), src, mode="append")
+    mv2 = _mv(src, tmp_path)
+    assert mv2.last_refreshed_source_version() == 1
+    mv2.refresh(spark)
+    assert mv2.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert _got(mv2, spark) == _expect(_df(spark, 0, 70))
+
+
+def test_concurrent_refresh_aborts_loser(spark, src, tmp_path):
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    write_and_commit(_df(spark, 50, 60), src, mode="append")
+
+    orig = type(mv.view)._commit_with_retry
+    fired = {"done": False}
+
+    def racing(self, build, operation, meta, *a, **kw):
+        if operation == "mv-refresh" and not fired["done"]:
+            fired["done"] = True
+            _mv(src, tmp_path).refresh(spark)  # racer lands first
+        return orig(self, build, operation, meta, *a, **kw)
+
+    type(mv.view)._commit_with_retry = racing
+    try:
+        with pytest.raises(ConcurrentModificationError, match="refreshed concurrently"):
+            mv.refresh(spark)
+    finally:
+        type(mv.view)._commit_with_retry = orig
+    assert fired["done"]
+    # the racer's merge covers the delta exactly once
+    assert _got(mv, spark) == _expect(_df(spark, 0, 60))
+
+
+def test_view_root_collision_rejected(spark, src, tmp_path):
+    write_and_commit(_df(spark, 0, 10), src)
+    not_a_view = ManifestTable(str(tmp_path / "plain"))
+    write_and_commit(_df(spark, 0, 10), not_a_view)
+    mv = MaterializedView(src, str(tmp_path / "plain"), ["g"], AGGS)
+    with pytest.raises(ValueError, match="not a materialized view"):
+        mv.refresh(spark)
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        MaterializedView(src, str(tmp_path / "x"), ["g"], {"m": ("median", "v")})
+
+
+def test_view_time_travel(spark, src, tmp_path):
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    write_and_commit(_df(spark, 50, 100), src, mode="append")
+    mv.refresh(spark)
+    assert {tuple(r) for r in mv.read(spark, version=1).collect()} == _expect(
+        _df(spark, 0, 50)
+    )
+    assert _got(mv, spark) == _expect(_df(spark, 0, 100))
