@@ -63,6 +63,7 @@ class MaterializedView:
         view_root: str,
         group_by: list[str],
         aggs: dict[str, tuple[str, str]],
+        filter: str | None = None,
     ):
         for name, (fn, _col) in aggs.items():
             if fn not in ("count", "sum", "min", "max", "avg"):
@@ -71,6 +72,10 @@ class MaterializedView:
         self.view = ManifestTable(view_root)
         self.group_by = list(group_by)
         self.aggs = dict(aggs)
+        # pre-aggregation row filter (SQL condition): filters commute
+        # with the partial/merge decomposition, so incremental
+        # maintenance applies it per added-file scan
+        self.filter = filter
 
     # ---------- internal: mergeable decomposition ----------
 
@@ -90,6 +95,8 @@ class MaterializedView:
         return out
 
     def _partial(self, df: DataFrame) -> DataFrame:
+        if self.filter is not None:
+            df = df.where(F.expr(self.filter))
         exprs = []
         for phys, (fn, col) in self._internal_cols().items():
             if fn == "count":

@@ -201,6 +201,20 @@ def test_view_root_collision_rejected(spark, src, tmp_path):
         MaterializedView(src, str(tmp_path / "x"), ["g"], {"m": ("median", "v")})
 
 
+def test_filtered_view_incremental(spark, src, tmp_path):
+    """A pre-aggregation filter commutes with the partial/merge
+    decomposition, so filtered rollups maintain incrementally too."""
+    write_and_commit(_df(spark, 0, 100), src)
+    mv = MaterializedView(
+        src, str(tmp_path / "fview"), ["g"], AGGS, filter="v % 4 = 0"
+    )
+    mv.refresh(spark)
+    write_and_commit(_df(spark, 100, 160), src, mode="append")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert _got(mv, spark) == _expect(_df(spark, 0, 160).where("v % 4 = 0"))
+
+
 def test_view_time_travel(spark, src, tmp_path):
     write_and_commit(_df(spark, 0, 50), src)
     mv = _mv(src, tmp_path)
