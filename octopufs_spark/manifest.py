@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 from octopufs_spark.fs.core import get_filesystem, list_tree
 
 _MANIFEST_DIR = "_manifest"
-_VERSION_RE = re.compile(r"v(\d+)\.json$")
 _TAGS_DIR = f"{_MANIFEST_DIR}/tags"
 _BRANCHES_DIR = f"{_MANIFEST_DIR}/branches"
 _TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
@@ -81,6 +80,23 @@ def _strip_ref_markers(meta: dict) -> dict:
     them onto an unrelated commit would re-stage it ("wap"/"branch")
     or smear publish/abort provenance across history."""
     return {k: v for k, v in meta.items() if k not in _REF_MARKERS}
+
+
+def _content_meta(meta: dict) -> dict:
+    """A snapshot's pure CONTENT metadata: lifecycle markers stripped
+    and ``stream_txn`` dropped (replay marks re-carry from the actual
+    commit parent, never from the snapshot being re-published). Shared
+    by restore, publish_wap, and fast_forward so 'content meta' cannot
+    silently diverge between the three re-publish paths."""
+    return {k: v for k, v in _strip_ref_markers(meta).items() if k != "stream_txn"}
+
+
+class _AlreadyResolved(Exception):
+    """Internal: a publish/abort walk found its outcome already
+    committed — carry that version out of the commit build."""
+
+    def __init__(self, version: int):
+        self.version = version
 
 
 class _ModeChanged(Exception):
@@ -386,9 +402,20 @@ class ManifestTable:
             return None
 
     def _write_latest_hint(self, version: int) -> None:
-        """Best-effort, monotonic-enough: losing a hint race only costs
-        later readers a forward probe or a listing, never correctness."""
+        """Best-effort and MONOTONIC: a hint is only advanced, never
+        regressed (read-check-write, racy but strictly improving).
+        Monotonicity matters since tag/branch pins let vacuum punch
+        MID-LOG version gaps: a hint stale below a gap would make the
+        forward probe stop at the gap and silently shadow the real
+        head — with regression ruled out, that requires every hint
+        write since the pinned version to have failed, and vacuum
+        re-anchors the hint after each pruning pass as a further
+        backstop. Losing a hint race still only costs later readers a
+        probe or a listing, never correctness."""
         try:
+            cur = self._read_latest_hint()
+            if cur is not None and cur >= version:
+                return
             tmp = f"{self._mdir}/_latest.tmp.{uuid.uuid4().hex[:8]}"
             with self.fs.open_output_stream(tmp) as f:
                 f.write(str(version).encode())
@@ -416,14 +443,20 @@ class ManifestTable:
         manifest read on a table with no audit or branch write in
         flight, which is why this returns the manifest itself (the
         hot paths would otherwise read the head twice)."""
+        # ONLY a genuine not-found walks past a version (vacuum pruned
+        # it). A transient read error (storage throttling, network)
+        # must PROPAGATE: swallowing it here would silently resolve an
+        # OLDER manifest as the main head — a commit would then build
+        # against a stale parent and drop the real head's files, and
+        # vacuum's keep-walk would unpin the live head.
         while v is not None and v >= 1:
             try:
                 m = self.read_manifest(v)
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 for x in reversed([x for x in self.versions() if x <= v]):
                     try:
                         m = self.read_manifest(x)
-                    except (FileNotFoundError, OSError):
+                    except FileNotFoundError:
                         continue
                     if self._is_main(m):
                         return m
@@ -556,9 +589,7 @@ class ManifestTable:
         # would stage the restore itself, and a re-carried
         # "wap_published"/"wap_aborted" marker would confuse a later
         # publish's idempotence walk.
-        meta = {
-            k: v for k, v in _strip_ref_markers(old.meta).items() if k != "stream_txn"
-        }
+        meta = _content_meta(old.meta)
         meta["restored_from"] = version
         v = self._commit_with_retry(list(old.files), "restore", meta, carry=False)
         self._check_not_vacuumed(self.read_manifest(v))
@@ -704,12 +735,20 @@ class ManifestTable:
             base = el.path.rsplit("/", 1)[-1]
             if el.is_dir or not base.endswith(".json") or ".tmp." in base:
                 continue
+            # foreign/garbage content is skipped, but a READ error must
+            # propagate: vacuum builds its pin set from this listing,
+            # and a transient error silently dropping a tag would let
+            # vacuum permanently delete the pinned snapshot. (Torn
+            # files cannot exist at the final path — publish is an
+            # atomic no-overwrite move.)
             try:
                 with self.fs.open_input_stream(el.path) as f:
                     d = json.loads(f.read().decode())
                 out[d["name"]] = int(d["version"])
-            except (OSError, ValueError, KeyError):
-                continue  # torn/foreign file: not a tag
+            except FileNotFoundError:
+                continue  # deleted between listing and read
+            except (ValueError, KeyError):
+                continue  # foreign file: not a tag
         return out
 
     def tag_version(self, name: str) -> int:
@@ -1125,8 +1164,8 @@ class ManifestTable:
         for v in sorted(self.versions(), reverse=True):
             try:
                 m = self.read_manifest(v)
-            except (FileNotFoundError, OSError):
-                continue
+            except FileNotFoundError:
+                continue  # pruned under the scan; transient errors propagate
             w = m.meta.get("wap")
             if w and w.get("id") == wap_id:
                 return v
@@ -1156,8 +1195,8 @@ class ManifestTable:
                 break
             try:
                 p = self.read_manifest(p.parent)
-            except (FileNotFoundError, OSError):
-                break
+            except FileNotFoundError:
+                break  # marker old enough to be vacuumed: republish dedups
         return None
 
     def publish_wap(self, wap_id: str | None = None, version: int | None = None) -> int:
@@ -1212,14 +1251,8 @@ class ManifestTable:
         # NOT pure — the conservative side is a conflict abort, never a
         # silently-dropped base removal
         pure_append = wap.get("removed") == 0
-        content_meta = {
-            k: val for k, val in _strip_ref_markers(s.meta).items() if k != "stream_txn"
-        }
+        content_meta = _content_meta(s.meta)
         marker = {"wap_published": {"id": wap.get("id"), "staged_version": v}}
-
-        class _Done(Exception):
-            def __init__(self, version: int):
-                self.version = version
 
         for _ in range(5):
             head_v = self.current_version()
@@ -1230,7 +1263,7 @@ class ManifestTable:
                 if outcome is not None:
                     kind, at = outcome
                     if kind == "published":
-                        raise _Done(at)
+                        raise _AlreadyResolved(at)
                     raise ValueError(
                         f"staged snapshot v{v} was aborted at v{at}; re-stage to publish"
                     )
@@ -1282,7 +1315,7 @@ class ManifestTable:
                 carry = True
             try:
                 return self._commit_with_retry(build, op, meta, carry=carry)
-            except _Done as d:
+            except _AlreadyResolved as d:
                 return d.version
             except _ModeChanged:
                 continue
@@ -1307,16 +1340,12 @@ class ManifestTable:
         base_v = wap.get("base")
         marker = {"wap_aborted": {"id": wap.get("id"), "staged_version": v}}
 
-        class _Done(Exception):
-            def __init__(self, version: int):
-                self.version = version
-
         def build(parent: Manifest | None) -> list[str]:
             outcome = self._walk_wap_outcome(parent, base_v, v)
             if outcome is not None:
                 kind, at = outcome
                 if kind == "aborted":
-                    raise _Done(at)
+                    raise _AlreadyResolved(at)
                 raise ValueError(
                     f"staged snapshot v{v} was already published at v{at}; "
                     "aborting now would not retract it"
@@ -1325,7 +1354,7 @@ class ManifestTable:
 
         try:
             return self._commit_with_retry(build, "wap-abort", marker)
-        except _Done as d:
+        except _AlreadyResolved as d:
             return d.version
 
     # ---------- named branches (writable refs) ----------
@@ -1387,11 +1416,16 @@ class ManifestTable:
                 continue
             seq = int(mm.group(1))
             if best is None or seq > best[0]:
+                # same rule as tags(): only not-found/foreign skip; a
+                # transient read error propagates (vacuum pins branch
+                # heads from this resolution)
                 try:
                     with self.fs.open_input_stream(el.path) as f:
                         ver = int(json.loads(f.read().decode())["version"])
-                except (OSError, ValueError, KeyError):
-                    continue  # torn write: a lower seq is the head
+                except FileNotFoundError:
+                    continue  # ref deleted between listing and read
+                except (ValueError, KeyError):
+                    continue  # foreign file
                 best = (seq, ver)
         if best is None:
             raise FileNotFoundError(f"no branch {name!r} on {self.root}")
@@ -1464,9 +1498,7 @@ class ManifestTable:
             return bh
         self._check_not_vacuumed(h)
         base = bmeta.get("base")
-        content_meta = {
-            k: val for k, val in _strip_ref_markers(h.meta).items() if k != "stream_txn"
-        }
+        content_meta = _content_meta(h.meta)
         # append-flavored only when NOTHING on the line changed rows
         # beyond pure addition (no removed files, no new delete
         # vectors) — the stream treats "branch-fastforward" as an
@@ -1772,11 +1804,21 @@ class ManifestTable:
                 parent = self._main_manifest_at_or_below(latest)
             files = files_or_build(parent) if callable(files_or_build) else files_or_build
             parent_files = set(parent.files) if parent else set()
-            # in-commit timestamp, forced strictly above the parent's so
-            # the committed history is monotonic even when wall clocks
-            # step backwards between commits (AS-OF-timestamp reads
-            # binary-search on this)
+            # In-commit timestamp, forced strictly above the parent's —
+            # AND above the newest manifest in the WHOLE log when that
+            # differs (a branch/staged commit chains off its own
+            # lineage parent, so under a clock regression its timestamp
+            # could otherwise land below an already-committed higher
+            # version, breaking the global ordering AS-OF-timestamp
+            # reads binary-search on). One extra manifest read, and
+            # only while refs are active (parent == latest otherwise).
             parent_ts = (parent.committed_at or 0.0) if parent else 0.0
+            if latest is not None and (parent is None or parent.version != latest):
+                try:
+                    lm = self.read_manifest(latest)
+                    parent_ts = max(parent_ts, lm.committed_at or 0.0)
+                except FileNotFoundError:
+                    pass
             if carry:
                 built_meta = self._carry_skipping_meta(
                     parent,
@@ -1806,10 +1848,11 @@ class ManifestTable:
                 # (a stale staged snapshot can outlive its base: vacuum
                 # prunes the base once main advances past it, while the
                 # younger staged snapshot is still retention-protected).
+                files_set = set(files)
                 built_meta["wap"] = {
                     "id": wap_id,
                     "base": parent.version if parent else None,
-                    "removed": sum(1 for f in parent_files if f not in set(files)),
+                    "removed": sum(1 for f in parent_files if f not in files_set),
                 }
             if branch is not None:
                 # branch commit: invisible to main until fast_forward.
@@ -1826,7 +1869,8 @@ class ManifestTable:
                     if on_this_branch
                     else (parent.version if parent else None)
                 )
-                removed_now = sum(1 for f in parent_files if f not in set(files))
+                files_set = set(files)
+                removed_now = sum(1 for f in parent_files if f not in files_set)
                 built_meta["branch"] = {
                     "name": branch,
                     "base": fork_base,
@@ -2293,8 +2337,8 @@ class ManifestTable:
             walked += 1
             try:
                 v = self.read_manifest(v).parent
-            except (FileNotFoundError, OSError):
-                break  # older lineage already pruned
+            except FileNotFoundError:
+                break  # older lineage already pruned (transient errors propagate)
         entries = [
             el for el in list_tree(self.root, tolerate_vanished=True) if not el.is_dir
         ]
@@ -2331,6 +2375,12 @@ class ManifestTable:
         for path, rel in manifest_drops:
             self.fs.delete_file(path)
             removed.append(rel)
+        # Re-anchor the latest-version hint above any gap this pass
+        # punched (tag/branch pins retain OLD versions while the middle
+        # prunes): the forward probe is gap-blind, so a hint that
+        # somehow sat below the gap would shadow the real head.
+        if survivors:
+            self._write_latest_hint(max(survivors))
         for el in entries:
             rel = el.path[len(self.root_path) + 1 :]
             if rel.startswith(_MANIFEST_DIR + "/"):

@@ -45,8 +45,19 @@ from octopufs_spark.manifest import (
     ManifestTable,
 )
 
-# ops that add rows only (the view can fold their added files)
-_APPEND_OPS = {"commit", "append", "seed", "stream-append", "wap-publish", "clone"}
+# ops that add rows only (the view can fold their added files);
+# branch-fastforward carries a publish-time added list and is chosen
+# ONLY when nothing on the branch line changed rows — the same
+# contract the stream source folds it under
+_APPEND_OPS = {
+    "commit",
+    "append",
+    "seed",
+    "stream-append",
+    "wap-publish",
+    "branch-fastforward",
+    "clone",
+}
 # ops that change nothing a grouped aggregate can see
 _NOOP_OPS = {"dv-consolidate", "wap-abort", "rename_column", "drop_column", "add_column"}
 
@@ -179,12 +190,25 @@ class MaterializedView:
             # only no-op maintenance commits: just advance the pointer
             return self._publish(spark, None, src_head, view_m, mode="noop")
         if incremental:
+            head_m = self.source.read_manifest(src_head)
             src_df = self.source._scan_files(
                 spark,
                 added,
-                evolution=self.source.read_manifest(src_head).meta.get(
-                    "schema_evolution"
-                ),
+                annotate_positions=self.source._has_positional_dvs(head_m),
+                evolution=head_m.meta.get("schema_evolution"),
+            )
+            # ACTIVE delete vectors apply snapshot-wide — including to
+            # newly added files (a re-inserted deleted key stays hidden
+            # until a compaction, exactly as the read path documents).
+            # Folding the raw added rows would make the view count rows
+            # the source read hides; apply the head's vectors to the
+            # delta scan so the fold sees what a reader sees.
+            # (Positional vectors name pre-existing files, so they
+            # anti-join to nothing here — harmless.)
+            from octopufs_spark.manifest import _strip_dropped
+
+            src_df = _strip_dropped(
+                self.source._apply_delete_vectors(spark, src_df, head_m)
             )
             delta = self._partial(src_df)
             return self._publish(spark, delta, src_head, view_m, mode="incremental")

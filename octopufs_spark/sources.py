@@ -516,6 +516,10 @@ class ManifestStreamReader(DataSourceStreamReader):
             below = table.version_as_of(ts)  # newest main version <= ts
         except ValueError:
             return 0  # precedes earliest retained history: replay all
+        except FileNotFoundError:
+            # table not created yet: same tolerance as startingVersion —
+            # start at 0 and stream whatever gets committed
+            return 0
         # version_as_of is at-or-before; a commit EXACTLY at ts must
         # still stream, so it stays unconsumed
         if table.commit_timestamp(below) >= ts:

@@ -574,6 +574,47 @@ def test_table_detail(spark, table):
     assert d["earliest_retained_version"] == 1
 
 
+def test_commit_timestamps_monotonic_across_lineages(spark, table):
+    """Review finding: a branch commit chains its in-commit timestamp
+    off the BRANCH parent, so under a wall-clock regression a later
+    main commit could land with a LOWER timestamp than an earlier
+    branch version, breaking the global ordering AS-OF reads bisect
+    on. The commit path now also ceilings on the newest manifest in
+    the whole log."""
+    from unittest import mock
+
+    write_and_commit(_df(spark, 0, 10), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    bv_ts = table.commit_timestamp(table.branch_head("dev"))
+
+    orig = type(table)._commit_with_retry
+
+    def regressed(self, *a, **kw):
+        # the wall clock steps back to the epoch during the commit
+        with mock.patch("time.time", return_value=1.0):
+            return orig(self, *a, **kw)
+
+    type(table)._commit_with_retry = regressed
+    try:
+        mv = write_and_commit(_df(spark, 100, 105), table, mode="append")
+    finally:
+        type(table)._commit_with_retry = orig
+    assert table.commit_timestamp(mv) > bv_ts
+    # and the whole log is strictly increasing by version number
+    ts = [table.commit_timestamp(v) for v in table.versions()]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+def test_stream_starting_timestamp_on_unborn_table(spark, tmp_path):
+    from octopufs_spark.sources import ManifestStreamReader
+
+    r = ManifestStreamReader(
+        {"path": str(tmp_path / "unborn"), "startingTimestamp": "0"}
+    )
+    assert r.initialOffset() == {"version": 0}
+
+
 def test_tag_can_pin_branch_commit(spark, table):
     write_and_commit(_df(spark, 0, 10), table)
     table.create_branch("dev")

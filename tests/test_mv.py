@@ -215,6 +215,43 @@ def test_filtered_view_incremental(spark, src, tmp_path):
     assert _got(mv, spark) == _expect(_df(spark, 0, 160).where("v % 4 = 0"))
 
 
+def test_incremental_respects_active_delete_vectors(spark, src, tmp_path):
+    """Review finding: an append landing while a key-granular delete
+    vector is ACTIVE re-inserts keys the snapshot-global vector still
+    hides (until a compaction) — the incremental fold must apply the
+    head's vectors to the delta scan, or the view counts rows the
+    source read hides."""
+    from octopufs_spark.merge import delete_where_mor
+
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    delete_where_mor(spark, src, spark.range(0, 5), ["id"])
+    mv.refresh(spark)  # full (the vector commit changed rows)
+    # re-insert the deleted keys with the vector still live
+    write_and_commit(_df(spark, 0, 5), src, mode="append")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    # the source read hides the re-inserted keys; the view must agree
+    assert _got(mv, spark) == _expect(src.read(spark))
+    assert _got(mv, spark) == _expect(_df(spark, 5, 50))
+
+
+def test_branch_fast_forward_folds_incrementally(spark, src, tmp_path):
+    """A pure-append fast-forward carries a publish-time added list;
+    the view folds it like any append instead of recomputing."""
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    src.create_branch("dev")
+    write_and_commit(_df(spark, 50, 70), src, mode="append", branch="dev")
+    write_and_commit(_df(spark, 70, 80), src, mode="append", branch="dev")
+    src.fast_forward("dev")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert _got(mv, spark) == _expect(_df(spark, 0, 80))
+
+
 def test_view_time_travel(spark, src, tmp_path):
     write_and_commit(_df(spark, 0, 50), src)
     mv = _mv(src, tmp_path)
