@@ -142,6 +142,77 @@ def q_ext_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main_during.unionByName(branch_mid).unionByName(after_ff)
 
 
+_TXN_PHASE = """
+SELECT '{phase}' AS phase, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE {cond}
+"""
+
+_TXN_ORACLE = " UNION ALL ".join(
+    _TXN_PHASE.format(phase=p, cond=c)
+    for p, c in [
+        ("pre_txn", "l_orderkey % 5 <> 0 AND o_orderkey % 5 <> 0"),
+        ("mid_txn", "l_orderkey % 5 <> 0 AND o_orderkey % 5 <> 0"),
+        ("post_txn", "TRUE"),
+    ]
+)
+
+
+@register("q_ext_multitable_txn", oracle=_TXN_ORACLE)
+def q_ext_multitable_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC MULTI-TABLE TRANSACTION (octopufs_spark/multitable.py —
+    the Nessie/LakeFS catalog-commit model built on this repo's WAP
+    machinery): a fact table and its dimension update TOGETHER or not
+    at all. Each write stages as a WAP snapshot (durable, invisible to
+    the tables' main readers); one catalog commit atomically re-pins
+    both tables; the staged snapshots then publish onto each table's
+    main. Readers resolving through the catalog can never join new
+    facts against old dims — the failure mode per-table logs cannot
+    rule out at 100 TB, where the fact append and the dim update land
+    seconds apart.
+
+    The phases pin exactly that: 'pre_txn' and 'mid_txn' (read AFTER
+    both tables staged, BEFORE the catalog flip) must be IDENTICAL
+    80%-joins — any staged leak flips mid_txn — and 'post_txn' is the
+    complete join, exactly once. The oracle recomputes each phase from
+    the base tables."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.multitable import Catalog
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="octopufs_txn_")
+    facts = ManifestTable(f"{root}/facts")
+    dims = ManifestTable(f"{root}/dims")
+    write_and_commit(li.where(F.col("l_orderkey") % 5 != 0), facts)
+    write_and_commit(o.where(F.col("o_orderkey") % 5 != 0), dims)
+    cat = Catalog(f"{root}/catalog")
+    cat.register("facts", facts)
+    cat.register("dims", dims)
+
+    def phase(name: str) -> DataFrame:
+        j = cat.read(spark, "facts").join(
+            cat.read(spark, "dims"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        return j.agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        ).select(F.lit(name).alias("phase"), "n_items", "revenue")
+
+    pre = phase("pre_txn")
+    txn = cat.transaction()
+    txn.write("facts", li.where(F.col("l_orderkey") % 5 == 0), mode="append")
+    txn.write("dims", o.where(F.col("o_orderkey") % 5 == 0), mode="append")
+    mid = phase("mid_txn")  # staged but unflipped: identical to pre
+    txn.commit()
+    post = phase("post_txn")
+    return pre.unionByName(mid).unionByName(post)
+
+
 @register(
     "q_ext_materialized_view",
     oracle="""

@@ -1,0 +1,185 @@
+"""Atomic multi-table transactions: catalog-level pin flips over
+WAP-staged per-table snapshots, crash healing, write-write conflicts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from octopufs_spark.manifest import (
+    ConcurrentModificationError,
+    ManifestTable,
+    write_and_commit,
+)
+from octopufs_spark.multitable import Catalog
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+
+
+def _ids(df):
+    return {r.id for r in df.collect()}
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "catalog"))
+    a = ManifestTable(str(tmp_path / "a"))
+    b = ManifestTable(str(tmp_path / "b"))
+    write_and_commit(_df(spark, 0, 10), a)
+    write_and_commit(_df(spark, 100, 110), b)
+    cat.register("a", a)
+    cat.register("b", b)
+    return cat, a, b
+
+
+def test_transaction_flips_both_tables_atomically(spark, setup):
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 15), mode="append")
+    txn.write("b", _df(spark, 110, 115), mode="append")
+    # nothing visible anywhere before commit
+    assert _ids(cat.read(spark, "a")) == set(range(10))
+    assert _ids(cat.read(spark, "b")) == set(range(100, 110))
+    assert _ids(a.read(spark)) == set(range(10))
+    cv = txn.commit()
+    assert _ids(cat.read(spark, "a")) == set(range(15))
+    assert _ids(cat.read(spark, "b")) == set(range(100, 115))
+    # direct readers converged too (phase 2 published onto main)
+    assert _ids(a.read(spark)) == set(range(15))
+    assert _ids(b.read(spark)) == set(range(100, 115))
+    # catalog time travel: the pre-txn catalog version still reads old
+    assert _ids(cat.read(spark, "a", catalog_version=cv - 1)) == set(range(10))
+
+
+def test_crash_between_flip_and_publish_heals(spark, setup):
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 15), mode="append")
+    txn.write("b", _df(spark, 110, 115), mode="append")
+
+    orig = ManifestTable.publish_wap
+    ManifestTable.publish_wap = lambda self, **kw: (_ for _ in ()).throw(
+        OSError("crash before publish")
+    )
+    try:
+        with pytest.raises(OSError, match="crash"):
+            txn.commit()
+    finally:
+        ManifestTable.publish_wap = orig
+    # the FLIP landed: catalog readers see the transaction...
+    assert _ids(cat.read(spark, "a")) == set(range(15))
+    assert _ids(cat.read(spark, "b")) == set(range(100, 115))
+    # ...while the tables' own mains have not converged yet
+    assert _ids(a.read(spark)) == set(range(10))
+    healed = cat.heal()
+    assert set(healed) == {"a", "b"}
+    assert _ids(a.read(spark)) == set(range(15))
+    assert _ids(b.read(spark)) == set(range(100, 115))
+    # pins now point at PUBLISHED (main) versions
+    for name in ("a", "b"):
+        t, v = cat.table(name)
+        assert "wap" not in t.read_manifest(v).meta
+    assert cat.heal() == {}  # idempotent
+
+
+def test_same_table_transactions_serialize(spark, setup):
+    cat, a, b = setup
+    t1 = cat.transaction()
+    t2 = cat.transaction()
+    t1.write("a", _df(spark, 20, 25), mode="append")
+    t2.write("a", _df(spark, 30, 35), mode="append")
+    t1.commit()
+    with pytest.raises(ConcurrentModificationError, match="re-pinned"):
+        t2.commit()
+    # the loser's rows never appear anywhere
+    assert _ids(cat.read(spark, "a")) == set(range(10)) | set(range(20, 25))
+    assert _ids(a.read(spark)) == set(range(10)) | set(range(20, 25))
+
+
+def test_disjoint_transactions_merge(spark, setup):
+    cat, a, b = setup
+    t1 = cat.transaction()
+    t2 = cat.transaction()
+    t1.write("a", _df(spark, 20, 25), mode="append")
+    t2.write("b", _df(spark, 120, 125), mode="append")
+    t1.commit()
+    t2.commit()
+    assert _ids(cat.read(spark, "a")) == set(range(10)) | set(range(20, 25))
+    assert _ids(cat.read(spark, "b")) == set(range(100, 110)) | set(range(120, 125))
+
+
+def test_abort_leaves_no_trace(spark, setup):
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 50, 55), mode="append")
+    txn.abort()
+    assert _ids(cat.read(spark, "a")) == set(range(10))
+    assert _ids(a.read(spark)) == set(range(10))
+    with pytest.raises(RuntimeError, match="already resolved"):
+        txn.commit()
+
+
+def test_txn_overwrite_mode(spark, setup):
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 500, 505))  # overwrite
+    txn.commit()
+    assert _ids(cat.read(spark, "a")) == set(range(500, 505))
+    assert _ids(a.read(spark)) == set(range(500, 505))
+
+
+def test_txn_basics_and_errors(spark, setup, tmp_path):
+    cat, a, b = setup
+    with pytest.raises(KeyError):
+        cat.read(spark, "nope")
+    txn = cat.transaction()
+    with pytest.raises(ValueError, match="empty"):
+        txn.commit()
+    txn.write("a", _df(spark, 10, 12), mode="append")
+    with pytest.raises(ValueError, match="already written"):
+        txn.write("a", _df(spark, 12, 14), mode="append")
+    txn.commit()
+    with pytest.raises(RuntimeError, match="already resolved"):
+        txn.write("b", _df(spark, 0, 1))
+
+
+def test_direct_pure_appends_coexist_with_txn(spark, setup):
+    """A direct (non-catalog) append landing mid-transaction is a
+    pure append: the staged publish re-applies on the advanced head
+    and nothing is lost on either path."""
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 15), mode="append")
+    write_and_commit(_df(spark, 900, 905), a, mode="append")  # direct racer
+    txn.commit()
+    assert _ids(a.read(spark)) == set(range(15)) | set(range(900, 905))
+    # the catalog pin (published version) includes the racer too
+    assert _ids(cat.read(spark, "a")) == set(range(15)) | set(range(900, 905))
+
+
+def test_catalog_commit_race_merges_disjoint(spark, setup):
+    """Two catalog commits racing at the log level: the loser re-reads
+    and merges, neither pin is lost."""
+    cat, a, b = setup
+    cat2 = Catalog(cat.log.root)
+    orig = type(cat.log)._commit_with_retry
+    fired = {"done": False}
+
+    def racing(self, build, operation, meta, *args, **kw):
+        if operation == "catalog-register" and not fired["done"]:
+            fired["done"] = True
+            write_and_commit(_df(spark, 120, 125), b, mode="append")
+            cat2.register("b", b, version=b.current_version())
+        return orig(self, build, operation, meta, *args, **kw)
+
+    type(cat.log)._commit_with_retry = racing
+    try:
+        write_and_commit(_df(spark, 20, 25), a, mode="append")
+        cat.register("a", a, version=a.current_version())
+    finally:
+        type(cat.log)._commit_with_retry = orig
+    assert fired["done"]
+    assert _ids(cat.read(spark, "a")) == set(range(10)) | set(range(20, 25))
+    assert _ids(cat.read(spark, "b")) == set(range(100, 110)) | set(range(120, 125))
