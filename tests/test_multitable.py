@@ -159,6 +159,105 @@ def test_direct_pure_appends_coexist_with_txn(spark, setup):
     assert _ids(cat.read(spark, "a")) == set(range(15)) | set(range(900, 905))
 
 
+def test_multitable_txn_fuzz(spark, setup):
+    """Transactions under contention: concurrent same-table and
+    disjoint transactions, direct pure appends, a healer, and
+    per-table vacuums. Serializable outcome: every table holds its
+    seed + its direct appends + exactly the batches of transactions
+    that reported success — losers leave no rows; the catalog pin for
+    each table reads the same content as the table's main."""
+    import threading
+
+    cat, a, b = setup
+    lock = threading.Lock()
+    committed: list[tuple[str, range]] = []  # (table, rows) of WINNING txns
+    direct: list[tuple[str, range]] = []
+    errors: list[BaseException] = []
+    stop = threading.Event()
+    tables = {"a": a, "b": b}
+
+    def txn_worker(w: int):
+        # each worker runs 2 transactions touching one or both tables
+        for r in range(2):
+            names = ["a", "b"] if (w + r) % 2 == 0 else [["a"], ["b"]][w % 2]
+            lo = 10000 + 1000 * w + 100 * r
+            txn = cat.transaction()
+            batches = []
+            try:
+                for i, n in enumerate(names):
+                    rg = range(lo + 10 * i, lo + 10 * i + 5)
+                    txn.write(n, _df(spark, rg.start, rg.stop), mode="append")
+                    batches.append((n, rg))
+                txn.commit()
+                with lock:
+                    committed.extend(batches)
+            except ConcurrentModificationError:
+                pass  # serialized loser: rows must never appear
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def direct_appender(name: str, lo: int):
+        try:
+            write_and_commit(_df(spark, lo, lo + 5), tables[name], mode="append")
+            with lock:
+                direct.append((name, range(lo, lo + 5)))
+        except BaseException as e:  # noqa: BLE001
+            with lock:
+                errors.append(e)
+
+    def healer():
+        while not stop.is_set():
+            try:
+                cat.heal()
+            except ConcurrentModificationError:
+                pass
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                a.vacuum()
+                b.vacuum()
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
+    threads = [threading.Thread(target=txn_worker, args=(w,)) for w in range(3)]
+    threads += [
+        threading.Thread(target=direct_appender, args=(n, 90000 + 100 * i))
+        for i, n in enumerate(("a", "b"))
+    ]
+    ht, vt = threading.Thread(target=healer), threading.Thread(target=vacuumer)
+    ht.start()
+    vt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    ht.join()
+    vt.join()
+    assert not errors, f"background thread crashed: {errors[0]!r}"
+
+    cat.heal()  # settle any in-flight convergence
+    expect = {"a": set(range(10)), "b": set(range(100, 110))}
+    for name, rg in committed + direct:
+        expect[name] |= set(rg)
+    for name, table in tables.items():
+        got_main = _ids(table.read(spark))
+        got_cat = _ids(cat.read(spark, name))
+        assert got_main == expect[name], f"table {name} main diverged"
+        assert got_cat == expect[name], f"table {name} catalog view diverged"
+        rows = table.read(spark).collect()
+        assert len(rows) == len({r.id for r in rows}), f"table {name} duplicated rows"
+
+
 def test_catalog_commit_race_merges_disjoint(spark, setup):
     """Two catalog commits racing at the log level: the loser re-reads
     and merges, neither pin is lost."""
