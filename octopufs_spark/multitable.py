@@ -144,16 +144,60 @@ class Catalog:
             raise KeyError(f"no table {name!r} in catalog {self.log.root}")
         return ManifestTable(pin["root"]).read(spark, version=pin["version"])
 
+    # ---------- catalog tags (durable multi-table pins) ----------
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Durably pin a WHOLE catalog state: every member table is
+        tagged at its pinned version (table-level tags are what each
+        table's vacuum honors), then the catalog version itself is
+        tagged — the commit point, created LAST so a crashed attempt
+        leaves only member tags that a retry reuses. This closes the
+        retention caveat on historical catalog reads: a
+        ``read(..., catalog_version=tagged)`` stays materializable
+        forever, not just within each table's keep window."""
+        v = version if version is not None else self.log.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed catalog under {self.log.root}")
+        snap = self.snapshot(v)
+        for t_name, pin in snap.items():
+            t = ManifestTable(pin["root"])
+            member = f"catalog-{name}-{t_name}"
+            try:
+                t.create_tag(member, version=pin["version"])
+            except FileExistsError:
+                if t.tag_version(member) != pin["version"]:
+                    raise  # same name pinned elsewhere: not our leftover
+        self.log.create_tag(name, version=v)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        """Release a catalog tag and its member-table pins."""
+        v = self.log.tag_version(name)
+        for t_name, pin in self.snapshot(v).items():
+            try:
+                ManifestTable(pin["root"]).delete_tag(f"catalog-{name}-{t_name}")
+            except FileNotFoundError:
+                pass  # half-created or already released
+        self.log.delete_tag(name)
+
+    def read_tagged(self, spark: SparkSession, name: str, table: str) -> DataFrame:
+        """Read a member table as of a catalog tag."""
+        return self.read(spark, table, catalog_version=self.log.tag_version(name))
+
     # ---------- transactions ----------
 
     def transaction(self) -> "MultiTableTransaction":
         return MultiTableTransaction(self)
 
     def _repin_published(self, name: str, root: str, staged_v: int, published_v: int) -> None:
-        """Advance a pin from its staged version to the published one;
-        tolerate a concurrent healer having done it first (the
-        convergence step is idempotent by outcome, so 'already there'
-        is success, not a conflict)."""
+        """Advance a pin from its staged version to the published one.
+        A pin that MOVED in the meantime makes this step moot, never a
+        failure: the transaction already committed at its flip, so the
+        mover is either a healer (advanced it to our published version)
+        or a LATER transaction that legitimately pinned past us (its
+        own publish re-applies on a head that includes our rows). The
+        publish that preceded this call still converged the table's
+        main either way."""
         try:
             self._commit_pins(
                 {name: {"root": root, "version": published_v}},
@@ -161,8 +205,7 @@ class Catalog:
                 {name: staged_v},
             )
         except ConcurrentModificationError:
-            if (self.snapshot().get(name) or {}).get("version") != published_v:
-                raise
+            pass
 
     def heal(self) -> dict[str, int]:
         """Complete the convergence steps of any committed transaction

@@ -159,6 +159,39 @@ def test_direct_pure_appends_coexist_with_txn(spark, setup):
     assert _ids(cat.read(spark, "a")) == set(range(15)) | set(range(900, 905))
 
 
+def test_catalog_tag_pins_whole_state_through_vacuum(spark, setup):
+    """A catalog tag pins EVERY member table's version through each
+    table's own vacuum, so a historical multi-table state stays
+    readable after rewrites + aggressive retention."""
+    from octopufs_spark.manifest import compact_and_commit
+
+    cat, a, b = setup
+    cv = cat.create_tag("release-1")
+    # evolve and fully rewrite both tables, then vacuum hard
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 20), mode="append")
+    txn.write("b", _df(spark, 110, 120), mode="append")
+    txn.commit()
+    compact_and_commit(spark, a)
+    compact_and_commit(spark, b)
+    cat.register("a", a)  # re-pin at the compacted heads
+    cat.register("b", b)
+    for t in (a, b):
+        assert t.vacuum(keep_versions=1, retention_seconds=0)
+    # the tagged catalog state still reads in full
+    assert _ids(cat.read_tagged(spark, "release-1", "a")) == set(range(10))
+    assert _ids(cat.read_tagged(spark, "release-1", "b")) == set(range(100, 110))
+    assert _ids(cat.read(spark, "a", catalog_version=cv)) == set(range(10))
+    # live view unaffected
+    assert _ids(cat.read(spark, "a")) == set(range(20))
+    # releasing the tag frees the pins on the next vacuum
+    cat.delete_tag("release-1")
+    for t in (a, b):
+        t.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(Exception):
+        cat.read_tagged(spark, "release-1", "a")
+
+
 def test_multitable_txn_fuzz(spark, setup):
     """Transactions under contention: concurrent same-table and
     disjoint transactions, direct pure appends, a healer, and
@@ -247,13 +280,23 @@ def test_multitable_txn_fuzz(spark, setup):
 
     cat.heal()  # settle any in-flight convergence
     expect = {"a": set(range(10)), "b": set(range(100, 110))}
-    for name, rg in committed + direct:
+    txn_rows = {"a": set(range(10)), "b": set(range(100, 110))}
+    for name, rg in committed:
+        expect[name] |= set(rg)
+        txn_rows[name] |= set(rg)
+    for name, rg in direct:
         expect[name] |= set(rg)
     for name, table in tables.items():
         got_main = _ids(table.read(spark))
         got_cat = _ids(cat.read(spark, name))
         assert got_main == expect[name], f"table {name} main diverged"
-        assert got_cat == expect[name], f"table {name} catalog view diverged"
+        # The catalog view holds every WINNING transaction's rows (each
+        # winner re-pins at/after its publish, and later publishes
+        # re-apply on heads containing earlier winners) and nothing
+        # outside main. It may legitimately LAG direct appends that
+        # landed after the last pin — direct writers bypass the
+        # catalog until someone re-pins.
+        assert txn_rows[name] <= got_cat <= got_main, f"table {name} catalog view diverged"
         rows = table.read(spark).collect()
         assert len(rows) == len({r.id for r in rows}), f"table {name} duplicated rows"
 
