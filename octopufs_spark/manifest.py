@@ -774,6 +774,7 @@ class ManifestTable:
         timestamp=None,
         tag: str | None = None,
         branch: str | None = None,
+        check_vacuumed: bool = True,
     ) -> DataFrame:
         """Load the committed snapshot — optionally time-traveled.
         Merge-on-read delete vectors recorded in the manifest meta
@@ -807,7 +808,12 @@ class ManifestTable:
         if timestamp is not None:
             version = self.version_as_of(timestamp)
         m = self.read_manifest(version)
-        if version is not None:
+        if version is not None and check_vacuumed:
+            # explicit time travel pre-checks file existence (typed
+            # error instead of a mid-query parquet failure); hot-path
+            # callers that KNOW the version is current (the catalog
+            # reading a pin that equals the main head) pass
+            # check_vacuumed=False to skip the per-file metadata calls
             self._check_not_vacuumed(m)
         if not m.files:
             raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
@@ -1199,7 +1205,12 @@ class ManifestTable:
                 break  # marker old enough to be vacuumed: republish dedups
         return None
 
-    def publish_wap(self, wap_id: str | None = None, version: int | None = None) -> int:
+    def publish_wap(
+        self,
+        wap_id: str | None = None,
+        version: int | None = None,
+        on_conflict: str = "error",
+    ) -> int:
         """Publish a staged write-audit-publish snapshot onto main —
         the Iceberg WAP 'cherry-pick' step. The staged snapshot (see
         ``write_and_commit(wap_id=...)``) was committed against a base
@@ -1226,9 +1237,23 @@ class ManifestTable:
         Publishing is IDEMPOTENT per staged version: the conflict walk
         runs inside the commit build, so racing/replayed publishers
         return the one already-published version instead of applying
-        the batch twice. Publishing an aborted snapshot fails."""
+        the batch twice. Publishing an aborted snapshot fails.
+
+        ``on_conflict="force-replace"`` changes the third case for a
+        REPLACE-TYPE staged snapshot only: instead of aborting, the
+        staged file list publishes onto the advanced head as the new
+        snapshot — racing direct writes are dropped, which is exactly
+        what a blind overwrite means. Callers whose flip already
+        committed elsewhere (the multi-table catalog) use this to make
+        convergence unconditional; interactive WAP keeps the abort
+        default. Append-type conflicts (schema/layout changed under
+        the staged files) still abort either way — force-applying
+        files written under an old contract would corrupt, not
+        converge."""
         if (wap_id is None) == (version is None):
             raise ValueError("pass exactly one of wap_id, version")
+        if on_conflict not in ("error", "force-replace"):
+            raise ValueError(f"unsupported on_conflict {on_conflict!r}")
         v = version if version is not None else self.find_wap(wap_id)
         s = self.read_manifest(v)
         wap = s.meta.get("wap")
@@ -1272,6 +1297,11 @@ class ManifestTable:
                 if fast_forward:
                     return list(s.files)
                 if not pure_append:
+                    if on_conflict == "force-replace":
+                        # the staged snapshot IS the committed truth for
+                        # this table (the caller's flip already landed):
+                        # replace the advanced head outright
+                        return list(s.files)
                     raise ConcurrentModificationError(
                         f"staged snapshot v{v} replaces files of base v{base_v}, but "
                         f"{self.root} advanced to v{parent.version if parent else None} "
@@ -1292,6 +1322,12 @@ class ManifestTable:
 
             if fast_forward:
                 op = "wap-publish" if pure_append else "wap-publish-replace"
+                meta = {**content_meta, **marker}
+                carry = False
+            elif not pure_append and on_conflict == "force-replace":
+                # replace onto the advanced head: the snapshot's own
+                # content metadata, exactly like the fast-forward case
+                op = "wap-publish-replace"
                 meta = {**content_meta, **marker}
                 carry = False
             else:

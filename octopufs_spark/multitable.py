@@ -66,10 +66,16 @@ class Catalog:
     # ---------- state ----------
 
     def snapshot(self, version: int | None = None) -> dict[str, dict]:
-        """{name: {"root": ..., "version": ...}} at a catalog version."""
+        """{name: {"root": ..., "version": ...}} at a catalog version.
+        An EXPLICIT version that no longer exists propagates its
+        missing-version error — only the empty-catalog default reads
+        as {} (reporting a pruned historical version as 'no such
+        table' would misdirect the caller)."""
         try:
             m = self.log.read_manifest(version)
         except FileNotFoundError:
+            if version is not None:
+                raise
             return {}
         return dict(m.meta.get("tables", {}))
 
@@ -138,13 +144,34 @@ class Catalog:
     ) -> DataFrame:
         """Read a table AT ITS PINNED VERSION — the cross-table
         consistent view. ``catalog_version`` time-travels the whole
-        catalog (every table as of that catalog commit)."""
+        catalog (every table as of that catalog commit).
+
+        The vacuum pre-check (one metadata call per data file) runs
+        only for pins BEHIND the table's main head: the common case —
+        a converged pin equal to the head — reads without it, since
+        vacuum never removes the current snapshot's files."""
         pin = self.snapshot(catalog_version).get(name)
         if pin is None:
             raise KeyError(f"no table {name!r} in catalog {self.log.root}")
-        return ManifestTable(pin["root"]).read(spark, version=pin["version"])
+        t = ManifestTable(pin["root"])
+        current = catalog_version is None and pin["version"] == t.current_version()
+        return t.read(spark, version=pin["version"], check_vacuumed=not current)
 
     # ---------- catalog tags (durable multi-table pins) ----------
+
+    def _member_tag(self, name: str, t_name: str) -> str:
+        """Member-table tag name for catalog tag ``name``. Both the
+        tag and the table name may contain the separator characters,
+        and two catalogs can share a member table — so the name embeds
+        a digest of (catalog root, tag, table), which cannot collide
+        across boundaries the way naive concatenation can, plus a
+        readable suffix."""
+        import hashlib
+
+        digest = hashlib.md5(
+            f"{self.log.root}\x00{name}\x00{t_name}".encode()
+        ).hexdigest()[:12]
+        return f"catalog-{digest}-{name}"[:128]
 
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Durably pin a WHOLE catalog state: every member table is
@@ -161,12 +188,12 @@ class Catalog:
         snap = self.snapshot(v)
         for t_name, pin in snap.items():
             t = ManifestTable(pin["root"])
-            member = f"catalog-{name}-{t_name}"
+            member = self._member_tag(name, t_name)
             try:
                 t.create_tag(member, version=pin["version"])
             except FileExistsError:
                 if t.tag_version(member) != pin["version"]:
-                    raise  # same name pinned elsewhere: not our leftover
+                    raise  # a different state under this exact identity
         self.log.create_tag(name, version=v)
         return v
 
@@ -175,7 +202,7 @@ class Catalog:
         v = self.log.tag_version(name)
         for t_name, pin in self.snapshot(v).items():
             try:
-                ManifestTable(pin["root"]).delete_tag(f"catalog-{name}-{t_name}")
+                ManifestTable(pin["root"]).delete_tag(self._member_tag(name, t_name))
             except FileNotFoundError:
                 pass  # half-created or already released
         self.log.delete_tag(name)
@@ -207,23 +234,36 @@ class Catalog:
         except ConcurrentModificationError:
             pass
 
+    def _converge(self, name: str, pin: dict) -> dict:
+        """Ensure a pin points at a PUBLISHED main snapshot: a pin
+        still on a staged WAP snapshot (a transaction crashed between
+        its flip and its publishes) is published — force-replace for a
+        replace-type staging, since the flip already committed that
+        content as the table's truth — and re-pinned. Returns the
+        resulting pin. Idempotent and race-tolerant (concurrent
+        convergers publish the same snapshot to the same outcome)."""
+        t = ManifestTable(pin["root"])
+        try:
+            m = t.read_manifest(pin["version"])
+        except FileNotFoundError:
+            return pin  # vacuumed beyond repair: nothing to converge
+        if "wap" not in m.meta:
+            return pin
+        pv = t.publish_wap(version=pin["version"], on_conflict="force-replace")
+        self._repin_published(name, pin["root"], pin["version"], pv)
+        return self.snapshot().get(name) or {**pin, "version": pv}
+
     def heal(self) -> dict[str, int]:
         """Complete the convergence steps of any committed transaction
         that crashed between its catalog flip and its table publishes:
         publish still-staged pinned snapshots and re-pin them at the
-        published versions. Idempotent; returns {name: published
+        published versions. Idempotent; returns {name: converged-to
         version} for work actually done."""
         out: dict[str, int] = {}
         for name, pin in self.snapshot().items():
-            t = ManifestTable(pin["root"])
-            try:
-                m = t.read_manifest(pin["version"])
-            except FileNotFoundError:
-                continue  # pin vacuumed beyond repair: nothing to heal
-            if "wap" in m.meta:
-                pv = t.publish_wap(version=pin["version"])
-                self._repin_published(name, pin["root"], pin["version"], pv)
-                out[name] = pv
+            converged = self._converge(name, pin)
+            if converged["version"] != pin["version"]:
+                out[name] = converged["version"]
         return out
 
 
@@ -260,6 +300,14 @@ class MultiTableTransaction:
         pin = self.catalog.snapshot().get(name)
         if pin is None:
             raise KeyError(f"no table {name!r} in catalog {self.catalog.log.root}")
+        # SERIALIZE behind any in-flight transaction first: if the pin
+        # still names a staged snapshot (a prior transaction flipped
+        # but hasn't converged — or crashed), converge it NOW. Staging
+        # our write against main while the pin is staged would
+        # otherwise let our commit pass the conflict check (expected ==
+        # that staged pin) yet our snapshot would LACK the prior
+        # transaction's rows — replacing its pin would lose them.
+        pin = self.catalog._converge(name, pin)
         table = ManifestTable(pin["root"])
         sv = write_and_commit(df, table, mode=mode, wap_id=self.txn_id, **write_kwargs)
         self._staged[name] = {"root": pin["root"], "version": sv}
@@ -284,7 +332,10 @@ class MultiTableTransaction:
         # outlives the staged manifest's retention window
         for name, pin in self._staged.items():
             table = ManifestTable(pin["root"])
-            pv = table.publish_wap(version=pin["version"])
+            # force-replace: the flip committed this content as the
+            # table's truth, so convergence is unconditional — a direct
+            # overwrite-racing write loses to the transaction
+            pv = table.publish_wap(version=pin["version"], on_conflict="force-replace")
             self.catalog._repin_published(name, pin["root"], pin["version"], pv)
         return cv
 

@@ -84,6 +84,94 @@ def test_crash_between_flip_and_publish_heals(spark, setup):
     assert cat.heal() == {}  # idempotent
 
 
+def test_second_txn_converges_crashed_predecessor(spark, setup):
+    """Review finding: T1 flips and crashes before publishing; T2 then
+    writes the same table. T2's write must CONVERGE T1's staged pin
+    first — staging against main and replacing the pin would silently
+    lose T1's committed (catalog-visible) rows."""
+    cat, a, b = setup
+    t1 = cat.transaction()
+    t1.write("a", _df(spark, 10, 15), mode="append")
+    orig = ManifestTable.publish_wap
+    ManifestTable.publish_wap = lambda self, **kw: (_ for _ in ()).throw(
+        OSError("crash before publish")
+    )
+    try:
+        with pytest.raises(OSError):
+            t1.commit()
+    finally:
+        ManifestTable.publish_wap = orig
+    # T1 committed (flip landed): catalog already shows its rows
+    assert _ids(cat.read(spark, "a")) == set(range(15))
+    t2 = cat.transaction()
+    t2.write("a", _df(spark, 20, 25), mode="append")
+    t2.commit()
+    # both transactions' rows survive, everywhere
+    want = set(range(15)) | set(range(20, 25))
+    assert _ids(cat.read(spark, "a")) == want
+    assert _ids(a.read(spark)) == want
+
+
+def test_overwrite_txn_converges_past_racing_direct_append(spark, setup):
+    """Review finding: an overwrite-mode transaction racing a direct
+    append previously dead-ended AFTER its flip (publish conflicted
+    forever and the pin eventually expired). The flip owns the table's
+    truth: convergence force-replaces, the direct racer loses — what a
+    blind overwrite means."""
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 500, 505))  # overwrite
+    write_and_commit(_df(spark, 900, 905), a, mode="append")  # direct racer
+    txn.commit()  # must not raise
+    assert _ids(cat.read(spark, "a")) == set(range(500, 505))
+    assert _ids(a.read(spark)) == set(range(500, 505))
+    # pin converged to a published main version
+    t, v = cat.table("a")
+    assert "wap" not in t.read_manifest(v).meta
+
+
+def test_heal_converges_replace_staged_pin(spark, setup):
+    """heal() completes a crashed overwrite transaction even when the
+    table's main moved under the staged snapshot."""
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 500, 505))  # overwrite
+    orig = ManifestTable.publish_wap
+    ManifestTable.publish_wap = lambda self, **kw: (_ for _ in ()).throw(
+        OSError("crash")
+    )
+    try:
+        with pytest.raises(OSError):
+            txn.commit()
+    finally:
+        ManifestTable.publish_wap = orig
+    write_and_commit(_df(spark, 900, 905), a, mode="append")  # main moves
+    healed = cat.heal()
+    assert "a" in healed
+    assert _ids(cat.read(spark, "a")) == set(range(500, 505))
+    assert _ids(a.read(spark)) == set(range(500, 505))
+
+
+def test_catalog_snapshot_explicit_missing_version_raises(spark, setup):
+    cat, a, b = setup
+    with pytest.raises(FileNotFoundError):
+        cat.snapshot(version=999)
+
+
+def test_member_tag_names_unambiguous(spark, setup, tmp_path):
+    """Review finding: naive 'catalog-{tag}-{table}' collides when
+    names contain the separator; the digest-based scheme must not."""
+    cat, a, b = setup
+    cat.create_tag("v1-prod")
+    cat.create_tag("v1")  # would collide under naive concatenation
+    assert {cat._member_tag("v1-prod", n) for n in ("a", "b")}.isdisjoint(
+        {cat._member_tag("v1", n) for n in ("a", "b")}
+    )
+    cat.delete_tag("v1-prod")
+    # 'v1' member pins survive the other tag's release
+    assert _ids(cat.read_tagged(spark, "v1", "a")) == set(range(10))
+
+
 def test_same_table_transactions_serialize(spark, setup):
     cat, a, b = setup
     t1 = cat.transaction()

@@ -66,6 +66,8 @@ FLAGSHIPS = [
     ("q_sink_bucketed", "bucketBy(8)+sortBy write pair: SMJ with ZERO exchange/sort on either side"),
     ("q_ext_partition_evolution", "spec evolution: per-commit basePath scan groups unioned, dual-metadata pruning"),
     ("q_ext_wap_publish", "WAP: stage/audit/publish are manifest-only; phase reads stay plain parquet scans + one-exchange aggs"),
+    ("q_ext_materialized_view", "incremental MV: delta folds scan ONLY the appended files; merge is a KB-sized groupBy"),
+    ("q_ext_multitable_txn", "multi-table txn: catalog flip is metadata-only; phase joins broadcast the pinned dim"),
 ]
 
 
