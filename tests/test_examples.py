@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "examples/cdc_upsert_demo.py",
         "examples/schema_evolution_demo.py",
         "examples/wap_tag_demo.py",
+        "examples/lakehouse_platform_demo.py",
     ],
 )
 def test_demo_runs_clean(script):
