@@ -233,7 +233,13 @@ def hidden_transform_expr(kind: str, src: str, param=None):
     if kind == "month":
         return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("long")
     if kind == "truncate":
-        return (F.floor(c / F.lit(int(param))) * int(param)).cast("long")
+        # integer-exact floor-to-multiple: c - pmod(c, p). The obvious
+        # floor(c / p) * p goes through DOUBLE division, which rounds
+        # above 2^53 — the write-side dir value would then disagree
+        # with the Python twin's exact arithmetic and pruning would
+        # silently lose rows on bigint keys.
+        cl = c.cast("long")
+        return (cl - F.pmod(cl, F.lit(int(param)))).cast("long")
     if kind == "bucket":
         return F.pmod(
             F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
@@ -263,15 +269,39 @@ def hidden_transform_value(kind: str, value, param=None):
             raise ValueError(f"truncate needs an int: {value!r}")
         return (value // int(param)) * int(param)
     if kind == "bucket":
-        s = str(value)
+        # the rendering feeding md5 must equal Spark's CAST(c AS STRING)
+        # exactly or the derived bucket prunes the wrong file: booleans
+        # render 'true'/'false' there, and float/Decimal renderings
+        # (Java Double.toString) are not reliably reproducible from
+        # Python — refuse those so the derivation is skipped (pruning
+        # stays an optimization) instead of silently wrong.
+        if isinstance(value, bool):
+            s = "true" if value else "false"
+        elif isinstance(value, float):
+            raise ValueError("bucket probe on float is engine-rendering-dependent")
+        else:
+            s = str(value)
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % int(param)
     raise ValueError(f"unknown hidden-partition transform {kind!r}")
 
 
 # op on the SOURCE column -> conservative op on the (monotone)
 # transformed value: col > X can hold inside the boundary partition
-# T(X) itself, so strict ops relax to inclusive ones.
-_MONOTONE_OP = {"=": "=", ">": ">=", ">=": ">=", "<": "<=", "<=": "<="}
+# T(X) itself, so strict ops relax to inclusive ones. Includes the
+# word spellings _file_may_match accepts — a KeyError here would crash
+# every pruned read on a hidden-partitioned table for an op that works
+# fine on a plain one.
+_MONOTONE_OP = {
+    "=": "=",
+    ">": ">=",
+    "gt": ">=",
+    ">=": ">=",
+    "ge": ">=",
+    "<": "<=",
+    "lt": "<=",
+    "<=": "<=",
+    "le": "<=",
+}
 
 
 def _apply_evolution(df: DataFrame, events: list) -> DataFrame:
@@ -516,7 +546,12 @@ class ManifestTable:
         touching its whole history. In-commit timestamps are strictly
         monotonic by construction (see ``_commit_with_retry``), which
         is what makes the binary search — and the answer — well
-        defined even across writer clock skew."""
+        defined even across writer clock skew. (Caveat: PRE-UPGRADE
+        manifests resolve through file mtime, which nothing forces
+        monotonic against in-commit timestamps — on a table whose
+        history straddles that upgrade, resolution inside the mtime
+        region is best-effort, the same exposure Delta documents for
+        its own mtime fallback.)"""
         import datetime as _dt
 
         if isinstance(ts, _dt.datetime):
@@ -2115,9 +2150,42 @@ class ManifestTable:
         return True
 
     @staticmethod
-    def _file_may_match(stats: dict, predicates: list[tuple]) -> bool:
+    def _iso_harmonize(val, lo, hi):
+        """Align DATE vs TIMESTAMP ISO granularity before interval
+        comparison: a date probe against timestamp stats (or the
+        reverse) otherwise compares '2024-01-01' lexicographically
+        below '2024-01-01T00:00:00' and prunes a file holding the
+        matching midnight row. Extending the date-only side to
+        midnight is exactly Spark's cast semantics for the mixed
+        comparison, so the interval check stays conservative."""
+
+        def is_d(s):
+            return (
+                isinstance(s, str) and len(s) == 10 and s[4:5] == "-" and s[7:8] == "-"
+            )
+
+        def is_ts(s):
+            return (
+                isinstance(s, str)
+                and len(s) >= 19
+                and s[4:5] == "-"
+                and s[10:11] in ("T", " ")
+            )
+
+        if any(is_ts(x) for x in (val, lo, hi)) and any(is_d(x) for x in (val, lo, hi)):
+            sep = next(x[10] for x in (val, lo, hi) if is_ts(x))
+            return tuple(
+                (x + f"{sep}00:00:00") if is_d(x) else x for x in (val, lo, hi)
+            )
+        return val, lo, hi
+
+    @classmethod
+    def _file_may_match(cls, stats: dict, predicates: list[tuple]) -> bool:
         """Interval check: can a file with these min/max bounds contain
-        a row satisfying ALL predicates? Unknown stats => True."""
+        a row satisfying ALL predicates? Unknown stats => True; a probe
+        whose type cannot be ordered against the stored bounds (string
+        vs int, None) also never prunes — pruning is an optimization,
+        not a correctness filter, so ambiguity always reads the file."""
         import datetime as _dt
 
         for col, op, val in predicates:
@@ -2126,17 +2194,20 @@ class ManifestTable:
                 continue  # no bound on this column: cannot prune
             if isinstance(val, (_dt.date, _dt.datetime)):
                 val = val.isoformat()
-            lo, hi = mins[col], maxs[col]
-            if op == "=" and not (lo <= val <= hi):
-                return False
-            if op in ("<", "lt") and not (lo < val):
-                return False
-            if op in ("<=", "le") and not (lo <= val):
-                return False
-            if op in (">", "gt") and not (hi > val):
-                return False
-            if op in (">=", "ge") and not (hi >= val):
-                return False
+            val_h, lo, hi = cls._iso_harmonize(val, mins[col], maxs[col])
+            try:
+                if op == "=" and not (lo <= val_h <= hi):
+                    return False
+                if op in ("<", "lt") and not (lo < val_h):
+                    return False
+                if op in ("<=", "le") and not (lo <= val_h):
+                    return False
+                if op in (">", "gt") and not (hi > val_h):
+                    return False
+                if op in (">=", "ge") and not (hi >= val_h):
+                    return False
+            except TypeError:
+                continue  # incomparable probe/bounds: never prune
         return True
 
     def prune_plan(
@@ -2181,11 +2252,14 @@ class ManifestTable:
                     continue
                 if kind == "bucket" and op != "=":
                     continue
+                mop = _MONOTONE_OP.get(op)
+                if mop is None:
+                    continue  # unknown op spelling: skip the derivation
                 try:
                     tval = hidden_transform_value(kind, val, param)
                 except (ValueError, TypeError):
                     continue
-                derived.append((name, _MONOTONE_OP[op], tval))
+                derived.append((name, mop, tval))
         predicates = list(predicates) + derived
         alias_of = {col: _alias_chain(col, events) for col, _, _ in predicates}
 
@@ -2264,6 +2338,21 @@ class ManifestTable:
                 for col, op, val in predicates
             ]
 
+        def _bloom_probes(val) -> list:
+            # a date probe against a timestamp column's bloom (or the
+            # reverse) hashes a different rendering than the stored
+            # values and would be a GUARANTEED false negative — probe
+            # both granularities; any hit keeps the file
+            import datetime as _dt
+
+            probes = [val]
+            if isinstance(val, _dt.datetime):
+                if val.time() == _dt.time():
+                    probes.append(val.date())
+            elif isinstance(val, _dt.date):
+                probes.append(_dt.datetime.combine(val, _dt.time()))
+            return probes
+
         def may_match(f: str) -> bool:
             if not seg_may_match(f):
                 return False
@@ -2274,7 +2363,10 @@ class ManifestTable:
                     continue
                 for a in alias_of[col]:
                     if a in blooms and f in blooms[a]:
-                        if not self._bloom_may_contain(blooms[a][f], val):
+                        if not any(
+                            self._bloom_may_contain(blooms[a][f], p)
+                            for p in _bloom_probes(val)
+                        ):
                             return False
                         break
             return True
@@ -2290,14 +2382,26 @@ class ManifestTable:
         row filter — pruning eliminates files, not rows. At 100 TB this
         is the difference between planning a scan over every file and
         over the handful a selective predicate touches."""
-        keep, _ = self.prune_plan(predicates, version)
+        # resolve the snapshot ONCE and prune against exactly it — a
+        # default-version double resolution could straddle a concurrent
+        # commit and pair one snapshot's file list with another's
+        # vectors/evolution log (a state that is neither version)
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
         m = self.read_manifest(version)
+        if not m.files:
+            raise ValueError(f"manifest v{m.version} of {self.root} lists no files")
+        keep, _ = self.prune_plan(predicates, version)
         evolution = m.meta.get("schema_evolution")
         if not keep:
-            # preserve schema with an empty, zero-file-cost scan
-            return _strip_dropped(
+            # preserve the LOGICAL schema with an empty, zero-file-cost
+            # scan (hidden partition columns stripped like any read)
+            empty = _strip_dropped(
                 self._scan_files(spark, [m.files[0]], evolution=evolution).limit(0)
             )
+            return self._strip_hidden(empty, m)
         df = self._scan_files(
             spark,
             keep,
@@ -2337,6 +2441,12 @@ class ManifestTable:
         contributes nothing to a DELETION pass."""
         import datetime as _dt
 
+        if keep_versions < 1:
+            # keep_versions=0 past the retention window would delete the
+            # LIVE head's manifest and data — a maintenance call must
+            # never be able to destroy the table's readable state
+            # (Delta refuses the equivalent retention settings too)
+            raise ValueError("keep_versions must be >= 1")
         vs = self.versions()
         if not vs:
             return []
@@ -2388,6 +2498,11 @@ class ManifestTable:
                 continue
             v = _version_of(rel)
             if v is None:
+                # a crashed publisher's orphaned staging (v7.json.tmp.*,
+                # tag tmp files) accumulates forever otherwise — a
+                # streaming table's _manifest dir must stay bounded
+                if ".tmp." in rel.rsplit("/", 1)[-1] and not _too_young(el.path):
+                    manifest_drops.append((el.path, rel))
                 continue  # tag refs / hint file: never version-pruned
             if v in keep or _too_young(el.path):
                 survivors.add(v)
@@ -2417,20 +2532,31 @@ class ManifestTable:
         # somehow sat below the gap would shadow the real head.
         if survivors:
             self._write_latest_hint(max(survivors))
+        def _sidecar(rel: str) -> bool:
+            base = rel.rsplit("/", 1)[-1]
+            return base == "_SUCCESS" or base.startswith(".") or base.endswith(".crc")
+
         for el in entries:
             rel = el.path[len(self.root_path) + 1 :]
             if rel.startswith(_MANIFEST_DIR + "/"):
                 continue
-            if (
-                rel.endswith(".parquet")
-                and rel not in live
-                and not any(
-                    rel == p or rel.startswith(p + "/") for p in live_prefixes
-                )
-                and not _too_young(el.path)
-            ):
+            protected = rel in live or any(
+                rel == p or rel.startswith(p + "/") for p in live_prefixes
+            )
+            if rel.endswith(".parquet") and not protected and not _too_young(el.path):
                 self.fs.delete_file(el.path)
                 removed.append(rel)
+            elif _sidecar(rel) and not protected and not _too_young(el.path):
+                # Spark write sidecars (_SUCCESS, .crc) of a dead
+                # staging dir outlive their parquet otherwise; only
+                # delete once NOTHING live remains under the dir
+                d = rel.rsplit("/", 1)[0] if "/" in rel else ""
+                dir_live = any(
+                    f == d or f.startswith(d + "/") for f in live
+                ) or any(p == d or p.startswith(d + "/") for p in live_prefixes)
+                if not dir_live:
+                    self.fs.delete_file(el.path)
+                    removed.append(rel)
         return removed
 
 

@@ -1,0 +1,152 @@
+"""Edge cases of file pruning and vacuum found by the whole-file
+review: cross-granularity date/timestamp probes, incomparable probe
+types, op spellings on hidden layouts, transform lockstep at int64
+extremes, and vacuum's orphan/sidecar hygiene."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from octopufs_spark.manifest import (
+    ManifestTable,
+    hidden_transform_expr,
+    hidden_transform_value,
+    write_and_commit,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "tbl"))
+
+
+def _ts_table(spark, table):
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i, 0, 0, 0)) for i in range(4)],
+        "id long, ts timestamp",
+    ).repartition(2, "id")
+    write_and_commit(df, table, stats=True, bloom_columns=["ts"])
+    return df
+
+
+def test_date_probe_against_timestamp_stats_never_prunes_matches(spark, table):
+    """A date probe compares below 'T00:00:00'-suffixed timestamp
+    stats lexicographically — the harmonized interval check must keep
+    the file holding the midnight row (and the bloom must not be a
+    guaranteed false negative)."""
+    _ts_table(spark, table)
+    keep, skipped = table.prune_plan([("ts", "=", dt.date(2024, 1, 2))])
+    rows = (
+        table.read_pruned(spark, [("ts", "=", dt.date(2024, 1, 2))])
+        .where(F.col("ts") == F.lit(dt.date(2024, 1, 2)).cast("timestamp"))
+        .count()
+    )
+    assert rows == 1, f"matching row lost (keep={len(keep)}, skipped={skipped})"
+    # range probes harmonize too
+    got = (
+        table.read_pruned(spark, [("ts", ">=", dt.date(2024, 1, 3))])
+        .where(F.col("ts") >= F.lit(dt.date(2024, 1, 3)).cast("timestamp"))
+        .count()
+    )
+    assert got == 2
+
+
+def test_incomparable_probe_reads_instead_of_crashing(spark, table):
+    write_and_commit(
+        spark.range(100).withColumn("v", F.col("id") * 2), table, stats=True
+    )
+    # string probe against int stats: must not TypeError, must not prune
+    keep, skipped = table.prune_plan([("v", "=", "50")])
+    assert skipped == 0
+    assert table.read_pruned(spark, [("v", "=", "50")]).count() == 100
+
+
+def test_word_op_spellings_on_hidden_layout(spark, table):
+    df = spark.range(100).select(
+        "id", (F.lit("2024-01-01").cast("date") + F.col("id").cast("int")).alias("d")
+    )
+    write_and_commit(df, table, hidden_partition={"dd": ("days", "d")})
+    # 'lt' worked on plain tables; it must not crash the derivation
+    keep, skipped = table.prune_plan([("d", "lt", dt.date(2024, 1, 10))])
+    assert keep  # and it still prunes through the transform
+    assert skipped > 0
+    assert (
+        table.read_pruned(spark, [("d", "lt", dt.date(2024, 1, 10))])
+        .where(F.col("d") < F.lit(dt.date(2024, 1, 10)))
+        .count()
+        == 9
+    )
+
+
+def test_truncate_transform_exact_beyond_double_precision(spark, table):
+    """floor(c/p) through DOUBLE rounds above 2^53; the write-side dir
+    value must match the Python twin exactly or pruning loses rows."""
+    big = (1 << 60) + 12345
+    vals = [big, big + 1, -big, 7, -7]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    expr_vals = {
+        r.k: r.t
+        for r in df.select("k", hidden_transform_expr("truncate", "k", 1000).alias("t")).collect()
+    }
+    for v in vals:
+        assert expr_vals[v] == hidden_transform_value("truncate", v, 1000), v
+
+
+def test_bucket_transform_lockstep_and_refusals(spark):
+    df = spark.createDataFrame(
+        [(True,), (False,)], "b boolean"
+    ).select("b", hidden_transform_expr("bucket", "b", 8).alias("t"))
+    for r in df.collect():
+        assert r.t == hidden_transform_value("bucket", r.b, 8)
+    with pytest.raises(ValueError, match="float"):
+        hidden_transform_value("bucket", 1.5, 8)
+
+
+def test_empty_pruned_read_keeps_logical_schema(spark, table):
+    df = spark.range(50).select(
+        "id", (F.lit("2024-01-01").cast("date") + (F.col("id") % 3).cast("int")).alias("d")
+    )
+    write_and_commit(df, table, hidden_partition={"dd": ("days", "d")}, stats=True)
+    out = table.read_pruned(spark, [("id", ">", 10_000)])
+    assert out.count() == 0
+    # hidden partition column stripped exactly like a non-empty read
+    assert out.columns == table.read(spark).columns
+
+
+def test_vacuum_keep_versions_zero_rejected(spark, table):
+    write_and_commit(spark.range(5), table)
+    with pytest.raises(ValueError, match="keep_versions"):
+        table.vacuum(keep_versions=0)
+
+
+def test_vacuum_cleans_tmp_manifests_and_dead_sidecars(spark, table):
+    write_and_commit(spark.range(10).withColumn("v", F.col("id")), table)
+    # full overwrite: v1's staging dir (parquet + _SUCCESS) goes dead
+    write_and_commit(spark.range(10, 30).withColumn("v", F.col("id")), table)
+    # a crashed publisher's orphaned tmp manifest
+    with table.fs.open_output_stream(f"{table._mdir}/v99.json.tmp.deadbeef") as f:
+        f.write(b"{}")
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
+    assert any("v99.json.tmp.deadbeef" in r for r in removed)
+    # the pruned v1 staging dir's _SUCCESS sidecar went with its parquet
+    assert not any(
+        r.endswith("_SUCCESS") and r in removed and False for r in removed
+    )  # structure check below is the real assertion
+    from octopufs_spark.fs.core import list_tree
+
+    leftovers = [
+        el.path
+        for el in list_tree(table.root)
+        if not el.is_dir
+        and el.path.rsplit("/", 1)[-1] == "_SUCCESS"
+    ]
+    live_dirs = {f.rsplit("/", 1)[0] for f in table.read_manifest().files}
+    for p in leftovers:
+        rel_dir = p[len(table.root_path) + 1 :].rsplit("/", 1)[0]
+        assert rel_dir in live_dirs, f"dead staging sidecar survived: {p}"
+    # live table unharmed
+    assert table.read(spark).count() == 20
+    assert {r.id for r in table.read(spark).collect()} == set(range(10, 30))
