@@ -144,16 +144,23 @@ def merge_upsert_manifest(
         )
         if committed is not None and committed >= txn[1]:
             return None  # replayed batch: already merged by this writer
+    # FNF means "empty table: pure insert" ONLY for the manifest
+    # resolution itself — a missing BRANCH must raise (typo'd name, not
+    # an empty table), and an error reading the resolved snapshot's
+    # data (vacuum racing the read) must propagate: treating it as
+    # empty would skip the upsert's anti-join and publish updated keys
+    # TWICE (old row in a carried file, new row in the staged rewrite).
+    head = table.branch_head(branch) if branch is not None else None
     try:
-        src = (
-            table.read_manifest(table.branch_head(branch))
-            if branch is not None
-            else table.read_manifest()
-        )
-        target = table.read(spark, version=src.version)
+        src = table.read_manifest(head) if head is not None else table.read_manifest()
     except FileNotFoundError:
         src = None  # first batch into an empty table: pure insert
         target = None
+    if src is not None:
+        # the freshly resolved head: vacuum never removes its files, so
+        # skip the per-file existence pre-check a time-traveled read
+        # pays (a CDC sink would otherwise pay it per micro-batch)
+        target = table.read(spark, version=src.version, check_vacuumed=False)
     merged = (
         merge_upsert(target, source, keys, deletes=deletes)
         if target is not None
@@ -346,7 +353,12 @@ def delete_where_mor(
     The key-granular vector is registered in the manifest meta
     (``delete_vectors``: list of {path, keys}); vectors accumulate
     across MOR deletes and each version applies exactly the vectors
-    recorded up to it (time travel stays consistent)."""
+    recorded up to it (time travel stays consistent).
+
+    ``spark`` is unused (the vector is written by the delete_keys
+    frame's own session; no driver-side scan happens here) — kept for
+    signature symmetry with :func:`delete_where_mor_positional`, which
+    genuinely scans."""
     import uuid
 
     dv_rel = f"_dv/dv-{uuid.uuid4().hex[:12]}.parquet"
@@ -359,22 +371,13 @@ def delete_where_mor(
             raise ValueError("MOR delete requires an existing snapshot")
         return list(parent.files)
 
-    # carry parent meta (zone-map/Bloom stats stay valid: the file set
-    # is unchanged) but contribute ONLY the new vector — the LIVE
-    # parent's vectors are merged at publish time by
-    # _carry_delete_vectors. Pre-merging this snapshot's vector list
-    # here would resurrect vectors a racing compaction had already
-    # materialized and dropped, re-shadowing keys legitimately
-    # re-inserted after that compaction.
-    from octopufs_spark.manifest import _strip_ref_markers
-
-    parent = (
-        table.read_manifest(table.branch_head(branch))
-        if branch is not None
-        else table.read_manifest()
-    )
-    meta = _strip_ref_markers(parent.meta)
-    meta["delete_vectors"] = [{"path": dv_rel, "keys": keys}]
+    # contribute ONLY the new vector: file_stats/blooms/evolution/
+    # hidden layout all carry from the LIVE parent at publish time
+    # (_carry_* helpers). Copying this snapshot's meta wholesale would
+    # let a racing full rewrite's retired metadata resurface — the
+    # carry helpers give meta entries precedence, so a stale copy of
+    # hidden_partitions or untrimmed stats would override the truth.
+    meta = {"delete_vectors": [{"path": dv_rel, "keys": keys}]}
     return table._commit_with_retry(build, "delete_mor", meta, branch=branch)
 
 
@@ -452,13 +455,10 @@ def delete_where_mor_positional(
             )
         return list(parent.files)
 
-    # carry parent meta (stats stay valid: file set unchanged) but
-    # contribute ONLY the new vector — the LIVE parent's vectors merge
-    # at publish time via _carry_delete_vectors. Pre-merging this
-    # snapshot's list would resurrect vectors a racing compaction had
-    # already materialized and dropped (see delete_where_mor).
-    from octopufs_spark.manifest import _strip_ref_markers
-
-    meta = _strip_ref_markers(m.meta)
-    meta["delete_vectors"] = [{"path": dv_rel, "type": "positional"}]
+    # contribute ONLY the new vector — the LIVE parent's vectors,
+    # stats, evolution log, and hidden layout all merge at publish
+    # time via the _carry_* helpers. Pre-merging this snapshot's meta
+    # would resurrect entries a racing rewrite had already retired
+    # (see delete_where_mor).
+    meta = {"delete_vectors": [{"path": dv_rel, "type": "positional"}]}
     return table._commit_with_retry(build, "delete_mor", meta)

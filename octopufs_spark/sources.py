@@ -161,12 +161,20 @@ class SynthStreamReader(DataSourceStreamReader):
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict):
-        # After a checkpoint restart a fresh reader instance starts at
-        # _current=0 while Spark replans from the committed offset; fold
-        # every offset Spark hands us back into _current so latestOffset
-        # resumes from the committed position instead of stalling through
-        # no-op polls (and so extra planner polls never skip rows).
-        self._current = max(self._current, end["offset"])
+        # Fold every offset Spark hands back into the cursor. On a
+        # checkpoint restart the engine reveals the recovered offset to
+        # this FRESH instance BEFORE asking for a new latestOffset —
+        # either as the uncommitted tail batch's replay range or as a
+        # degenerate (head, head) initialization call (observed
+        # empirically against Spark 4.1's runner; instrumented traces
+        # in the restart test's history) — so the fold alone keeps
+        # latestOffset from ever answering below the checkpoint, and
+        # no committed batch replans. Emission must use the given
+        # range VERBATIM: "clipping to a committed floor" was tried
+        # and LOST data — the (head, head) reveal is a planned
+        # position, not a commit, and clipping swallowed the
+        # uncommitted replay batch's rows.
+        self._current = max(self._current, start["offset"], end["offset"])
         return [RangePartition(start["offset"], end["offset"])]
 
     def read(self, partition: RangePartition) -> Iterator:
@@ -300,10 +308,16 @@ class ManifestStreamReader(DataSourceStreamReader):
         "branch-fastforward",
     )
 
-    def __init__(self, options):
+    def __init__(self, options, schema_names: list[str] | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_stream requires a 'path' option")
+        # the DECLARED schema's column order: Spark binds Arrow batch
+        # columns POSITIONALLY, so read() must emit every batch in
+        # exactly this order — files written with a different physical
+        # column order (schema evolution, differing writers) would
+        # otherwise silently swap same-typed columns' values
+        self._schema_names = list(schema_names) if schema_names else None
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
@@ -466,12 +480,23 @@ class ManifestStreamReader(DataSourceStreamReader):
             # check below only guards REWRITES of prior history.)
             return list(m.added) if m.added is not None else list(m.files)
         if m.operation not in self._APPEND_OPS:
+            # merge / compact / restore / replace / promote commits all
+            # change rows beyond pure addition; skipChangeCommits skips
+            # them like Delta's escape hatch — without it, a table
+            # under routine OPTIMIZE or a MERGE sink would be
+            # permanently unstreamable past the first such commit
+            if self.skip_change_commits:
+                return []
             raise ValueError(
-                f"manifest_stream is append-only: v{v} is a {m.operation!r} commit"
+                f"manifest_stream is append-only: v{v} is a {m.operation!r} commit; "
+                "set skipChangeCommits=true to skip change commits"
             )
         if m.operation == "overwrite":
+            if self.skip_change_commits:
+                return []
             raise ValueError(
-                f"manifest_stream is append-only: v{v} is a 'overwrite' commit"
+                f"manifest_stream is append-only: v{v} is a 'overwrite' commit; "
+                "set skipChangeCommits=true to skip change commits"
             )
         if m.added is not None:
             # publish-time added-file list: one manifest read per
@@ -633,18 +658,36 @@ class ManifestStreamReader(DataSourceStreamReader):
         hidden = set(getattr(self, "_hidden", []))
         parts = [(k, v) for k, v in _hive_segments(partition.rel_file) if k not in hidden]
         evolution = getattr(self, "_evolution", [])
+        order = self._schema_names
         pf = pq.ParquetFile(fs.open_input_file(f"{root}/{partition.rel_file}"))
         for batch in pf.iter_batches(row_groups=partition.row_groups):
-            if parts or evolution:
-                arrays = list(batch.columns)
-                names = list(batch.schema.names)
-                for k, v in parts:
-                    arrays.append(pa.array([v] * batch.num_rows, type=pa.string()))
-                    names.append(k)
-                if evolution:
-                    names, arrays = _evolved_columns(
-                        names, arrays, evolution, batch.num_rows
-                    )
+            arrays = list(batch.columns)
+            names = list(batch.schema.names)
+            for k, v in parts:
+                arrays.append(pa.array([v] * batch.num_rows, type=pa.string()))
+                names.append(k)
+            if evolution:
+                names, arrays = _evolved_columns(
+                    names, arrays, evolution, batch.num_rows
+                )
+            # Spark binds Arrow columns POSITIONALLY against the
+            # declared schema — reorder by NAME so a file generation
+            # with a different physical column order can't silently
+            # swap values between same-typed columns (or crash on
+            # mixed types). A genuinely missing column is a loud
+            # schema-contract error, not a mis-bind.
+            if order is not None and names != order:
+                idx = {n: i for i, n in enumerate(names)}
+                try:
+                    arrays = [arrays[idx[n]] for n in order]
+                except KeyError as e:
+                    raise ValueError(
+                        f"manifest_stream: file {partition.rel_file!r} lacks "
+                        f"column {e} declared in the stream schema — restart "
+                        "the query to re-derive the schema"
+                    ) from None
+                names = list(order)
+            if names != list(batch.schema.names):
                 batch = pa.RecordBatch.from_arrays(arrays, names=names)
             yield batch
 
@@ -718,7 +761,16 @@ class ManifestStreamSource(DataSource):
         from octopufs_spark.manifest import ManifestTable
 
         table = ManifestTable(self.options["path"])
-        m = table.read_manifest()
+        # a BRANCH stream's schema contract comes from the branch head
+        # (its carried evolution log / hidden layout), exactly like the
+        # reader pins it — deriving from main would declare columns the
+        # branch's batches don't carry once main evolves past the fork
+        branch = self.options.get("branch")
+        m = (
+            table.read_manifest(table.branch_head(branch))
+            if branch
+            else table.read_manifest()
+        )
         fs, root = get_filesystem(self.options["path"])
         hidden = set(m.meta.get("hidden_partitions", {}))
         st = from_arrow_schema(pq.read_schema(f"{root}/{m.files[0]}", filesystem=fs))
@@ -761,7 +813,9 @@ class ManifestStreamSource(DataSource):
         return st
 
     def streamReader(self, schema) -> ManifestStreamReader:
-        return ManifestStreamReader(self.options)
+        return ManifestStreamReader(
+            self.options, schema_names=[f.name for f in schema.fields]
+        )
 
 
 class _ManifestWriteMsg(WriterCommitMessage):
