@@ -248,9 +248,21 @@ def hidden_transform_expr(kind: str, src: str, param=None):
     raise ValueError(f"unknown hidden-partition transform {kind!r}")
 
 
-def hidden_transform_value(kind: str, value, param=None):
-    """Python twin of :func:`hidden_transform_expr` — see there."""
+#: integer column types (``df.dtypes`` spelling) whose CAST-AS-STRING
+#: rendering equals Python ``str(int)`` — the only types an int bucket
+#: probe is exact against (decimal(10,2) renders 1 as '1.00', double as
+#: '1.0'; the md5 of those strings lands in a DIFFERENT bucket).
+_BUCKET_INT_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def hidden_transform_value(kind: str, value, param=None, dtype=None):
+    """Python twin of :func:`hidden_transform_expr` — see there.
+    ``dtype`` is the bucket source column's Spark type (``df.dtypes``
+    spelling) recorded at write time; when known it gates int probes to
+    integer-typed columns, since the write-side md5 hashes the CAST
+    rendering of the COLUMN type, not of the probe's Python type."""
     import datetime as _dt
+    import decimal
     import hashlib
 
     if kind in ("days", "month"):
@@ -279,6 +291,16 @@ def hidden_transform_value(kind: str, value, param=None):
             s = "true" if value else "false"
         elif isinstance(value, float):
             raise ValueError("bucket probe on float is engine-rendering-dependent")
+        elif isinstance(value, decimal.Decimal):
+            # Decimal('1.1') str()s as '1.1' while Spark CASTs a
+            # decimal(10,2) value as '1.10' — scale padding makes the
+            # rendering column-type-dependent, so refuse like float.
+            raise ValueError("bucket probe on Decimal is engine-rendering-dependent")
+        elif isinstance(value, int) and dtype is not None and dtype not in _BUCKET_INT_DTYPES:
+            # an int probe against e.g. a decimal-typed bucket column
+            # hashes '1' where the write side hashed '1.00': skip the
+            # derivation so pruning stays conservative
+            raise ValueError(f"int bucket probe against non-integer column type {dtype!r}")
         else:
             s = str(value)
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % int(param)
@@ -425,31 +447,74 @@ class ManifestTable:
         return vs[-1] if vs else None
 
     def _read_latest_hint(self) -> int | None:
+        """Max over the CAS hint files (``_manifest/hint/<N>``) and the
+        legacy ``_latest`` file written by older table versions. The
+        hint dir holds at most a handful of files (each writer sweeps
+        lower ones after landing its own), so the listing is O(1) in
+        table age — unlike listing ``_manifest`` itself."""
+        import pyarrow.fs as pafs
+
+        best: int | None = None
+        try:
+            sel = pafs.FileSelector(f"{self._mdir}/hint", allow_not_found=True)
+            for el in self.fs.get_file_info(sel):
+                base = el.path.rsplit("/", 1)[-1]
+                if ".tmp." not in base and base.isdigit():
+                    v = int(base)
+                    best = v if best is None or v > best else best
+        except OSError:
+            pass
         try:
             with self.fs.open_input_stream(f"{self._mdir}/_latest") as f:
-                return int(f.read().decode().strip())
+                legacy = int(f.read().decode().strip())
+            best = legacy if best is None or legacy > best else best
         except (OSError, FileNotFoundError, ValueError):
-            return None
+            pass
+        return best
 
     def _write_latest_hint(self, version: int) -> None:
-        """Best-effort and MONOTONIC: a hint is only advanced, never
-        regressed (read-check-write, racy but strictly improving).
-        Monotonicity matters since tag/branch pins let vacuum punch
-        MID-LOG version gaps: a hint stale below a gap would make the
-        forward probe stop at the gap and silently shadow the real
-        head — with regression ruled out, that requires every hint
-        write since the pinned version to have failed, and vacuum
-        re-anchors the hint after each pruning pass as a further
-        backstop. Losing a hint race still only costs later readers a
-        probe or a listing, never correctness."""
+        """Best-effort and STRUCTURALLY monotonic: each version's hint
+        is its own file ``_manifest/hint/<N>`` published with the
+        no-overwrite CAS primitive, and the read side takes the max —
+        so no interleaving of writers can regress the hint (the old
+        read-check-write on one ``_latest`` file could: two stale
+        readers, lower write lands last). Monotonicity matters since
+        tag/branch pins let vacuum punch MID-LOG version gaps: a hint
+        below a gap would make the gap-blind forward probe stop there
+        and silently shadow the real head. After landing its own file
+        a writer sweeps strictly-lower hint files (best-effort), so
+        the dir stays O(writers-in-flight), not O(versions). Losing
+        any race here still only costs later readers a probe or a
+        listing, never correctness."""
         try:
-            cur = self._read_latest_hint()
-            if cur is not None and cur >= version:
-                return
-            tmp = f"{self._mdir}/_latest.tmp.{uuid.uuid4().hex[:8]}"
+            final = f"{self._mdir}/hint/{version}"
+            tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+            try:
+                self.fs.create_dir(f"{self._mdir}/hint", recursive=True)
+            except OSError:
+                pass
             with self.fs.open_output_stream(tmp) as f:
                 f.write(str(version).encode())
-            self.fs.move(tmp, f"{self._mdir}/_latest")
+            try:
+                self._no_overwrite_move(tmp, final)
+            except (FileExistsError, OSError):
+                try:
+                    self.fs.delete_file(tmp)
+                except OSError:
+                    pass
+            # sweep superseded hints (and the legacy file) — pure
+            # hygiene: a failed delete leaves a lower file the max
+            # simply ignores
+            import pyarrow.fs as pafs
+
+            sel = pafs.FileSelector(f"{self._mdir}/hint", allow_not_found=True)
+            for el in self.fs.get_file_info(sel):
+                base = el.path.rsplit("/", 1)[-1]
+                if ".tmp." not in base and base.isdigit() and int(base) < version:
+                    try:
+                        self.fs.delete_file(el.path)
+                    except OSError:
+                        pass
         except OSError:
             pass
 
@@ -2248,6 +2313,7 @@ class ManifestTable:
             for name, spec in m.meta.get("hidden_partitions", {}).items():
                 kind, src = spec[0], spec[1]
                 param = spec[2] if len(spec) > 2 else None
+                src_dtype = spec[3] if len(spec) > 3 else None
                 if src not in src_aliases:
                     continue
                 if kind == "bucket" and op != "=":
@@ -2256,7 +2322,7 @@ class ManifestTable:
                 if mop is None:
                     continue  # unknown op spelling: skip the derivation
                 try:
-                    tval = hidden_transform_value(kind, val, param)
+                    tval = hidden_transform_value(kind, val, param, dtype=src_dtype)
                 except (ValueError, TypeError):
                     continue
                 derived.append((name, mop, tval))
@@ -2640,16 +2706,22 @@ def write_and_commit(
     staged = f"data-{uuid.uuid4().hex[:12]}"
     partition_by = list(partition_by or [])
     if hidden_partition:
+        dtypes = dict(df.dtypes)
+        stored_specs: dict[str, list] = {}
         for name, spec in hidden_partition.items():
             kind, src = spec[0], spec[1]
             param = spec[2] if len(spec) > 2 else None
             df = df.withColumn(name, hidden_transform_expr(kind, src, param))
+            entry = list(spec)
+            if kind == "bucket" and len(entry) == 3 and src in dtypes:
+                # record the SOURCE column type so prune-side int probes
+                # can verify their str() rendering matches the CAST the
+                # write-side md5 hashed (exact only for integer types)
+                entry.append(dtypes[src])
+            stored_specs[name] = entry
         df = df.repartition(*hidden_partition.keys())
         partition_by += list(hidden_partition.keys())
-        meta = {
-            **(meta or {}),
-            "hidden_partitions": {k: list(v) for k, v in hidden_partition.items()},
-        }
+        meta = {**(meta or {}), "hidden_partitions": stored_specs}
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

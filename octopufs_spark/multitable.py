@@ -32,10 +32,17 @@ Nessie/LakeFS idea, built from this repo's own primitives):
   the first's rows. Transactions touching DISJOINT tables merge.
 
 Retention: the CURRENT catalog version's pins converge to their
-tables' main heads, which vacuum always retains. Pins inside OLDER
-catalog versions age out with each table's own retention policy
-(``keep_versions``), exactly like any time travel — tag the pinned
-versions to hold a historical catalog state durably.
+tables' main heads, which vacuum always retains. Between the flip and
+convergence the staged snapshots are protected DURABLY, not by the
+retention clock: ``commit()`` tags each staged version (table-level
+tags are unconditional vacuum pins) before the flip and releases the
+tag once that table converges — so a crash can sit un-healed
+arbitrarily long without losing catalog-visible data. A crash BEFORE
+the flip leaves only orphan tags; ``release_stale_txn_tags`` sweeps
+them after a grace window. Pins inside OLDER catalog versions age out
+with each table's own retention policy (``keep_versions``), exactly
+like any time travel — ``create_tag`` holds a historical catalog
+state durably.
 """
 
 from __future__ import annotations
@@ -48,12 +55,93 @@ from octopufs_spark.manifest import (
     ConcurrentModificationError,
     Manifest,
     ManifestTable,
+    _AlreadyResolved,
+    _strip_dropped,
+    hidden_transform_expr,
     write_and_commit,
 )
 
 
 class _Raced(Exception):
     pass
+
+
+class WedgedConvergenceError(RuntimeError):
+    """A committed transaction's staged APPEND cannot publish file-wise
+    (the table's schema evolution or hidden layout changed after
+    staging) and no SparkSession was available to re-apply it by
+    content. The flip already committed, so the pin is durable (the
+    transaction's table-level tag protects it from vacuum) — run
+    ``Catalog.heal(spark)`` to converge by content."""
+
+
+def _reapply_append_content(t: ManifestTable, m: Manifest, spark: SparkSession) -> int:
+    """Converge a pure-append WAP staging whose base contract moved:
+    the table's schema-evolution log or hidden layout changed after
+    staging, so its FILES cannot be adopted (they were written under
+    the old contract) — but its ROWS can. Scan only the staged
+    commit's added files through the staged manifest's OWN evolution
+    log (the contract they were written under, converging their
+    column names onto the head's), re-derive the head's hidden layout
+    for the rewritten files, and append them as a normal main commit
+    carrying the staged snapshot's ``wap_published`` marker. The
+    marker walk runs INSIDE the commit build, so racing convergers
+    (and publish_wap retries) settle on ONE published version —
+    content is never applied twice. Returns the published version."""
+    import uuid as _uuid
+
+    wap = m.meta["wap"]
+    base_v, staged_v, wap_id = wap.get("base"), m.version, wap.get("id")
+    added = list(m.added) if m.added is not None else list(m.files)
+    df = t._scan_files(
+        spark,
+        added,
+        annotate_positions=t._has_positional_dvs(m),
+        evolution=m.meta.get("schema_evolution"),
+    )
+    # equality delete vectors apply snapshot-wide: the committed truth
+    # for the added rows is what read(version=staged) showed
+    df = t._strip_hidden(_strip_dropped(t._apply_delete_vectors(spark, df, m)), m)
+    head = t.read_manifest()
+    hp = {k: tuple(v[:3]) for k, v in (head.meta.get("hidden_partitions") or {}).items()}
+    partition_by: list[str] = []
+    if hp:
+        # conform to the HEAD layout: a group missing the hidden
+        # column would break the by-name union every read performs
+        for name, spec in hp.items():
+            kind, src = spec[0], spec[1]
+            param = spec[2] if len(spec) > 2 else None
+            df = df.withColumn(name, hidden_transform_expr(kind, src, param))
+        df = df.repartition(*hp.keys())
+        partition_by = list(hp.keys())
+    staged_dir = f"data-{_uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{t.root}/{staged_dir}")
+    content = t._data_files_under(staged_dir)
+    marker = {
+        "wap_published": {"id": wap_id, "staged_version": staged_v, "reapplied": True}
+    }
+
+    def build(parent: Manifest | None) -> list[str]:
+        outcome = t._walk_wap_outcome(parent, base_v, staged_v)
+        if outcome is not None:
+            kind, at = outcome
+            if kind == "published":
+                raise _AlreadyResolved(at)
+            raise ValueError(
+                f"staged snapshot v{staged_v} was aborted at v{at}; nothing to re-apply"
+            )
+        pf = set(parent.files) if parent else set()
+        return sorted((parent.files if parent else []) + [f for f in content if f not in pf])
+
+    try:
+        return t._commit_with_retry(build, "wap-publish", marker, carry=True)
+    except _AlreadyResolved as d:
+        # a racing converger landed it first; our staging dir is an
+        # invisible orphan vacuum sweeps
+        return d.version
 
 
 class Catalog:
@@ -234,34 +322,112 @@ class Catalog:
         except ConcurrentModificationError:
             pass
 
-    def _converge(self, name: str, pin: dict) -> dict:
+    def _converge(self, name: str, pin: dict, spark: SparkSession | None = None) -> dict:
         """Ensure a pin points at a PUBLISHED main snapshot: a pin
         still on a staged WAP snapshot (a transaction crashed between
         its flip and its publishes) is published — force-replace for a
         replace-type staging, since the flip already committed that
-        content as the table's truth — and re-pinned. Returns the
-        resulting pin. Idempotent and race-tolerant (concurrent
-        convergers publish the same snapshot to the same outcome)."""
+        content as the table's truth — and re-pinned. A pure APPEND
+        staging wedged by a schema-evolution / hidden-layout change
+        since staging (file-wise publish aborts even force-replace) is
+        re-applied BY CONTENT when ``spark`` is available, else raises
+        :class:`WedgedConvergenceError` (the pin stays durable — its
+        transaction tag holds it — so a later ``heal(spark)``
+        finishes). Returns the resulting pin. Idempotent and
+        race-tolerant (concurrent convergers publish the same snapshot
+        to the same outcome via the commit-build marker walk)."""
         t = ManifestTable(pin["root"])
         try:
             m = t.read_manifest(pin["version"])
         except FileNotFoundError:
             return pin  # vacuumed beyond repair: nothing to converge
         if "wap" not in m.meta:
+            self._release_txn_tag(t, m)
             return pin
-        pv = t.publish_wap(version=pin["version"], on_conflict="force-replace")
+        try:
+            pv = t.publish_wap(version=pin["version"], on_conflict="force-replace")
+        except ConcurrentModificationError:
+            if spark is None:
+                raise WedgedConvergenceError(
+                    f"staged snapshot v{pin['version']} of {t.root} cannot publish "
+                    "file-wise (schema/layout evolved since staging); run "
+                    "Catalog.heal(spark) to re-apply it by content"
+                ) from None
+            pv = _reapply_append_content(t, m, spark)
         self._repin_published(name, pin["root"], pin["version"], pv)
+        self._release_txn_tag(t, m)
         return self.snapshot().get(name) or {**pin, "version": pv}
 
-    def heal(self) -> dict[str, int]:
+    @staticmethod
+    def _release_txn_tag(t: ManifestTable, m: Manifest) -> None:
+        """Drop the durable table-level tag a transaction created on
+        its staged snapshot at commit time — convergence is done, the
+        pin now names (or led to) a published main version that vacuum
+        retains through normal retention."""
+        marker = (
+            m.meta.get("wap") or m.meta.get("wap_published") or m.meta.get("wap_aborted") or {}
+        )
+        wid = marker.get("id")
+        if not wid:
+            return
+        # the tag sits on the STAGED version: m itself when the pin is
+        # still staged, else the published marker records it
+        staged_v = m.version if "wap" in m.meta else marker.get("staged_version")
+        try:
+            if staged_v is not None and t.tag_version(wid) == staged_v:
+                t.delete_tag(wid)
+        except (FileNotFoundError, KeyError):
+            pass
+
+    def release_stale_txn_tags(self, older_than_seconds: float = 86400.0) -> dict[str, list[str]]:
+        """Sweep orphaned transaction tags: a crash between tag
+        creation and the catalog flip leaves ``txn-*`` tags holding
+        staged snapshots that will never be pinned (the transaction
+        object is gone, so its flip can never land). A tag is released
+        when (a) its name is a txn id, (b) the snapshot it pins is NOT
+        the table's current catalog pin (a pinned staging is live
+        convergence work, never stale), and (c) the staged commit is
+        older than ``older_than_seconds`` — the grace window that
+        separates a crashed pre-flip transaction from one still in
+        flight, so keep it well above the longest transaction you run.
+        Returns {table name: [released tags]}."""
+        import re as _re
+        import time as _time
+
+        txn_pat = _re.compile(r"txn-[0-9a-f]{12}$")
+        now = _time.time()
+        out: dict[str, list[str]] = {}
+        for name, pin in self.snapshot().items():
+            t = ManifestTable(pin["root"])
+            for tag, tagged_v in t.tags().items():
+                if not txn_pat.fullmatch(tag) or tagged_v == pin["version"]:
+                    continue
+                try:
+                    m = t.read_manifest(tagged_v)
+                except FileNotFoundError:
+                    t.delete_tag(tag)  # pins nothing readable anymore
+                    out.setdefault(name, []).append(tag)
+                    continue
+                wap = m.meta.get("wap")
+                if not wap or wap.get("id") != tag:
+                    continue  # not a txn staging of this tag: user tag, leave it
+                if now - (m.committed_at or now) > older_than_seconds:
+                    t.delete_tag(tag)
+                    out.setdefault(name, []).append(tag)
+        return out
+
+    def heal(self, spark: SparkSession | None = None) -> dict[str, int]:
         """Complete the convergence steps of any committed transaction
         that crashed between its catalog flip and its table publishes:
         publish still-staged pinned snapshots and re-pin them at the
-        published versions. Idempotent; returns {name: converged-to
+        published versions. With ``spark``, stagings wedged by a
+        schema/layout change since staging are re-applied by content
+        (without it those raise :class:`WedgedConvergenceError` and
+        stay durably pinned). Idempotent; returns {name: converged-to
         version} for work actually done."""
         out: dict[str, int] = {}
         for name, pin in self.snapshot().items():
-            converged = self._converge(name, pin)
+            converged = self._converge(name, pin, spark=spark)
             if converged["version"] != pin["version"]:
                 out[name] = converged["version"]
         return out
@@ -283,6 +449,7 @@ class MultiTableTransaction:
         self._staged: dict[str, dict] = {}  # name -> {"root", "version"}
         self._expected: dict[str, int | None] = {}  # pin seen at write time
         self._done = False
+        self._spark: SparkSession | None = None  # captured from the first write
 
     def write(
         self,
@@ -307,7 +474,8 @@ class MultiTableTransaction:
         # otherwise let our commit pass the conflict check (expected ==
         # that staged pin) yet our snapshot would LACK the prior
         # transaction's rows — replacing its pin would lose them.
-        pin = self.catalog._converge(name, pin)
+        self._spark = df.sparkSession
+        pin = self.catalog._converge(name, pin, spark=df.sparkSession)
         table = ManifestTable(pin["root"])
         sv = write_and_commit(df, table, mode=mode, wap_id=self.txn_id, **write_kwargs)
         self._staged[name] = {"root": pin["root"], "version": sv}
@@ -326,6 +494,22 @@ class MultiTableTransaction:
             raise RuntimeError("transaction already resolved")
         if not self._staged:
             raise ValueError("empty transaction")
+        # Durably pin every staged snapshot BEFORE the flip: a
+        # table-level tag (named by the txn id) on the staged version
+        # makes it vacuum-proof until convergence releases it. Without
+        # this, a crash between the flip and phase 2 races each
+        # table's retention window — once a staged manifest and its
+        # files are vacuumed, the catalog pin names committed,
+        # catalog-VISIBLE data that no longer exists. A crash before
+        # the flip leaves only orphan tags, swept by
+        # ``release_stale_txn_tags``.
+        for name, pin in self._staged.items():
+            t = ManifestTable(pin["root"])
+            try:
+                t.create_tag(self.txn_id, version=pin["version"])
+            except FileExistsError:
+                if t.tag_version(self.txn_id) != pin["version"]:
+                    raise  # a different snapshot under this txn id
         cv = self.catalog._commit_pins(self._staged, "catalog-txn", self._expected)
         self._done = True
         # phase 2: converge each table's main head + re-pin so the pin
@@ -334,9 +518,17 @@ class MultiTableTransaction:
             table = ManifestTable(pin["root"])
             # force-replace: the flip committed this content as the
             # table's truth, so convergence is unconditional — a direct
-            # overwrite-racing write loses to the transaction
-            pv = table.publish_wap(version=pin["version"], on_conflict="force-replace")
+            # overwrite-racing write loses to the transaction. The one
+            # case that cannot publish file-wise (append staged, then
+            # schema/layout evolved) re-applies by content.
+            try:
+                pv = table.publish_wap(version=pin["version"], on_conflict="force-replace")
+            except ConcurrentModificationError:
+                pv = _reapply_append_content(
+                    table, table.read_manifest(pin["version"]), self._spark
+                )
             self.catalog._repin_published(name, pin["root"], pin["version"], pv)
+            self.catalog._release_txn_tag(table, table.read_manifest(pin["version"]))
         return cv
 
     def abort(self) -> None:
@@ -345,5 +537,10 @@ class MultiTableTransaction:
         if self._done:
             raise RuntimeError("transaction already resolved")
         for _name, pin in self._staged.items():
-            ManifestTable(pin["root"]).abort_wap(version=pin["version"])
+            t = ManifestTable(pin["root"])
+            t.abort_wap(version=pin["version"])
+            try:  # a crashed earlier commit() attempt may have tagged
+                t.delete_tag(self.txn_id)
+            except FileNotFoundError:
+                pass
         self._done = True

@@ -77,10 +77,21 @@ def _previously_verified() -> tuple[set[str], set[str]]:
     carried r1 ``no_oracle`` entries and full oracles since r4, yet
     sorted into the done group past the driver's 50-query sample).
     """
+    green, weak, _ = _scan_correctness()
+    return green, weak
+
+
+def _scan_correctness() -> tuple[set[str], set[str], dict[str, int]]:
+    """(green names, weak-only names, last certified round per name)
+    from the CORRECTNESS_r*.json history. ``last round`` records the
+    newest round whose entry COUNTED (a hash-green sample at/after any
+    REVERIFY_FROM_ROUND discount, or a no_oracle rows-only pass) —
+    it drives the done-group rotation below."""
     import re as _re
 
     green: set[str] = set()
     weak: set[str] = set()
+    last_round: dict[str, int] = {}
     root = os.environ.get("OCTOPUFS_REPO_ROOT", "/root/repo")
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = _re.search(r"_r(\d+)", os.path.basename(path))
@@ -100,19 +111,27 @@ def _previously_verified() -> tuple[set[str], set[str]]:
             )
             if ok and rnd >= REVERIFY_FROM_ROUND.get(name, 0):
                 green.add(name)
+                last_round[name] = max(last_round.get(name, 0), rnd)
             elif res.get("err") == "no_oracle":
                 weak.add(name)
-    return green, weak
+                last_round[name] = max(last_round.get(name, 0), rnd)
+    return green, weak, last_round
 
 
 def _ordered() -> list[Query]:
-    """Registry values with never-driver-verified queries first.
+    """Registry values with never-driver-verified queries first, then
+    verified ones OLDEST-CERTIFICATION-FIRST.
 
-    Order is deterministic: within each group, registration order is
-    preserved (module import order), so repeated calls agree.
-    """
+    The driver hash-verifies a bounded prefix per round, so with zero
+    fresh queries the prefix would otherwise re-sample the same
+    module-import-order first-50 forever while queries whose last
+    green sample is rounds old churn underneath (r7 verdict #2). Age
+    sorting makes the sample a rolling re-certification: each round
+    the stalest done queries cycle through the prefix. Order stays
+    deterministic — ties (same last round) keep registration order
+    via Python's stable sort."""
     _ensure_loaded()
-    green, weak = _previously_verified()
+    green, weak, last_round = _scan_correctness()
 
     def is_done(q: Query) -> bool:
         # A weak (rows-only) pass only retires a query that still has no
@@ -125,6 +144,7 @@ def _ordered() -> list[Query]:
     # ones go to the back of the fresh group so a bounded check prefix
     # spends its slots on hash-comparable queries.
     fresh.sort(key=lambda q: q.oracle is None)
+    done.sort(key=lambda q: last_round.get(q.name, 0))
     return fresh + done
 
 

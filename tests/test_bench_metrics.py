@@ -78,3 +78,31 @@ def test_robust_time_repeat_logic():
     assert robust_time([9.0, 1.0, 1.1]) == 1.1  # median kills the GC spike
     assert robust_time([0.01, 1.0, 1.1]) == 1.0  # and the too-fast outlier
     assert robust_time([4.0, 1.0, 2.0, 3.0]) == 3.0  # upper-middle of even n
+
+
+def test_outlier_retime_selection():
+    """r7 verdict #1: a median >1.5x its prior record with an UNCHANGED
+    plan is a phantom regression and gets re-timed; a changed plan, a
+    ratio under threshold, missing metrics, or a failed run never do."""
+    import bench
+
+    pm = {"stages": 10, "shuffle_write_bytes": 1_000_000, "shuffle_write_records": 500}
+    pm_close = dict(pm, shuffle_write_bytes=1_010_000)  # within 2% slack
+    pm_diff = dict(pm, stages=11)
+    timings = {
+        "noisy": 5.0,       # 7x, plan unchanged -> retime
+        "legit": 5.0,       # 7x but plan changed -> real regression, keep
+        "steady": 0.8,      # 1.1x -> untouched
+        "nometrics": 5.0,   # 7x but no plan evidence -> keep
+        "failed": -1.0,     # errored run -> never retimed
+        "fresh": 4.0,       # no prior record -> nothing to compare
+    }
+    prior = {"noisy": 0.7, "legit": 0.7, "steady": 0.7, "nometrics": 0.7, "failed": 0.7}
+    cur_pm = {"noisy": pm_close, "legit": pm_diff, "steady": pm, "failed": pm}
+    prior_pm = {"noisy": pm, "legit": pm, "steady": pm, "failed": pm}
+    assert bench.find_outliers(timings, prior, cur_pm, prior_pm) == ["noisy"]
+    # plan equality is exact on stages/records, 2% slack on bytes
+    assert bench.plans_unchanged(pm, pm_close)
+    assert not bench.plans_unchanged(pm, pm_diff)
+    assert not bench.plans_unchanged(pm, dict(pm, shuffle_write_bytes=2_000_000))
+    assert not bench.plans_unchanged(pm, None)

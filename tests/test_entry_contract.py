@@ -148,3 +148,22 @@ def test_no_stranded_sweep_only_queries():
     green, _weak = registry._previously_verified()
     stranded = [n for n in ordered if n not in green and n not in prefix]
     assert stranded == [], f"unverified queries outside the sample prefix: {stranded}"
+
+
+def test_done_group_rotates_by_certification_age():
+    """r7 verdict #2: with the ledger closed (zero fresh queries), the
+    driver's bounded sample prefix would re-sample the same
+    import-order first-50 forever. The done group therefore sorts
+    ascending by last COUNTED driver round, turning the sample into a
+    rolling re-certification of the stalest queries."""
+    from octopufs_spark import registry
+
+    green, weak, last_round = registry._scan_correctness()
+    ordered = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    done = [n for n in ordered if n in green or (n in weak and n not in oracles)]
+    rounds = [last_round.get(n, 0) for n in done]
+    assert rounds == sorted(rounds), "done group not oldest-certification-first"
+    # with the ledger closed, the prefix holds the stalest certifications
+    if len(done) == len(ordered) and len(done) > registry.DRIVER_SAMPLE:
+        assert max(rounds[: registry.DRIVER_SAMPLE]) <= min(rounds[registry.DRIVER_SAMPLE :])

@@ -3110,3 +3110,30 @@ def test_add_column_null_default_and_stream(spark, tmp_path):
     assert rows.where(F.col("note").isNull()).count() == 40
     batch = t.read(spark)
     assert batch.where(F.col("score") == 1.5).count() == 40
+
+
+def test_latest_hint_cas_cannot_regress(spark, table):
+    """Hints are version-named CAS files (max on read): a delayed
+    lower write physically CANNOT regress the hint the way the old
+    single-file read-check-write could under interleaving — which
+    mattered because vacuum can punch mid-log gaps the gap-blind
+    forward probe would stop at."""
+    for lo in (0, 10, 20):
+        write_and_commit(_df(spark, lo, lo + 5), table, mode="append" if lo else "overwrite")
+    head = table.current_version()
+    assert table._read_latest_hint() == head
+    # a straggler writer lands its (stale) hint AFTER the newer one:
+    # with one mutable file this interleaving regressed the hint
+    table._write_latest_hint(head - 2)
+    assert table._read_latest_hint() == head
+    # legacy single-file hints from an older writer are still honored
+    with table.fs.open_output_stream(f"{table._mdir}/_latest") as f:
+        f.write(str(head - 1).encode())
+    assert table._read_latest_hint() == head
+    # hygiene: a (re-)landing hint sweeps superseded hint files
+    table._write_latest_hint(head)
+    import pyarrow.fs as pafs
+
+    sel = pafs.FileSelector(f"{table._mdir}/hint")
+    names = {i.path.rsplit("/", 1)[-1] for i in table.fs.get_file_info(sel)}
+    assert names == {str(head)}

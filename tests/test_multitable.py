@@ -413,3 +413,123 @@ def test_catalog_commit_race_merges_disjoint(spark, setup):
     assert fired["done"]
     assert _ids(cat.read(spark, "a")) == set(range(10)) | set(range(20, 25))
     assert _ids(cat.read(spark, "b")) == set(range(100, 110)) | set(range(120, 125))
+
+
+def _crash_publishes(txn):
+    """Run txn.commit() with publish_wap crashing — the flip lands,
+    phase 2 never does."""
+    orig = ManifestTable.publish_wap
+    ManifestTable.publish_wap = lambda self, **kw: (_ for _ in ()).throw(
+        OSError("crash before publish")
+    )
+    try:
+        with pytest.raises(OSError, match="crash"):
+            txn.commit()
+    finally:
+        ManifestTable.publish_wap = orig
+
+
+def test_crashed_txn_survives_aggressive_vacuum(spark, setup):
+    """The durability gap: a txn that crashed between its catalog flip
+    and phase-2 publish used to leave its staged snapshot protected
+    only by retention_seconds — an aggressive vacuum then deleted
+    committed, catalog-VISIBLE data. commit() now tags each staged
+    version before the flip (tags are unconditional vacuum pins), so
+    the un-healed state survives any vacuum; heal() converges and
+    releases the tag."""
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 15), mode="append")
+    _crash_publishes(txn)
+    # a direct append pushes the staged snapshot out of keep_versions,
+    # then the most aggressive vacuum possible runs
+    write_and_commit(_df(spark, 50, 55), a, mode="append")
+    a.vacuum(keep_versions=1, retention_seconds=0)
+    # catalog readers still see the transaction's rows — the staged
+    # snapshot was durably pinned by the txn tag, not the clock
+    assert _ids(cat.read(spark, "a")) == set(range(15))
+    healed = cat.heal()
+    assert "a" in healed
+    assert _ids(a.read(spark)) == set(range(15)) | set(range(50, 55))
+    assert _ids(cat.read(spark, "a")) == set(range(15)) | set(range(50, 55))
+    # convergence released the durable pin
+    assert not [t for t in a.tags() if t.startswith("txn-")]
+
+
+def test_wedged_append_staging_heals_by_content(spark, setup):
+    """A pure-append staging whose table evolved its schema AFTER
+    staging cannot publish file-wise (the staged files were written
+    under the old contract) — previously this wedged convergence
+    forever. heal(spark) now re-applies the staged commit's ROWS onto
+    the evolved head; heal() without spark raises the dedicated error
+    and the pin stays durable."""
+    from octopufs_spark.multitable import WedgedConvergenceError
+
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 15), mode="append")
+    _crash_publishes(txn)
+    a.add_column("flag", "integer", default=7)
+    with pytest.raises(WedgedConvergenceError, match="heal"):
+        cat.heal()
+    # still durable and catalog-readable after the failed heal
+    assert _ids(cat.read(spark, "a")) == set(range(15))
+    healed = cat.heal(spark)
+    assert "a" in healed
+    got = a.read(spark)
+    assert _ids(got) == set(range(15))
+    assert got.where("flag = 7").count() == 15  # evolved default everywhere
+    assert _ids(cat.read(spark, "a")) == set(range(15))
+    assert not [t for t in a.tags() if t.startswith("txn-")]
+    # idempotent: a second heal is a no-op
+    assert cat.heal(spark) == {}
+
+
+def test_reapplied_content_conforms_to_new_hidden_layout(spark, setup, tmp_path):
+    """Content re-apply must write files in the HEAD's hidden layout:
+    a group missing the hidden column would break the by-name union
+    of every subsequent read. Staged under bucket(4), the head moves
+    to bucket(8) — the re-applied rows land as bucket(8) files."""
+    cat, a, b = setup
+    c = ManifestTable(str(tmp_path / "c"))
+    write_and_commit(_df(spark, 0, 10), c, hidden_partition={"hb": ("bucket", "id", 4)})
+    cat.register("c", c)
+    txn = cat.transaction()
+    txn.write(
+        "c", _df(spark, 10, 15), mode="append", hidden_partition={"hb": ("bucket", "id", 4)}
+    )
+    _crash_publishes(txn)
+    # the hidden spec evolves via a direct overwrite after staging —
+    # file-wise publish of the bucket(4) staging is now impossible
+    write_and_commit(_df(spark, 60, 70), c, hidden_partition={"hb": ("bucket", "id", 8)})
+    healed = cat.heal(spark)
+    assert "c" in healed
+    # overwrite content + the transaction's appended rows, readable
+    assert _ids(c.read(spark)) == set(range(10, 15)) | set(range(60, 70))
+    # every live file carries the hidden dir segment (one layout union)
+    m = c.read_manifest()
+    assert m.files and all("hb=" in f for f in m.files)
+    assert not [t for t in c.tags() if t.startswith("txn-")]
+
+
+def test_release_stale_txn_tags_sweeps_preflip_orphans(spark, setup):
+    """A crash BETWEEN tag creation and the catalog flip leaves tags
+    pinning stagings that can never be pinned — the sweeper releases
+    them after the grace window, and never touches live convergence
+    work or user tags."""
+    cat, a, b = setup
+    # orphan: staged + tagged, flip never landed
+    sv = write_and_commit(_df(spark, 90, 95), a, mode="append", wap_id="txn-00000000dead")
+    a.create_tag("txn-00000000dead", version=sv)
+    a.create_tag("release-1", version=a.current_version())  # user tag, untouched
+    # a crashed POST-flip txn: its tag pins the catalog pin itself
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 15), mode="append")
+    _crash_publishes(txn)
+    swept = cat.release_stale_txn_tags(older_than_seconds=0)
+    assert swept == {"a": ["txn-00000000dead"]}
+    assert "release-1" in a.tags()
+    # the live (pinned) txn tag survived the sweep and heal converges
+    assert [t for t in a.tags() if t.startswith("txn-")] == [txn.txn_id]
+    cat.heal()
+    assert _ids(a.read(spark)) == set(range(15))

@@ -150,3 +150,32 @@ def test_vacuum_cleans_tmp_manifests_and_dead_sidecars(spark, table):
     # live table unharmed
     assert table.read(spark).count() == 20
     assert {r.id for r in table.read(spark).collect()} == set(range(10, 30))
+
+
+def test_bucket_probe_decimal_and_dtype_mismatch_stay_conservative(spark, table):
+    """The write-side bucket hashes Spark's CAST(c AS STRING) of the
+    COLUMN type — decimal(10,2) renders 3 as '3.00'. A Decimal probe
+    (str() drops the scale padding) or an int probe against a
+    decimal-typed column therefore hashes a DIFFERENT string, derives
+    the wrong bucket, and would silently prune files that hold
+    matching rows. Both must skip the derivation (pruning stays
+    conservative), gated by the source dtype recorded at write time."""
+    from decimal import Decimal
+
+    with pytest.raises(ValueError, match="Decimal"):
+        hidden_transform_value("bucket", Decimal("1.1"), 8)
+    with pytest.raises(ValueError, match="non-integer"):
+        hidden_transform_value("bucket", 3, 8, dtype="decimal(10,2)")
+    # int probes stay derivable against integer columns (dtype known or legacy)
+    assert hidden_transform_value("bucket", 3, 8, dtype="bigint") == hidden_transform_value(
+        "bucket", 3, 8
+    )
+
+    df = spark.range(20).select("id", F.col("id").cast("decimal(10,2)").alias("amt"))
+    write_and_commit(df, table, hidden_partition={"ab": ("bucket", "amt", 8)}, stats=True)
+    spec = table.read_manifest().meta["hidden_partitions"]["ab"]
+    assert spec[3] == "decimal(10,2)"  # dtype recorded for the probe gate
+    # md5('3') and md5('3.00') land in different buckets — before the
+    # gate this int probe derived the WRONG bucket and pruned the file
+    got = table.read_pruned(spark, [("amt", "=", 3)]).where("amt = 3")
+    assert got.count() == 1
