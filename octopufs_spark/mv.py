@@ -62,6 +62,11 @@ _APPEND_OPS = {
 _NOOP_OPS = {"dv-consolidate", "wap-abort", "rename_column", "drop_column", "add_column"}
 
 
+class _ParentPruned(Exception):
+    """Internal: a subtract scan's parent manifest was vacuumed under
+    the walk — fall back to one full recompute."""
+
+
 class MaterializedView:
     """``aggs`` maps output column -> (fn, source_col) with fn one of
     ``count`` (source_col ignored, pass "*"), ``sum``, ``min``,
@@ -93,17 +98,30 @@ class MaterializedView:
     def _internal_cols(self) -> dict[str, tuple[str, str]]:
         """Physical view columns -> (merge_fn, source_col). avg(x)
         decomposes to __sum_<name> + __cnt_<name>; count decomposes to
-        a summable count column."""
-        out: dict[str, tuple[str, str]] = {}
+        a summable count column. ``__rows`` is always maintained: the
+        group-liveness counter that lets a subtractive fold (MOR
+        deletes) drop groups whose every row was deleted — exactly
+        what a full recompute would do."""
+        out: dict[str, tuple[str, str]] = {"__rows": ("count", "*")}
         for name, (fn, col) in self.aggs.items():
             if fn == "count":
                 out[f"__cnt_{name}"] = ("count", col)
-            elif fn == "avg":
+            elif fn in ("avg", "sum"):
+                # sum ALSO carries a non-null value count: a subtractive
+                # fold cannot otherwise tell "remaining values sum to 0"
+                # from "no non-null values remain" (full recompute says
+                # NULL for the latter; read() recomposes that)
                 out[f"__sum_{name}"] = ("sum", col)
                 out[f"__cnt_{name}"] = ("countv", col)
             else:
                 out[f"__{fn}_{name}"] = (fn, col)
         return out
+
+    def _subtractable(self) -> bool:
+        """count/sum/avg partials are group-commutative under row
+        REMOVAL too (subtract the removed rows' partials); min/max are
+        not — deleting the extremum needs a rescan of its group."""
+        return all(fn in ("count", "sum", "avg") for fn, _ in self.aggs.values())
 
     def _partial(self, df: DataFrame) -> DataFrame:
         if self.filter is not None:
@@ -151,7 +169,16 @@ class MaterializedView:
             return None
 
         incremental = last is not None
+        # views committed before the __rows liveness column upgrade
+        # once through a full recompute (which writes the new layout)
+        if incremental and (view_m.meta.get("mv") or {}).get("phys") != 2:
+            incremental = False
         added: list[str] = []
+        # (delete_mor version, its new vector entry) pairs to SUBTRACT,
+        # each paired with the walk-added files seen before it (their
+        # rows net out in the positive delta via head-vector
+        # application, so the subtract scan must exclude them)
+        subtract: list[tuple[int, dict, set]] = []
         if incremental:
             for v in range(last + 1, src_head + 1):
                 try:
@@ -183,39 +210,157 @@ class MaterializedView:
                         incremental = False  # files were also removed
                         break
                     added.extend(m.added)
+                elif m.operation == "delete_mor" and self._subtractable():
+                    # a pure MOR-delete commit (file set unchanged, one
+                    # new vector) is algebraically subtractable: scan
+                    # only the rows the NEW vector hides that were
+                    # visible at its parent, and fold their NEGATED
+                    # partials (r7 verdict task #5)
+                    n_parent = self._file_count_of(m.parent)
+                    prev = self._vector_paths_of(m.parent)
+                    if n_parent is None or prev is None or len(m.files) != n_parent:
+                        incremental = False
+                        break
+                    new_entries = [
+                        dv
+                        for dv in m.meta.get("delete_vectors", [])
+                        if dv["path"] not in set(prev)
+                    ]
+                    if not new_entries:
+                        continue  # vector-less delete commit: no-op
+                    if len(new_entries) > 1:
+                        # one vector per delete_mor commit by
+                        # construction; anything else is foreign —
+                        # overlap between same-commit vectors would
+                        # double-subtract, so recompute instead
+                        incremental = False
+                        break
+                    subtract.append((v, new_entries[0], set(added)))
                 elif op_changes_rows:
                     incremental = False
                     break
-        if incremental and not added:
+        if incremental and not added and not subtract:
             # only no-op maintenance commits: just advance the pointer
             return self._publish(spark, None, src_head, view_m, mode="noop")
+        if incremental and subtract:
+            try:
+                negatives = [
+                    self._deleted_rows_partial(spark, v, entry, pre_added)
+                    for v, entry, pre_added in subtract
+                ]
+            except _ParentPruned:
+                incremental = False  # a subtract scan lost its parent
+            else:
+                delta = None
+                if added:
+                    delta = self._added_rows_partial(spark, added, src_head)
+                for n in negatives:
+                    if n is not None:
+                        delta = n if delta is None else delta.unionByName(n)
+                if delta is None:  # deletes netted entirely against adds
+                    return self._publish(spark, None, src_head, view_m, mode="noop")
+                return self._publish(spark, delta, src_head, view_m, mode="incremental")
         if incremental:
-            head_m = self.source.read_manifest(src_head)
-            src_df = self.source._scan_files(
-                spark,
-                added,
-                annotate_positions=self.source._has_positional_dvs(head_m),
-                evolution=head_m.meta.get("schema_evolution"),
-            )
-            # ACTIVE delete vectors apply snapshot-wide — including to
-            # newly added files (a re-inserted deleted key stays hidden
-            # until a compaction, exactly as the read path documents).
-            # Folding the raw added rows would make the view count rows
-            # the source read hides; apply the head's vectors to the
-            # delta scan so the fold sees what a reader sees.
-            # (Positional vectors name pre-existing files, so they
-            # anti-join to nothing here — harmless.)
-            from octopufs_spark.manifest import _strip_dropped
-
-            src_df = _strip_dropped(
-                self.source._apply_delete_vectors(spark, src_df, head_m)
-            )
-            delta = self._partial(src_df)
+            delta = self._added_rows_partial(spark, added, src_head)
             return self._publish(spark, delta, src_head, view_m, mode="incremental")
         full = self._partial(self.source.read(spark, version=src_head))
         # view_m rides along so the publish still CAS-checks the state
         # pointer; the full recompute just ignores the old content
         return self._publish(spark, full, src_head, view_m, mode="full")
+
+    def _added_rows_partial(self, spark: SparkSession, added: list[str], src_head: int) -> DataFrame:
+        """Partial aggregates of the files ADDED in the refresh window."""
+        head_m = self.source.read_manifest(src_head)
+        src_df = self.source._scan_files(
+            spark,
+            added,
+            annotate_positions=self.source._has_positional_dvs(head_m),
+            evolution=head_m.meta.get("schema_evolution"),
+        )
+        # ACTIVE delete vectors apply snapshot-wide — including to
+        # newly added files (a re-inserted deleted key stays hidden
+        # until a compaction, exactly as the read path documents).
+        # Folding the raw added rows would make the view count rows
+        # the source read hides; apply the head's vectors to the
+        # delta scan so the fold sees what a reader sees.
+        # (Positional vectors name pre-existing files, so they
+        # anti-join to nothing here — harmless.)
+        from octopufs_spark.manifest import _strip_dropped
+
+        src_df = _strip_dropped(self.source._apply_delete_vectors(spark, src_df, head_m))
+        return self._partial(src_df)
+
+    def _deleted_rows_partial(
+        self, spark: SparkSession, v: int, entry: dict, pre_added: set
+    ) -> DataFrame | None:
+        """NEGATED partial aggregates of exactly the rows a MOR-delete
+        commit ``v`` newly hid: rows hit by its new vector that were
+        still VISIBLE at its parent (earlier vectors anti-joined away —
+        a positional vector can legally name already-hidden rows, and
+        subtracting those twice would corrupt the view). Scan scope:
+
+        - positional vector: ONLY the files the vector names (it is
+          file-scoped by construction) — the 100 TB point: a delete
+          touching 0.1% of files folds by scanning those files, never
+          the table;
+        - equality vector: the parent snapshot's files (keys apply
+          snapshot-wide), still only key-matching rows aggregate.
+
+        Files added within this refresh window (``pre_added``) are
+        excluded: their rows enter the positive delta with the HEAD's
+        vectors already applied, so this commit's hits on them are
+        netted there. Returns None when nothing is left to subtract;
+        raises :class:`_ParentPruned` when the parent manifest was
+        vacuumed under the walk (caller falls back to full
+        recompute)."""
+        from octopufs_spark.manifest import _strip_dropped
+
+        try:
+            pm = self.source.read_manifest(self.source.read_manifest(v).parent)
+        except (FileNotFoundError, OSError, TypeError):
+            raise _ParentPruned() from None
+        positional = entry.get("type") == "positional"
+        if positional:
+            vec = spark.read.parquet(f"{self.source.root}/{entry['path']}")
+            affected = sorted(
+                {r.file for r in vec.select("file").distinct().collect()}
+                & set(pm.files) - pre_added
+            )
+        else:
+            affected = sorted(set(pm.files) - pre_added)
+        if not affected:
+            return None  # every hit file enters via the positive delta
+        need_pos = positional or self.source._has_positional_dvs(pm)
+        raw = self.source._scan_files(
+            spark,
+            affected,
+            annotate_positions=need_pos,
+            evolution=pm.meta.get("schema_evolution"),
+        )
+        # keep only rows the NEW vector hits...
+        if positional:
+            gone = spark.read.parquet(f"{self.source.root}/{entry['path']}").select(
+                F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+            )
+            hit = raw.join(F.broadcast(gone), ["_dv_file", "_dv_pos"], "left_semi")
+        else:
+            from octopufs_spark.manifest import _apply_evolution, _evolve_names
+
+            keys_df = spark.read.parquet(f"{self.source.root}/{entry['path']}")
+            join_keys = list(entry["keys"])
+            events = pm.meta.get("schema_evolution", [])
+            if events:
+                keys_df = _apply_evolution(keys_df, events)
+                join_keys = _evolve_names(join_keys, events)
+            hit = raw.join(F.broadcast(keys_df), join_keys, "left_semi")
+        # ...that were visible at the parent (earlier vectors applied)
+        vis = _strip_dropped(self.source._apply_delete_vectors(spark, hit, pm))
+        neg = self._partial(vis)
+        flipped = [
+            (-F.col(phys)).alias(phys) if fn in ("count", "countv", "sum") else F.col(phys)
+            for phys, (fn, _c) in self._internal_cols().items()
+        ]
+        return neg.select(*self.group_by, *flipped)
 
     def _vector_paths(self, m: Manifest) -> tuple:
         return tuple(sorted(dv["path"] for dv in m.meta.get("delete_vectors", [])))
@@ -255,6 +400,10 @@ class MaterializedView:
             if view_m is not None and mode == "incremental":
                 current = self.view.read(spark, version=view_m.version)
                 merged = self._merge(current.unionByName(delta))
+            # groups whose every row was deleted leave the view — the
+            # __rows liveness counter makes a subtractive fold agree
+            # with what a full recompute (no such group) produces
+            merged = merged.where(F.col("__rows") > 0)
             staged = f"mv-{uuid.uuid4().hex[:12]}"
             merged.write.mode("errorifexists").parquet(f"{self.view.root}/{staged}")
             staged_files = self.view._data_files_under(staged)
@@ -266,6 +415,8 @@ class MaterializedView:
                 "group_by": self.group_by,
                 "aggs": {k: list(v) for k, v in self.aggs.items()},
                 "mode": mode,
+                # physical layout generation: 2 == carries __rows
+                "phys": 2,
             }
         }
 
@@ -293,6 +444,11 @@ class MaterializedView:
             elif fn == "avg":
                 cols.append(
                     (F.col(f"__sum_{name}") / F.col(f"__cnt_{name}")).alias(name)
+                )
+            elif fn == "sum":
+                # NULL when no non-null values remain (see _internal_cols)
+                cols.append(
+                    F.when(F.col(f"__cnt_{name}") > 0, F.col(f"__sum_{name}")).alias(name)
                 )
             else:
                 cols.append(F.col(f"__{fn}_{name}").alias(name))

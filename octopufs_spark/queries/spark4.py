@@ -1452,9 +1452,10 @@ def q_ext_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from octopufs_spark.manifest import ManifestTable, write_and_commit
 
     o = load(spark, sf_dir, "orders")
-    max_ck = o.agg(F.max("o_custkey")).collect()[0][0]
     day = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
-    max_day = o.agg(F.max(day)).collect()[0][0]
+    # one setup job for both grid bounds (two scalar collects was two
+    # full scans; max/max fuse into a single partial-agg pass)
+    max_ck, max_day = o.agg(F.max("o_custkey"), F.max(day)).collect()[0]
     cx = F.floor(F.col("o_custkey") * 16.0 / (max_ck + 1)).cast("long")
     cy = F.floor(day * 16.0 / (max_day + 1)).cast("long")
     zval = None

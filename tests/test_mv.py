@@ -262,3 +262,108 @@ def test_view_time_travel(spark, src, tmp_path):
         _df(spark, 0, 50)
     )
     assert _got(mv, spark) == _expect(_df(spark, 0, 100))
+
+
+SUB_AGGS = {"n": ("count", "*"), "total": ("sum", "v"), "mean": ("avg", "v")}
+
+
+def _sub_expect(df):
+    return {
+        tuple(r)
+        for r in df.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"), F.avg("v").alias("mean"))
+        .collect()
+    }
+
+
+def test_mor_delete_folds_incrementally_for_subtractable_views(spark, src, tmp_path):
+    """r7 verdict task #5: a pure MOR-delete commit is algebraically
+    subtractable for count/sum/avg — the refresh scans only the rows
+    the new vector hides (file-scoped for positional vectors), folds
+    their negated partials, and stays mode == "incremental" while
+    always matching a full recompute."""
+    from octopufs_spark.merge import delete_where_mor, delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 100), src)
+    mv = MaterializedView(src, str(tmp_path / "view"), ["g"], SUB_AGGS)
+    mv.refresh(spark)
+
+    delete_where_mor_positional(spark, src, "id < 10")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(_df(spark, 10, 100))
+
+    # equality vector: keys apply snapshot-wide, still folds
+    delete_where_mor(spark, src, spark.range(10, 20), ["id"])
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(_df(spark, 20, 100))
+
+    # append + delete hitting the appended file in ONE refresh window:
+    # the positive delta nets those rows via head-vector application,
+    # the subtract scan excludes walk-added files — no double count
+    write_and_commit(_df(spark, 100, 110), src, mode="append")
+    delete_where_mor_positional(spark, src, "id >= 105")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(_df(spark, 20, 105))
+
+
+def test_mor_delete_fold_drops_emptied_groups_and_ignores_rehidden_rows(spark, src, tmp_path):
+    """A group whose every row is MOR-deleted leaves the view (the
+    __rows liveness counter), and a positional vector naming
+    already-hidden rows subtracts nothing (visible-at-parent gate) —
+    both exactly what a recompute would produce."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 30), src)
+    mv = MaterializedView(src, str(tmp_path / "view"), ["g"], SUB_AGGS)
+    mv.refresh(spark)
+    delete_where_mor_positional(spark, src, "id % 3 = 2")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    got = {tuple(r) for r in mv.read(spark).collect()}
+    assert got == _sub_expect(_df(spark, 0, 30).where("id % 3 != 2"))
+    assert all(r[0] != 2 for r in got)  # emptied group absent
+    # a second, overlapping positional delete re-names hidden rows
+    delete_where_mor_positional(spark, src, "id % 3 = 2 or id < 3")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(
+        _df(spark, 3, 30).where("id % 3 != 2")
+    )
+
+
+def test_min_max_views_still_recompute_on_mor_delete(spark, src, tmp_path):
+    """min/max cannot subtract (the extremum may be the deleted row):
+    views declaring them keep the full-recompute fallback."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    delete_where_mor_positional(spark, src, "id >= 40")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    assert _got(mv, spark) == _expect(_df(spark, 0, 40))
+
+
+def test_subtracted_sum_goes_null_when_only_nulls_remain(spark, src, tmp_path):
+    """sum over a group whose non-null values were all deleted must
+    read NULL (what a recompute says), not 0 — the companion non-null
+    count recomposes that."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    df = spark.range(0, 6).select(
+        "id",
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") >= 2, F.col("id") * 2).alias("v"),  # ids 0,1 -> NULL v
+    )
+    write_and_commit(df, src)
+    mv = MaterializedView(src, str(tmp_path / "view"), ["g"], SUB_AGGS)
+    mv.refresh(spark)
+    delete_where_mor_positional(spark, src, "id >= 2")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    rows = {r.g: (r.n, r.total, r.mean) for r in mv.read(spark).collect()}
+    assert rows == {0: (1, None, None), 1: (1, None, None)}
