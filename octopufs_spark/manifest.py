@@ -1002,7 +1002,7 @@ class ManifestTable:
         # writes one dir), so the log replays per group and the union
         # converges on the logical schema
         if not has_parts and not evolution:
-            return finish(reader().parquet(*[f"{self.root}/{f}" for f in rel_files]))
+            return finish(reader().parquet(*self._collapse_scan_paths(rel_files)))
         groups: dict[str, list[str]] = {}
         for f in rel_files:
             top = f.split("/", 1)[0] if "/" in f else ""
@@ -1010,7 +1010,7 @@ class ManifestTable:
         dfs = [
             finish(
                 reader(f"{self.root}/{top}" if top else None).parquet(
-                    *[f"{self.root}/{f}" for f in rels]
+                    *self._collapse_scan_paths(rels)
                 )
             )
             for top, rels in sorted(groups.items())
@@ -1018,6 +1018,64 @@ class ManifestTable:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=merge_schema)
+        return out
+
+    # a staging dir below this many snapshot files is passed file-by-
+    # file: the verification listing would cost more than the py4j +
+    # driver path-status it saves
+    _DIR_COLLAPSE_MIN = 33
+
+    def _collapse_scan_paths(self, rel_files: list[str]) -> list[str]:
+        """Collapse an explicit file list to staging-DIRECTORY paths
+        wherever a whole directory is live. Spark's driver pays a
+        per-PATH cost on explicit file lists (py4j string transfer +
+        one file status each): at 50k files that is ~30 s of plan
+        build before the first task runs (tools/filecount_probe.py),
+        while handing over ~50 directories plans in under a second —
+        the same bottleneck class Delta solves with compacted
+        checkpoints, solved here on the scan side.
+
+        Safety: a directory substitutes for its files ONLY when its
+        physically-listed live parquet set EQUALS the snapshot's
+        subset (staging dirs are written once and immutable, but a
+        rewrite can retire a strict subset, and time travel can
+        reference one) — anything else keeps the exact file list.
+        Sidecars Spark ignores (_SUCCESS, dotfiles, .crc) are ignored
+        in the comparison too. One listing per candidate dir, only
+        for dirs holding >= _DIR_COLLAPSE_MIN snapshot files."""
+        import pyarrow.fs as pafs
+
+        groups: dict[str, list[str]] = {}
+        loose: list[str] = []
+        for f in rel_files:
+            if "/" in f:
+                groups.setdefault(f.split("/", 1)[0], []).append(f)
+            else:
+                loose.append(f)
+        out: list[str] = []
+        for top, fs_ in sorted(groups.items()):
+            if len(fs_) < self._DIR_COLLAPSE_MIN:
+                out.extend(f"{self.root}/{f}" for f in fs_)
+                continue
+            try:
+                infos = self.fs.get_file_info(
+                    pafs.FileSelector(f"{self.root_path}/{top}", recursive=True)
+                )
+            except OSError:
+                out.extend(f"{self.root}/{f}" for f in fs_)
+                continue
+            listed = {
+                i.path[len(self.root_path) + 1 :]
+                for i in infos
+                if i.type == pafs.FileType.File
+                and i.path.endswith(".parquet")
+                and not i.path.rsplit("/", 1)[-1].startswith(("_", "."))
+            }
+            if listed == set(fs_):
+                out.append(f"{self.root}/{top}")
+            else:
+                out.extend(f"{self.root}/{f}" for f in fs_)
+        out.extend(f"{self.root}/{f}" for f in loose)
         return out
 
     def _apply_delete_vectors(self, spark: SparkSession, df: DataFrame, m: Manifest) -> DataFrame:

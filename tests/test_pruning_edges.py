@@ -179,3 +179,29 @@ def test_bucket_probe_decimal_and_dtype_mismatch_stay_conservative(spark, table)
     # gate this int probe derived the WRONG bucket and pruned the file
     got = table.read_pruned(spark, [("amt", "=", 3)]).where("amt = 3")
     assert got.count() == 1
+
+
+def test_scan_paths_collapse_to_live_dirs_only(spark, table):
+    """High-file-count reads hand Spark staging DIRECTORIES instead of
+    per-file paths — but only when the dir's live parquet set equals
+    the snapshot's subset. A partially-retired dir, a time-travel
+    subset, and sidecar files must all keep exact results."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    write_and_commit(df.repartition(40), table)  # 40 files, one dir
+    m = table.read_manifest()
+    paths = table._collapse_scan_paths(list(m.files))
+    assert len(paths) == 1 and paths[0].rstrip("/").endswith(m.files[0].split("/", 1)[0])
+    assert table.read(spark).count() == 100
+    # a subset (rewrite retired files / pruned read) falls back to files
+    subset = list(m.files)[:-1]
+    sub_paths = table._collapse_scan_paths(subset)
+    assert len(sub_paths) == len(subset)
+    # sidecars Spark ignores don't defeat the equality check
+    with table.fs.open_output_stream(
+        f"{table.root_path}/{m.files[0].split('/', 1)[0]}/_SUCCESS"
+    ) as f:
+        f.write(b"")
+    assert len(table._collapse_scan_paths(list(m.files))) == 1
+    # below the threshold the exact list passes through untouched
+    small = list(m.files)[:5]
+    assert len(table._collapse_scan_paths(small)) == 5
