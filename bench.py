@@ -234,11 +234,17 @@ def main() -> None:
     prior_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         with open(prior_path) as f:
             prior = json.load(f)
-        prior_q = prior.get("queries") or {}
-        prior_pm = prior.get("plan_metrics") or {}
+        try:
+            same_sf = float(prior.get("sf")) == float(sf)
+        except (TypeError, ValueError):
+            same_sf = str(prior.get("sf")) == sf
+        if same_sf:  # never judge an sf1 run against the sf0.1 record
+            prior_q = prior.get("queries") or {}
+            prior_pm = prior.get("plan_metrics") or {}
     except (OSError, ValueError):
         pass
     retimed: dict[str, dict] = {}
@@ -261,7 +267,6 @@ def main() -> None:
             )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query timings always land in BENCH_FULL.json next to this
     # file — the one-line stdout contract is capped below.
     payload = {

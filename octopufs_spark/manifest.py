@@ -2537,8 +2537,58 @@ class ManifestTable:
 
     # ---------- maintenance ----------
 
+    def expire_refs(
+        self,
+        tag_max_age_seconds: float | None = None,
+        branch_max_age_seconds: float | None = None,
+    ) -> dict[str, list[str]]:
+        """Iceberg's ``maxRefAgeMs`` model: delete named refs whose
+        HEAD commit is older than the given age — the retention half
+        ``expire_snapshots`` alone cannot express, since vacuum pins
+        tagged versions and branch heads UNCONDITIONALLY (an abandoned
+        ref otherwise holds its snapshot's files forever). Age comes
+        from the referenced manifest's ``committed_at`` (deterministic,
+        travel-consistent), not file mtimes; a ref whose manifest is
+        already unreadable is released too (it pins nothing). ``None``
+        leaves that ref kind untouched. Returns the released names per
+        kind; the freed snapshots then age out through the NEXT vacuum
+        like any unpinned version — this method deletes refs only,
+        never data."""
+        import time as _time
+
+        out: dict[str, list[str]] = {"tags": [], "branches": []}
+        now = _time.time()
+
+        def _expired(version: int, max_age: float) -> bool:
+            try:
+                m = self.read_manifest(version)
+            except (FileNotFoundError, OSError):
+                return True  # pins nothing readable
+            return m.committed_at is not None and now - m.committed_at > max_age
+
+        if tag_max_age_seconds is not None:
+            for name, v in self.tags().items():
+                if _expired(v, tag_max_age_seconds):
+                    try:
+                        self.delete_tag(name)
+                        out["tags"].append(name)
+                    except FileNotFoundError:
+                        pass  # raced another expirer
+        if branch_max_age_seconds is not None:
+            for name, v in self.branches().items():
+                if _expired(v, branch_max_age_seconds):
+                    try:
+                        self.delete_branch(name)
+                        out["branches"].append(name)
+                    except FileNotFoundError:
+                        pass
+        return out
+
     def vacuum(
-        self, keep_versions: int = 1, retention_seconds: float = 86400.0
+        self,
+        keep_versions: int = 1,
+        retention_seconds: float = 86400.0,
+        branch_keep_versions: int = 1,
     ) -> list[str]:
         """Delete data files referenced by NO retained manifest (and
         prune old manifests). Unreferenced files are invisible to
@@ -2595,20 +2645,29 @@ class ManifestTable:
         #  - Staged WAP snapshots themselves are protected only by the
         #    retention window: an audit in flight (younger than the
         #    window) is safe, an abandoned one expires like any orphan.
-        #  - Every BRANCH HEAD is pinned (the ref names it); older
-        #    branch commits and CAS-orphaned manifests age out through
-        #    the retention window like staged snapshots.
+        #  - Every BRANCH HEAD is pinned (the ref names it), and
+        #    ``branch_keep_versions`` (default 1 == head only) extends
+        #    the pin down each branch's parent chain — per-branch
+        #    retention, the Iceberg ``minSnapshotsToKeep`` per ref.
+        #    CAS-orphaned manifests age out through the retention
+        #    window like staged snapshots.
+        if branch_keep_versions < 1:
+            raise ValueError("branch_keep_versions must be >= 1")
         keep: set[int] = set(self.tags().values())
-        keep.update(self.branches().values())
-        v = self.current_version()
-        walked = 0
-        while v is not None and walked < keep_versions:
-            keep.add(v)
-            walked += 1
-            try:
-                v = self.read_manifest(v).parent
-            except FileNotFoundError:
-                break  # older lineage already pruned (transient errors propagate)
+
+        def _walk_keep(start: int | None, n: int) -> None:
+            v, walked = start, 0
+            while v is not None and walked < n:
+                keep.add(v)
+                walked += 1
+                try:
+                    v = self.read_manifest(v).parent
+                except FileNotFoundError:
+                    break  # older lineage already pruned (transient errors propagate)
+
+        for bh in self.branches().values():
+            _walk_keep(bh, branch_keep_versions)
+        _walk_keep(self.current_version(), keep_versions)
         entries = [
             el for el in list_tree(self.root, tolerate_vanished=True) if not el.is_dir
         ]

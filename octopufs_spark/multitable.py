@@ -133,6 +133,19 @@ def _reapply_append_content(t: ManifestTable, m: Manifest, spark: SparkSession) 
             raise ValueError(
                 f"staged snapshot v{staged_v} was aborted at v{at}; nothing to re-apply"
             )
+        live_hp = {
+            k: tuple(v[:3])
+            for k, v in ((parent.meta.get("hidden_partitions") if parent else None) or {}).items()
+        }
+        if live_hp != hp:
+            # the hidden layout moved again between our scan and this
+            # commit: our rewritten files carry the OBSERVED layout's
+            # dir values, and mixing specs under one meta would let
+            # bucket pruning skip them — abort cleanly, rerun heal
+            raise ConcurrentModificationError(
+                f"hidden layout of {t.root} changed while re-applying staged "
+                f"v{staged_v} by content — rerun heal()"
+            )
         pf = set(parent.files) if parent else set()
         return sorted((parent.files if parent else []) + [f for f in content if f not in pf])
 

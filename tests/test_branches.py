@@ -624,3 +624,54 @@ def test_tag_can_pin_branch_commit(spark, table):
     table.vacuum(keep_versions=1, retention_seconds=0)
     # the ref is gone but the tag still pins the snapshot
     assert _ids(table.read(spark, tag="dev-snap")) == set(range(15))
+
+
+def test_branch_keep_versions_extends_per_branch_retention(spark, table):
+    """vacuum(branch_keep_versions=N) pins the top N commits of EVERY
+    branch lineage (Iceberg per-ref minSnapshotsToKeep), not just the
+    head — branch time travel survives maintenance the way main's
+    keep_versions already does."""
+    write_and_commit(_df(spark, 0, 5), table)
+    table.create_branch("dev")
+    for lo in (10, 20, 30):
+        write_and_commit(_df(spark, lo, lo + 5), table, mode="append", branch="dev")
+    dev_head = table.branch_head("dev")
+    write_and_commit(_df(spark, 90, 95), table, mode="append")  # main advances
+    table.vacuum(keep_versions=1, retention_seconds=0, branch_keep_versions=2)
+    # head and head-1 of the branch stay readable...
+    got = {r.id for r in table.read(spark, version=dev_head).collect()}
+    assert got == set(range(5)) | set(range(10, 15)) | set(range(20, 25)) | set(range(30, 35))
+    parent = table.read_manifest(dev_head).parent
+    assert {r.id for r in table.read(spark, version=parent).collect()} == set(
+        range(5)
+    ) | set(range(10, 15)) | set(range(20, 25))
+    # ...while head-2 aged out
+    grandparent = table.read_manifest(parent).parent
+    with pytest.raises(FileNotFoundError):
+        table.read_manifest(grandparent)
+    with pytest.raises(ValueError, match="branch_keep_versions"):
+        table.vacuum(branch_keep_versions=0)
+
+
+def test_expire_refs_releases_aged_out_tags_and_branches(spark, table):
+    """expire_refs deletes refs whose HEAD commit is older than the
+    max age (Iceberg maxRefAgeMs): without it an abandoned tag or
+    branch pins its snapshot's files forever. Ref deletion only —
+    the freed snapshots age out via the next vacuum."""
+    write_and_commit(_df(spark, 0, 5), table)
+    table.create_tag("old-release")
+    table.create_branch("stale-dev")
+    import time
+
+    time.sleep(1.1)
+    write_and_commit(_df(spark, 10, 15), table, mode="append")
+    table.create_tag("fresh-release")
+    out = table.expire_refs(tag_max_age_seconds=1.0, branch_max_age_seconds=1.0)
+    assert out == {"tags": ["old-release"], "branches": ["stale-dev"]}
+    assert "fresh-release" in table.tags() and "old-release" not in table.tags()
+    assert table.branches() == {}
+    # None leaves a kind untouched
+    assert table.expire_refs(tag_max_age_seconds=None, branch_max_age_seconds=None) == {
+        "tags": [],
+        "branches": [],
+    }
