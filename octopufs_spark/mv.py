@@ -328,6 +328,7 @@ class MaterializedView:
             )
         else:
             affected = sorted(set(pm.files) - pre_added)
+            affected = self._prune_equality_affected(affected, pm, entry)
         if not affected:
             return None  # every hit file enters via the positive delta
         need_pos = positional or self.source._has_positional_dvs(pm)
@@ -381,6 +382,43 @@ class MaterializedView:
         except (FileNotFoundError, OSError):
             return None
 
+    def _prune_equality_affected(self, affected: list[str], pm, entry: dict) -> list[str]:
+        """Equality vectors apply snapshot-wide, but the files a
+        specific vector can HIT are bounded by its key range: the
+        vector parquet is tiny by construction (delete_where_mor
+        stages only the deleted keys), so its single key column's
+        min/max read driver-side, and the source's own prune_plan —
+        zone maps, hive segments, hidden-partition derivation, alias
+        chains, every conservative fallback included — drops parent
+        files whose interval cannot contain ANY deleted key. At 100 TB
+        this turns 'subtract a 0.1% delete' from a parent-wide scan
+        into the handful of files the keys span. Multi-key vectors and
+        stat-less tables pass through unpruned (still correct, just
+        unoptimized)."""
+        keys = list(entry.get("keys") or [])
+        if len(keys) != 1 or not (pm.meta.get("file_stats") or {}):
+            return affected
+        try:
+            import pyarrow.parquet as pq
+
+            col = pq.read_table(
+                f"{self.source.root_path}/{entry['path']}",
+                columns=keys,
+                filesystem=self.source.fs,
+            ).column(0)
+            import pyarrow.compute as pc
+
+            kmin, kmax = pc.min(col).as_py(), pc.max(col).as_py()
+        except Exception:
+            return affected  # unreadable vector: stay conservative
+        if kmin is None or kmax is None:
+            return affected
+        keep, _skipped = self.source.prune_plan(
+            [(keys[0], ">=", kmin), (keys[0], "<=", kmax)], version=pm.version
+        )
+        keep_set = set(keep)
+        return [f for f in affected if f in keep_set]
+
     def _publish(
         self,
         spark: SparkSession,
@@ -431,6 +469,46 @@ class MaterializedView:
             return sorted(staged_files)
 
         return self.view._commit_with_retry(build, "mv-refresh", meta)
+
+    # ---------- continuous maintenance ----------
+
+    def maintain_stream(self, spark: SparkSession, checkpoint: str, **trigger):
+        """Keep the view current from the source's commit STREAM: a
+        Structured Streaming query over ``manifest_stream`` whose
+        foreachBatch callback's only job is SCHEDULING — each
+        micro-batch triggers one :meth:`refresh`. The batch rows are
+        deliberately ignored: refresh re-derives its delta from the
+        commit log itself (it must — delete vectors and non-append
+        commits never ride the row stream), and it is idempotent and
+        CAS-guarded, so a checkpoint replay's duplicate trigger is a
+        no-op rather than a double fold. ``skipChangeCommits`` keeps
+        the scheduler alive across OPTIMIZE/MERGE on the source (those
+        commits fold — or recompute — at the next tick; a DELETE-only
+        commit with no later append folds on the next manual refresh,
+        since a row stream has nothing to deliver for it).
+
+        ``trigger`` kwargs pass through (``availableNow=True`` for a
+        catch-up run, ``processingTime="30 seconds"`` for steady
+        maintenance). Returns the StreamingQuery — ``stop()`` pauses
+        maintenance; the view's state lives in its own commit log, so
+        a later query (or plain refresh) resumes exactly."""
+        from octopufs_spark.sources import register_manifest_stream
+
+        register_manifest_stream(spark)
+        src = (
+            spark.readStream.format("manifest_stream")
+            .option("path", self.source.root)
+            .option("skipChangeCommits", "true")
+            .load()
+        )
+
+        def _tick(_batch_df, _batch_id):
+            self.refresh(spark)
+
+        writer = src.writeStream.foreachBatch(_tick).option("checkpointLocation", checkpoint)
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
 
     # ---------- read ----------
 

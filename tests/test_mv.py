@@ -367,3 +367,59 @@ def test_subtracted_sum_goes_null_when_only_nulls_remain(spark, src, tmp_path):
     assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
     rows = {r.g: (r.n, r.total, r.mean) for r in mv.read(spark).collect()}
     assert rows == {0: (1, None, None), 1: (1, None, None)}
+
+
+def test_equality_delete_fold_prunes_affected_files(spark, src, tmp_path):
+    """An equality vector applies snapshot-wide, but its KEY RANGE
+    bounds which parent files it can hit: with zone-map stats on the
+    source, the subtract scan drops files whose interval misses every
+    deleted key — and the fold still matches a recompute exactly."""
+    from octopufs_spark.merge import delete_where_mor
+
+    for lo in (0, 100, 200):
+        write_and_commit(
+            _df(spark, lo, lo + 100), src, mode="append" if lo else "overwrite", stats=True
+        )
+    mv = MaterializedView(src, str(tmp_path / "view"), ["g"], SUB_AGGS)
+    mv.refresh(spark)
+    delete_where_mor(spark, src, spark.range(150, 160), ["id"])
+    m = src.read_manifest()
+    entry = m.meta["delete_vectors"][-1]
+    pm = src.read_manifest(m.parent)
+    affected = mv._prune_equality_affected(sorted(pm.files), pm, entry)
+    assert affected and set(affected) < set(pm.files)  # strictly pruned
+    stats = pm.meta["file_stats"]
+    for f in affected:  # every kept file's interval intersects [150, 159]
+        assert stats[f]["min"]["id"] <= 159 and stats[f]["max"]["id"] >= 150
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(
+        _df(spark, 0, 300).where("id < 150 or id >= 160")
+    )
+
+
+def test_maintain_stream_refreshes_view(spark, src, tmp_path):
+    """maintain_stream: the source's commit stream schedules refreshes
+    (foreachBatch = one refresh tick); duplicate/replayed ticks are
+    no-ops via the refresh CAS, and the view converges to a recompute
+    after appends and MOR deletes land."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = MaterializedView(src, str(tmp_path / "view"), ["g"], SUB_AGGS)
+    mv.refresh(spark)
+    write_and_commit(_df(spark, 50, 80), src, mode="append")
+    delete_where_mor_positional(spark, src, "id < 10")
+    write_and_commit(_df(spark, 80, 90), src, mode="append")
+    q = mv.maintain_stream(spark, str(tmp_path / "ckpt"), availableNow=True)
+    q.awaitTermination(120)
+    assert mv.last_refreshed_source_version() == src.current_version()
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(
+        _df(spark, 10, 90)
+    )
+    # a second catch-up run with the same checkpoint is a clean no-op
+    q2 = mv.maintain_stream(spark, str(tmp_path / "ckpt"), availableNow=True)
+    q2.awaitTermination(120)
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(
+        _df(spark, 10, 90)
+    )
