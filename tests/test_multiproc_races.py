@@ -67,8 +67,28 @@ def _race_worker(root: str, wid: int, out: "mp.Queue") -> None:
     results = []
     for i in range(OPS_PER_PROC):
         marker = f"w{wid}-{i}"
-        op = rng.choice(["append", "append", "wap", "branch_ff"])
+        op = rng.choice(["append", "append", "wap", "branch_ff", "mor"])
         try:
+            if op == "mor":
+                # equality delete vector: the commit half of
+                # delete_where_mor (the vector parquet itself needs no
+                # Spark) — races the meta-carry path against appends
+                dv_rel = f"_dv/dv-{marker}.parquet"
+                os.makedirs(f"{root}/_dv", exist_ok=True)
+                pq.write_table(pa.table({"id": [wid]}), f"{root}/{dv_rel}")
+
+                def mor_build(parent):
+                    if parent is None:
+                        raise ValueError("MOR delete requires a snapshot")
+                    return list(parent.files)
+
+                t._commit_with_retry(
+                    mor_build,
+                    "delete_mor",
+                    {"delete_vectors": [{"path": dv_rel, "keys": ["id"]}]},
+                )
+                results.append((marker, op, "ok"))
+                continue
             staged = _stage(root, marker)
             if op == "append":
                 t._commit_with_retry(_append_build(t, staged), "append", None)
@@ -145,8 +165,14 @@ def test_cross_process_commit_races_keep_log_linear(tmp_path):
     head_markers = {
         f.split("/", 1)[0].removeprefix("data-") for f in head.files
     }
-    lost = [m for m, _op, _r in oks if m not in head_markers]
-    assert lost == [], f"committed rows missing from the head: {lost}"
+    head_vectors = {dv["path"] for dv in head.meta.get("delete_vectors", [])}
+    lost = [
+        m
+        for m, op, _r in oks
+        if (op != "mor" and m not in head_markers)
+        or (op == "mor" and f"_dv/dv-{m}.parquet" not in head_vectors)
+    ]
+    assert lost == [], f"committed rows/vectors missing from the head: {lost}"
 
     # --- clean-conflict rows are genuinely absent (no half-commits) ---
     conflicted = [m for m, _op, r in flat if r == "conflict"]
