@@ -523,7 +523,17 @@ class MultiTableTransaction:
             except FileExistsError:
                 if t.tag_version(self.txn_id) != pin["version"]:
                     raise  # a different snapshot under this txn id
-        cv = self.catalog._commit_pins(self._staged, "catalog-txn", self._expected)
+        try:
+            cv = self.catalog._commit_pins(self._staged, "catalog-txn", self._expected)
+        except BaseException:
+            # the flip never landed: release the durable pins now (a
+            # crash here instead leaves them for release_stale_txn_tags)
+            for _name, pin in self._staged.items():
+                try:
+                    ManifestTable(pin["root"]).delete_tag(self.txn_id)
+                except (FileNotFoundError, OSError):
+                    pass
+            raise
         self._done = True
         # phase 2: converge each table's main head + re-pin so the pin
         # outlives the staged manifest's retention window

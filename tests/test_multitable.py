@@ -533,3 +533,18 @@ def test_release_stale_txn_tags_sweeps_preflip_orphans(spark, setup):
     assert [t for t in a.tags() if t.startswith("txn-")] == [txn.txn_id]
     cat.heal()
     assert _ids(a.read(spark)) == set(range(15))
+
+
+def test_conflicted_flip_releases_durable_tags(spark, setup):
+    """A transaction whose catalog flip ABORTS (write-write conflict)
+    must release the durable tags it created pre-flip — otherwise the
+    loser's tags pin its dead staged snapshots until the stale-tag
+    sweeper's grace window."""
+    cat, a, b = setup
+    t1, t2 = cat.transaction(), cat.transaction()
+    t1.write("a", _df(spark, 10, 15), mode="append")
+    t2.write("a", _df(spark, 20, 25), mode="append")
+    t1.commit()
+    with pytest.raises(ConcurrentModificationError):
+        t2.commit()
+    assert not [t for t in a.tags() if t.startswith("txn-")]
