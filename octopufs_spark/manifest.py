@@ -1054,7 +1054,14 @@ class ManifestTable:
                 loose.append(f)
         out: list[str] = []
         for top, fs_ in sorted(groups.items()):
-            if len(fs_) < self._DIR_COLLAPSE_MIN:
+            # Spark reads a directory NON-recursively (hive k=v subdirs
+            # are the exception, via partition discovery) — a group
+            # holding files under non-hive subdirs must keep its exact
+            # list or the nested files silently drop from the scan
+            flat_or_hive = all(
+                all("=" in seg for seg in f.split("/")[1:-1]) for f in fs_
+            )
+            if len(fs_) < self._DIR_COLLAPSE_MIN or not flat_or_hive:
                 out.extend(f"{self.root}/{f}" for f in fs_)
                 continue
             try:

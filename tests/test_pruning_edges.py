@@ -205,3 +205,25 @@ def test_scan_paths_collapse_to_live_dirs_only(spark, table):
     # below the threshold the exact list passes through untouched
     small = list(m.files)[:5]
     assert len(table._collapse_scan_paths(small)) == 5
+
+
+def test_scan_paths_never_collapse_nested_nonhive_files(spark, table):
+    """Spark reads a directory non-recursively (hive k=v subdirs
+    excepted): a group with files under a non-hive subdir must keep
+    its exact list, or the nested rows silently drop from every
+    scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({"id": list(range(5))})
+    files = []
+    import os
+
+    os.makedirs(f"{table.root_path}/data-x/sub", exist_ok=True)
+    for i in range(40):
+        p = f"data-x/sub/nested-{i}.parquet" if i == 0 else f"data-x/part-{i}.parquet"
+        pq.write_table(tbl, f"{table.root_path}/{p}")
+        files.append(p)
+    table._commit_with_retry(lambda parent: sorted(files), "commit", None)
+    assert len(table._collapse_scan_paths(sorted(files))) == 40  # exact list kept
+    assert table.read(spark).count() == 200  # nested rows present
