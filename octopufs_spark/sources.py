@@ -523,7 +523,22 @@ class ManifestStreamReader(DataSourceStreamReader):
         else:
             v = max(0, int(self.starting_version) - 1)
         self._pos = (v, None)
-        return {"version": v}
+        return self._offset(v)
+
+    def _offset(self, v: int, index: int | None = None) -> dict:
+        """Offsets of a BRANCH stream carry the pinned incarnation
+        (the fork base): a branch deleted and re-created under the
+        same name is a DIFFERENT line whose version offsets mean
+        different commits — a restarted query must detect the swap
+        from its checkpoint instead of silently mixing the two
+        histories (double-delivering post-old-fork main commits or
+        skipping the new line's). Main streams keep the bare shape."""
+        off: dict = {"version": v}
+        if index is not None:
+            off["index"] = index
+        if self.branch_name is not None and self._branch_base is not None:
+            off["branch_base"] = self._branch_base
+        return off
 
     def _version_before_timestamp(self, ts) -> int:
         """Offset base for ``startingTimestamp``: the newest version
@@ -569,25 +584,36 @@ class ManifestStreamReader(DataSourceStreamReader):
         table = self._table()
         latest = table.latest_version() or 0
         if self.max_files is None or self._pos is None:
-            return {"version": latest}
+            return self._offset(latest)
         v, done = self._pos
         if done is None:
             if v >= latest:
-                return {"version": latest}
+                return self._offset(latest)
             v, done = v + 1, 0
         budget = self.max_files
         while True:
             files = self._added_of(table, v)
             remaining = len(files) - done
             if remaining > budget:
-                return {"version": v, "index": done + budget}
+                return self._offset(v, index=done + budget)
             budget -= remaining
             if v >= latest or budget <= 0:
-                return {"version": v}
+                return self._offset(v)
             v, done = v + 1, 0
 
     def partitions(self, start: dict, end: dict):
         table = self._table()
+        if self.branch_name is not None:
+            for off in (start, end):
+                base = off.get("branch_base")
+                if base is not None and base != self._branch_base:
+                    raise ValueError(
+                        f"manifest_stream: branch {self.branch_name!r} of "
+                        f"{self.path} was re-created (checkpoint pinned fork "
+                        f"base v{base}, the live branch forks at "
+                        f"v{self._branch_base}) — its version offsets name a "
+                        "different history; restart with a fresh checkpoint"
+                    )
         s_v, s_i = start["version"], start.get("index")
         e_v, e_i = end["version"], end.get("index")
         self._advance(s_v, s_i)

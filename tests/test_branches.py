@@ -675,3 +675,47 @@ def test_expire_refs_releases_aged_out_tags_and_branches(spark, table):
         "tags": [],
         "branches": [],
     }
+
+
+def test_branch_stream_detects_recreated_branch(spark, table, tmp_path):
+    """Branch offsets carry the pinned fork base: a checkpointed query
+    restarted after the branch was deleted and re-created under the
+    same name must FAIL with a clear error — the new incarnation's
+    version offsets name a different history, and silently following
+    it could double-deliver post-old-fork main commits."""
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    write_and_commit(_df(spark, 0, 5), table)
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run():
+        s = (
+            spark.readStream.format("manifest_stream")
+            .option("path", table.root)
+            .option("branch", "dev")
+            .load()
+        )
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run()
+    q.awaitTermination(120)
+    assert {r.id for r in spark.read.parquet(out).collect()} == set(range(5)) | set(
+        range(10, 15)
+    )
+    # re-create the branch from a later fork (a different incarnation)
+    write_and_commit(_df(spark, 20, 25), table, mode="append")
+    table.delete_branch("dev")
+    table.create_branch("dev")
+    write_and_commit(_df(spark, 30, 35), table, mode="append", branch="dev")
+    q2 = run()
+    with pytest.raises(Exception, match="re-created"):
+        q2.awaitTermination(120)
