@@ -201,7 +201,26 @@ def main() -> None:
     metrics = StageMetrics(spark)
     timings: dict[str, float] = {}
     plan_metrics: dict[str, dict] = {}
-    for name, fn in queries.items():
+    # Load sentinel: a fixed trivial job timed every SENTINEL_EVERY
+    # queries. Its work never changes, so its timing series is a pure
+    # machine-load trace — a reader of the record can tell "this
+    # segment ran under contention" apart from "these queries
+    # regressed" (the r7 record shipped five 7–14× phantoms exactly
+    # because nothing recorded the load).
+    SENTINEL_EVERY = 20
+    sentinel: list[float] = []
+
+    def sentinel_tick() -> None:
+        t0 = time.perf_counter()
+        spark.range(2_000_000).selectExpr("sum(id) s").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sentinel.append(round(time.perf_counter() - t0, 3))
+
+    sentinel_tick()
+    for qi, (name, fn) in enumerate(queries.items()):
+        if qi and qi % SENTINEL_EVERY == 0:
+            sentinel_tick()
         samples: list[float] = []
         failed = False
         for it in range(iters):
@@ -278,6 +297,8 @@ def main() -> None:
     }
     if retimed:
         payload["outlier_retimed"] = retimed
+    sentinel_tick()  # closing sample brackets the sweep
+    payload["load_sentinel"] = sentinel
     # BENCH_OUT redirects the full per-query record (e.g. BENCH_SF1.json
     # for the scale sweep) so off-default runs don't clobber the sf0.1
     # record the plan-metrics gate baselines against. A BENCH_ONLY
