@@ -120,8 +120,67 @@ class MaterializedView:
     def _subtractable(self) -> bool:
         """count/sum/avg partials are group-commutative under row
         REMOVAL too (subtract the removed rows' partials); min/max are
-        not — deleting the extremum needs a rescan of its group."""
-        return all(fn in ("count", "sum", "avg") for fn, _ in self.aggs.values())
+        only CONDITIONALLY so — a deleted row strictly inside its
+        group's (stored_min, stored_max) open interval cannot change
+        either, which the fold verifies per delete commit
+        (:meth:`_minmax_fold_unsafe`); a delete touching any stored
+        extremum falls back to one full recompute."""
+        return all(fn in ("count", "sum", "avg", "min", "max") for fn, _ in self.aggs.values())
+
+    def _minmax_cols(self) -> list[tuple[str, str]]:
+        return [
+            (phys, fn)
+            for phys, (fn, _c) in self._internal_cols().items()
+            if fn in ("min", "max")
+        ]
+
+    def _null_minmax(self, df: DataFrame) -> DataFrame:
+        """NULL the min/max physical columns of a negative delta whose
+        deleted extremes were verified harmless: min/max merge fns
+        ignore NULL, so the stored extremum survives the merge."""
+        mm = {phys for phys, _fn in self._minmax_cols()}
+        if not mm:
+            return df
+        return df.select(
+            *self.group_by,
+            *[
+                F.lit(None).cast(df.schema[phys].dataType).alias(phys)
+                if phys in mm
+                else F.col(phys)
+                for phys in self._internal_cols()
+            ],
+        )
+
+    def _minmax_fold_unsafe(self, spark: SparkSession, negatives: list[DataFrame], view_m) -> bool:
+        """True when any deleted row TIES OR PASSES its group's stored
+        extremum for any declared min/max — removal could then raise
+        the min / lower the max, which only a rescan of that group can
+        recompute (multiplicity is not stored). The negatives carry
+        the DELETED rows' per-group extremes in their min/max physical
+        columns, so the check is one broadcast-size join against the
+        current view. NULL deleted extremes (all-NULL deleted values)
+        never flag — NULLs cannot hold an extremum."""
+        mm = self._minmax_cols()
+        if not mm or not negatives:
+            return False
+        deleted = negatives[0]
+        for n in negatives[1:]:
+            deleted = deleted.unionByName(n)
+        dmm = deleted.groupBy(*self.group_by).agg(
+            *[getattr(F, fn)(phys).alias(phys) for phys, fn in mm]
+        )
+        cur = self.view.read(spark, version=view_m.version)
+        j = dmm.alias("d").join(cur.alias("v"), self.group_by, "inner")
+        conds = [
+            (F.col(f"d.{phys}") <= F.col(f"v.{phys}"))
+            if fn == "min"
+            else (F.col(f"d.{phys}") >= F.col(f"v.{phys}"))
+            for phys, fn in mm
+        ]
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return j.where(cond).limit(1).count() > 0
 
     def _partial(self, df: DataFrame) -> DataFrame:
         if self.filter is not None:
@@ -251,15 +310,29 @@ class MaterializedView:
             except _ParentPruned:
                 incremental = False  # a subtract scan lost its parent
             else:
-                delta = None
-                if added:
-                    delta = self._added_rows_partial(spark, added, src_head)
-                for n in negatives:
-                    if n is not None:
-                        delta = n if delta is None else delta.unionByName(n)
-                if delta is None:  # deletes netted entirely against adds
-                    return self._publish(spark, None, src_head, view_m, mode="noop")
-                return self._publish(spark, delta, src_head, view_m, mode="incremental")
+                negatives = [n for n in negatives if n is not None]
+                if self._minmax_fold_unsafe(spark, negatives, view_m):
+                    # a deleted row ties/passes a stored extremum: only
+                    # a rescan can recompute that group's min/max
+                    incremental = False
+                else:
+                    delta = None
+                    if added:
+                        delta = self._added_rows_partial(spark, added, src_head)
+                    for n in negatives:
+                        # deleted extremes verified harmless — NULL them
+                        # so the merge keeps the stored min/max instead
+                        # of folding the deleted values back in
+                        delta = (
+                            self._null_minmax(n)
+                            if delta is None
+                            else delta.unionByName(self._null_minmax(n))
+                        )
+                    if delta is None:  # deletes netted entirely against adds
+                        return self._publish(spark, None, src_head, view_m, mode="noop")
+                    return self._publish(
+                        spark, delta, src_head, view_m, mode="incremental"
+                    )
         if incremental:
             delta = self._added_rows_partial(spark, added, src_head)
             return self._publish(spark, delta, src_head, view_m, mode="incremental")

@@ -423,3 +423,28 @@ def test_maintain_stream_refreshes_view(spark, src, tmp_path):
     assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(
         _df(spark, 10, 90)
     )
+
+
+def test_min_max_views_fold_when_extrema_untouched(spark, src, tmp_path):
+    """min/max views fold a MOR delete whose rows sit strictly inside
+    every group's stored (min, max): removal cannot move either, so
+    the fold NULLs the deleted extremes out of the merge — and one
+    deleted row tying an extremum still forces the recompute."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    delete_where_mor_positional(spark, src, "id >= 20 and id < 30")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    assert _got(mv, spark) == _expect(
+        _df(spark, 0, 50).where("id < 20 or id >= 30")
+    )
+    # now hit a stored maximum: ids 47..49 hold the per-group maxima
+    delete_where_mor_positional(spark, src, "id = 49")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    assert _got(mv, spark) == _expect(
+        _df(spark, 0, 50).where("(id < 20 or id >= 30) and id != 49")
+    )
