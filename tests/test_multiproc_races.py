@@ -236,3 +236,107 @@ def test_cross_process_catalog_pin_flips_merge(tmp_path):
     # the catalog log itself stayed linear
     vs = cat.log.versions()
     assert vs == list(range(vs[0], vs[0] + len(vs)))
+
+
+def _spark_worker(root: str, role: str, n_ops: int, out: "mp.Queue") -> None:
+    """A worker with its OWN SparkSession (own JVM): appender,
+    compactor, or MOR deleter racing on one table."""
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_CPUS"] = "4"
+    from pyspark.sql import functions as F
+
+    from octopufs_spark.manifest import (
+        ConcurrentModificationError as CME,
+    )
+    from octopufs_spark.manifest import (
+        ManifestTable,
+        compact_and_commit,
+        write_and_commit,
+    )
+    from octopufs_spark.merge import delete_where_mor
+    from octopufs_spark.session import get_spark
+
+    spark = get_spark(f"race_{role}", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(root)
+    done = []
+    try:
+        for i in range(n_ops):
+            try:
+                if role == "appender":
+                    lo = (hash(role) % 7 + i) * 1000 + 100_000
+                    write_and_commit(
+                        spark.range(lo, lo + 50).withColumn("v", F.col("id")),
+                        t,
+                        mode="append",
+                    )
+                    done.append(("append", lo, "ok"))
+                elif role == "compactor":
+                    compact_and_commit(spark, t)
+                    done.append(("compact", i, "ok"))
+                else:  # deleter: MOR-delete a unique sliver
+                    keys = spark.range(i * 7, i * 7 + 3)
+                    delete_where_mor(spark, t, keys, ["id"])
+                    done.append(("delete", i, "ok"))
+            except CME:
+                done.append((role, i, "conflict"))
+            except RuntimeError as e:
+                if "lost the" in str(e) and "race" in str(e):
+                    done.append((role, i, "conflict"))
+                else:
+                    raise
+    except Exception as e:  # noqa: BLE001
+        done.append((role, -1, f"ERROR:{type(e).__name__}:{e}"))
+    finally:
+        out.put((role, done))
+        spark.stop()
+
+
+def test_cross_process_spark_compaction_merge_races(tmp_path, spark):
+    """Full-stack race: three real Spark JVMs (appender, compactor,
+    MOR deleter) hammer one table. Afterward the log must be linear
+    and the CONTENT must equal exactly: seed + successful appends,
+    minus successfully deleted keys — compaction and vectors racing
+    appends must neither lose nor resurrect a row."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    t = ManifestTable(root)
+    from octopufs_spark.manifest import write_and_commit
+
+    write_and_commit(spark.range(0, 1000).withColumn("v", F.col("id")), t)
+
+    ctx = mp.get_context("spawn")
+    out: mp.Queue = ctx.Queue()
+    roles = [("appender", 8), ("compactor", 5), ("deleter", 6)]
+    procs = [
+        ctx.Process(target=_spark_worker, args=(root, role, n, out))
+        for role, n in roles
+    ]
+    for p in procs:
+        p.start()
+    results = dict(out.get(timeout=540) for _ in procs)
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+
+    flat = [r for rs in results.values() for r in rs]
+    errors = [r for r in flat if str(r[2]).startswith("ERROR")]
+    assert errors == [], f"non-conflict failures: {errors}"
+
+    vs = t.versions()
+    assert vs == list(range(vs[0], vs[0] + len(vs))), "version gaps/duplicates"
+
+    expected = set(range(1000))
+    for op, lo, r in results["appender"]:
+        if r == "ok":
+            expected |= set(range(lo, lo + 50))
+    for op, i, r in results["deleter"]:
+        if r == "ok":
+            expected -= set(range(i * 7, i * 7 + 3))
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == expected, (
+        f"content drift: {len(got - expected)} resurrected, "
+        f"{len(expected - got)} lost"
+    )
