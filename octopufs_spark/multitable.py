@@ -429,15 +429,24 @@ class Catalog:
                     out.setdefault(name, []).append(tag)
         return out
 
-    def heal(self, spark: SparkSession | None = None) -> dict[str, int]:
+    def heal(
+        self,
+        spark: SparkSession | None = None,
+        release_stale_txn_tags_after: float | None = None,
+    ) -> dict[str, int]:
         """Complete the convergence steps of any committed transaction
         that crashed between its catalog flip and its table publishes:
         publish still-staged pinned snapshots and re-pin them at the
         published versions. With ``spark``, stagings wedged by a
         schema/layout change since staging are re-applied by content
         (without it those raise :class:`WedgedConvergenceError` and
-        stay durably pinned). Idempotent; returns {name: converged-to
+        stay durably pinned). ``release_stale_txn_tags_after`` also
+        runs :meth:`release_stale_txn_tags` with that grace window, so
+        one periodic ``heal(spark, 86400)`` call is a complete
+        maintenance pass. Idempotent; returns {name: converged-to
         version} for work actually done."""
+        if release_stale_txn_tags_after is not None:
+            self.release_stale_txn_tags(release_stale_txn_tags_after)
         out: dict[str, int] = {}
         for name, pin in self.snapshot().items():
             converged = self._converge(name, pin, spark=spark)
