@@ -1474,9 +1474,26 @@ class ManifestTable:
                     )
                 # s carried the base's evolution log / hidden layout at
                 # stage time (a pure append never alters either), so the
-                # staged meta doubles as the base's copy for this check
-                for key in ("schema_evolution", "hidden_partitions"):
-                    if (parent.meta.get(key) or None) != (s.meta.get(key) or None):
+                # staged meta doubles as the base's copy for this check.
+                # Hidden specs compare on their LAYOUT identity (kind,
+                # src, param) only: the optional 4th element is the
+                # probe-gate dtype annotation, which upgraded writers
+                # add to otherwise-identical specs — raw list equality
+                # would spuriously conflict a pure append whose physical
+                # layout never moved.
+                def _layout(meta: dict):
+                    hp = meta.get("hidden_partitions") or None
+                    if hp is None:
+                        return None
+                    return {k: tuple(v[:3]) for k, v in hp.items()}
+
+                checks = [
+                    ("schema_evolution", parent.meta.get("schema_evolution") or None,
+                     s.meta.get("schema_evolution") or None),
+                    ("hidden_partitions", _layout(parent.meta), _layout(s.meta)),
+                ]
+                for key, a, b in checks:
+                    if a != b:
                         raise ConcurrentModificationError(
                             f"table {key} changed since v{v} was staged against "
                             f"v{base_v} — the staged files were written under the "
@@ -1585,14 +1602,24 @@ class ManifestTable:
         m = self.read_manifest(version)  # forking a vanished version pins nothing
         refdir = self._branch_dir(name)
         self.fs.create_dir(refdir, recursive=True)
-        self._cas_ref(refdir, 1, m.version)
+        # the incarnation nonce distinguishes THIS branch line from a
+        # later delete+recreate under the same name — even from the
+        # same fork base, which (name, base) alone cannot tell apart.
+        # Branch commits stamp it; streams pin it and refuse commits
+        # (and checkpoints) of another incarnation.
+        self._cas_ref(refdir, 1, m.version, incarnation=uuid.uuid4().hex[:12])
         return m.version
 
-    def _cas_ref(self, refdir: str, seq: int, version: int) -> None:
+    def _cas_ref(
+        self, refdir: str, seq: int, version: int, incarnation: str | None = None
+    ) -> None:
         final = f"{refdir}/{seq}.json"
         tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+        payload: dict = {"version": version}
+        if incarnation is not None:
+            payload["incarnation"] = incarnation
         with self.fs.open_output_stream(tmp) as f:
-            f.write(json.dumps({"version": version}).encode())
+            f.write(json.dumps(payload).encode())
         try:
             self._no_overwrite_move(tmp, final)
         except Exception:
@@ -1602,8 +1629,9 @@ class ManifestTable:
                 pass
             raise
 
-    def _branch_head_seq(self, name: str) -> tuple[int, int]:
-        """(seq, version) of the branch's newest ref entry."""
+    def _branch_head_seq(self, name: str) -> tuple[int, int, str | None]:
+        """(seq, version, incarnation) of the branch's newest ref
+        entry (incarnation None for refs created before the nonce)."""
         refdir = self._branch_dir(name)
         try:
             infos = list_tree(refdir.replace(self.root_path, self.root, 1))
@@ -1622,18 +1650,23 @@ class ManifestTable:
                 # heads from this resolution)
                 try:
                     with self.fs.open_input_stream(el.path) as f:
-                        ver = int(json.loads(f.read().decode())["version"])
+                        payload = json.loads(f.read().decode())
+                        ver = int(payload["version"])
                 except FileNotFoundError:
                     continue  # ref deleted between listing and read
                 except (ValueError, KeyError):
                     continue  # foreign file
-                best = (seq, ver)
+                best = (seq, ver, payload.get("incarnation"))
         if best is None:
             raise FileNotFoundError(f"no branch {name!r} on {self.root}")
         return best
 
     def branch_head(self, name: str) -> int:
         return self._branch_head_seq(name)[1]
+
+    def branch_incarnation(self, name: str) -> str | None:
+        """The branch line's creation nonce (None on pre-nonce refs)."""
+        return self._branch_head_seq(name)[2]
 
     def branches(self) -> dict[str, int]:
         """All branches as ``{name: head_version}``."""
@@ -1668,13 +1701,15 @@ class ManifestTable:
         """CAS the branch head from ``expected`` to ``version``; False
         on a lost race (someone else advanced the ref first)."""
         try:
-            seq, head = self._branch_head_seq(name)
+            seq, head, inc = self._branch_head_seq(name)
         except FileNotFoundError:
             return False  # branch deleted under the committer
         if head != expected:
             return False
         try:
-            self._cas_ref(self._branch_dir(name), seq + 1, version)
+            # the incarnation rides every advance so the newest ref
+            # file (the one resolution reads) always carries it
+            self._cas_ref(self._branch_dir(name), seq + 1, version, incarnation=inc)
         except FileExistsError:
             return False
         return True
@@ -1999,7 +2034,7 @@ class ManifestTable:
             # unaudited content would leak into main through the
             # child's file list.
             if branch is not None:
-                bh = self.branch_head(branch)
+                _seq, bh, branch_inc = self._branch_head_seq(branch)
                 parent = self.read_manifest(bh) if bh is not None else None
             else:
                 parent = self._main_manifest_at_or_below(latest)
@@ -2075,6 +2110,10 @@ class ManifestTable:
                 built_meta["branch"] = {
                     "name": branch,
                     "base": fork_base,
+                    # the line's creation nonce: lets streams (and any
+                    # reader) tell this incarnation from a later
+                    # delete+recreate under the same name and fork base
+                    **({"incarnation": branch_inc} if branch_inc else {}),
                     "removed": (pb.get("removed", 0) if on_this_branch else 0)
                     + removed_now,
                     # rows changed beyond pure addition anywhere on the
@@ -2569,8 +2608,12 @@ class ManifestTable:
         def _expired(version: int, max_age: float) -> bool:
             try:
                 m = self.read_manifest(version)
-            except (FileNotFoundError, OSError):
-                return True  # pins nothing readable
+            except FileNotFoundError:
+                return True  # pins nothing readable (vacuumed under it)
+            # a TRANSIENT read error must propagate, never expire: the
+            # same invariant tags() documents — deleting a ref on a
+            # storage hiccup lets the next vacuum permanently delete
+            # the pinned snapshot
             return m.committed_at is not None and now - m.committed_at > max_age
 
         if tag_max_age_seconds is not None:
@@ -2843,6 +2886,45 @@ def write_and_commit(
                 # write-side md5 hashed (exact only for integer types)
                 entry.append(dtypes[src])
             stored_specs[name] = entry
+        if mode == "append":
+            # an append must CONFORM to the live layout: a different
+            # transform under the same name would hash the same probe
+            # into different dirs per commit (one spec prunes all
+            # files — silently lost rows), a bucket source whose TYPE
+            # changed renders differently under CAST (same failure),
+            # and a brand-new hidden column breaks the by-name union
+            # every read performs. Adopt or change a layout via
+            # overwrite, which replaces the whole file set.
+            try:
+                head_hp = table.read_manifest().meta.get("hidden_partitions") or {}
+            except FileNotFoundError:
+                head_hp = {}
+            for name, entry in stored_specs.items():
+                old = head_hp.get(name)
+                if old is None:
+                    if head_hp or table.current_version() is not None:
+                        raise ValueError(
+                            f"append introduces hidden partition {name!r} the "
+                            f"table does not have — adopt a layout via overwrite"
+                        )
+                    continue
+                if tuple(old[:3]) != tuple(entry[:3]):
+                    raise ValueError(
+                        f"hidden partition {name!r} spec {tuple(entry[:3])} does not "
+                        f"match the table's {tuple(old[:3])} — appends must conform; "
+                        "change the layout via overwrite"
+                    )
+                if (
+                    entry[0] == "bucket"
+                    and len(old) > 3
+                    and len(entry) > 3
+                    and old[3] != entry[3]
+                ):
+                    raise ValueError(
+                        f"bucket source column {entry[1]!r} is {entry[3]} here but "
+                        f"{old[3]} in the table — CAST renderings differ, the same "
+                        "key would land in different buckets per commit"
+                    )
         df = df.repartition(*hidden_partition.keys())
         partition_by += list(hidden_partition.keys())
         meta = {**(meta or {}), "hidden_partitions": stored_specs}

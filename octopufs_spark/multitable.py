@@ -92,7 +92,16 @@ def _reapply_append_content(t: ManifestTable, m: Manifest, spark: SparkSession) 
 
     wap = m.meta["wap"]
     base_v, staged_v, wap_id = wap.get("base"), m.version, wap.get("id")
-    added = list(m.added) if m.added is not None else list(m.files)
+    if m.added is None:
+        # no publish-time added list: falling back to m.files (the
+        # file-wise publish's safe fallback, which dedups per FILE)
+        # would re-append every BASE row here — content re-apply has
+        # no row-level dedup, so refuse instead of duplicating
+        raise ConcurrentModificationError(
+            f"staged snapshot v{staged_v} of {t.root} records no added-file "
+            "list; cannot re-apply it by content — re-stage the write"
+        )
+    added = list(m.added)
     df = t._scan_files(
         spark,
         added,
@@ -377,11 +386,16 @@ class Catalog:
         its staged snapshot at commit time — convergence is done, the
         pin now names (or led to) a published main version that vacuum
         retains through normal retention."""
+        import re as _re
+
         marker = (
             m.meta.get("wap") or m.meta.get("wap_published") or m.meta.get("wap_aborted") or {}
         )
         wid = marker.get("id")
-        if not wid:
+        # only transaction-minted ids: an interactive WAP's arbitrary
+        # wap_id could coincide with a USER tag name on the staged
+        # version — deleting that would drop a deliberate retention pin
+        if not wid or not _re.fullmatch(r"txn-[0-9a-f]{12}", wid):
             return
         # the tag sits on the STAGED version: m itself when the pin is
         # still staged, else the published marker records it

@@ -151,7 +151,7 @@ class MaterializedView:
             ],
         )
 
-    def _minmax_fold_unsafe(self, spark: SparkSession, negatives: list[DataFrame], view_m) -> bool:
+    def _minmax_fold_unsafe(self, cur: DataFrame | None, negatives: list[DataFrame]) -> bool:
         """True when any deleted row TIES OR PASSES its group's stored
         extremum for any declared min/max — removal could then raise
         the min / lower the max, which only a rescan of that group can
@@ -161,7 +161,7 @@ class MaterializedView:
         current view. NULL deleted extremes (all-NULL deleted values)
         never flag — NULLs cannot hold an extremum."""
         mm = self._minmax_cols()
-        if not mm or not negatives:
+        if not mm or not negatives or cur is None:
             return False
         deleted = negatives[0]
         for n in negatives[1:]:
@@ -169,7 +169,6 @@ class MaterializedView:
         dmm = deleted.groupBy(*self.group_by).agg(
             *[getattr(F, fn)(phys).alias(phys) for phys, fn in mm]
         )
-        cur = self.view.read(spark, version=view_m.version)
         j = dmm.alias("d").join(cur.alias("v"), self.group_by, "inner")
         conds = [
             (F.col(f"d.{phys}") <= F.col(f"v.{phys}"))
@@ -274,10 +273,20 @@ class MaterializedView:
                     # new vector) is algebraically subtractable: scan
                     # only the rows the NEW vector hides that were
                     # visible at its parent, and fold their NEGATED
-                    # partials (r7 verdict task #5)
-                    n_parent = self._file_count_of(m.parent)
-                    prev = self._vector_paths_of(m.parent)
-                    if n_parent is None or prev is None or len(m.files) != n_parent:
+                    # partials (r7 verdict task #5). File SET equality,
+                    # not count: a foreign writer spelling a swap as
+                    # 'delete_mor' must recompute, not fold
+                    try:
+                        parent_m = (
+                            self.source.read_manifest(m.parent)
+                            if m.parent is not None
+                            else None
+                        )
+                    except (FileNotFoundError, OSError):
+                        incremental = False
+                        break
+                    prev = self._vector_paths(parent_m) if parent_m else ()
+                    if parent_m is None or set(m.files) != set(parent_m.files):
                         incremental = False
                         break
                     new_entries = [
@@ -311,7 +320,11 @@ class MaterializedView:
                 incremental = False  # a subtract scan lost its parent
             else:
                 negatives = [n for n in negatives if n is not None]
-                if self._minmax_fold_unsafe(spark, negatives, view_m):
+                # ONE view read serves both the extremum check and the
+                # merge (each explicit-version read pays per-file
+                # vacuum pre-checks)
+                cur_df = self.view.read(spark, version=view_m.version)
+                if self._minmax_fold_unsafe(cur_df, negatives):
                     # a deleted row ties/passes a stored extremum: only
                     # a rescan can recompute that group's min/max
                     incremental = False
@@ -331,7 +344,8 @@ class MaterializedView:
                     if delta is None:  # deletes netted entirely against adds
                         return self._publish(spark, None, src_head, view_m, mode="noop")
                     return self._publish(
-                        spark, delta, src_head, view_m, mode="incremental"
+                        spark, delta, src_head, view_m, mode="incremental",
+                        current_df=cur_df,
                     )
         if incremental:
             delta = self._added_rows_partial(spark, added, src_head)
@@ -499,6 +513,7 @@ class MaterializedView:
         src_head: int,
         view_m: Manifest | None,
         mode: str,
+        current_df: DataFrame | None = None,
     ) -> int:
         """Stage the merged view content and commit it with the
         advanced source pointer; abort if a racing refresh advanced the
@@ -509,7 +524,11 @@ class MaterializedView:
         else:
             merged = delta
             if view_m is not None and mode == "incremental":
-                current = self.view.read(spark, version=view_m.version)
+                current = (
+                    current_df
+                    if current_df is not None
+                    else self.view.read(spark, version=view_m.version)
+                )
                 merged = self._merge(current.unionByName(delta))
             # groups whose every row was deleted leave the view — the
             # __rows liveness counter makes a subtractive fold agree
@@ -586,7 +605,11 @@ class MaterializedView:
     # ---------- read ----------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """The view with its DECLARED columns (avg recomposed)."""
+        """The view with its DECLARED columns (avg recomposed). Reads
+        BOTH physical generations: a pre-``phys 2`` snapshot stores a
+        plain ``__sum_<name>`` without the companion non-null count
+        (and no ``__rows``) — time travel into old versions, and views
+        not yet migrated by a refresh, must stay readable."""
         df = self.view.read(spark, version=version)
         cols = [F.col(c) for c in self.group_by]
         for name, (fn, _col) in self.aggs.items():
@@ -597,10 +620,13 @@ class MaterializedView:
                     (F.col(f"__sum_{name}") / F.col(f"__cnt_{name}")).alias(name)
                 )
             elif fn == "sum":
-                # NULL when no non-null values remain (see _internal_cols)
-                cols.append(
-                    F.when(F.col(f"__cnt_{name}") > 0, F.col(f"__sum_{name}")).alias(name)
-                )
+                if f"__cnt_{name}" in df.columns:
+                    # NULL when no non-null values remain (_internal_cols)
+                    cols.append(
+                        F.when(F.col(f"__cnt_{name}") > 0, F.col(f"__sum_{name}")).alias(name)
+                    )
+                else:  # phys-1 layout: the sum column alone
+                    cols.append(F.col(f"__sum_{name}").alias(name))
             else:
                 cols.append(F.col(f"__{fn}_{name}").alias(name))
         return df.select(*cols)

@@ -332,6 +332,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         # double-delivered.
         self.branch_name = options.get("branch")
         self._branch_base: int | None = None
+        self._branch_incarnation: str | None = None
         self.starting_version = options.get("startingVersion", "0")
         self.starting_timestamp = options.get("startingTimestamp")
         if self.starting_timestamp is not None and "startingVersion" in options:
@@ -370,6 +371,9 @@ class ManifestStreamReader(DataSourceStreamReader):
                 bh = table.branch_head(self.branch_name)
                 bm = table.read_manifest(bh)
                 self._branch_base = (bm.meta.get("branch") or {}).get("base", bh)
+                # the line's creation nonce: (name, base) alone cannot
+                # tell a delete+recreate from the SAME head apart
+                self._branch_incarnation = table.branch_incarnation(self.branch_name)
                 meta = bm.meta
             else:
                 meta = table.read_manifest().meta
@@ -418,10 +422,18 @@ class ManifestStreamReader(DataSourceStreamReader):
         if self.branch_name is not None:
             # BRANCH stream: this line = main history up to the pinned
             # fork base + commits of the pinned branch incarnation.
+            commit_inc = (bmeta or {}).get("incarnation")
             ours = (
                 bmeta is not None
                 and bmeta.get("name") == self.branch_name
                 and bmeta.get("base") == self._branch_base
+                # strict when both sides carry the nonce; pre-nonce
+                # commits keep matching by (name, base)
+                and (
+                    commit_inc is None
+                    or self._branch_incarnation is None
+                    or commit_inc == self._branch_incarnation
+                )
             )
             pre_fork_main = (
                 bmeta is None
@@ -538,6 +550,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             off["index"] = index
         if self.branch_name is not None and self._branch_base is not None:
             off["branch_base"] = self._branch_base
+            if self._branch_incarnation is not None:
+                off["branch_inc"] = self._branch_incarnation
         return off
 
     def _version_before_timestamp(self, ts) -> int:
@@ -606,13 +620,20 @@ class ManifestStreamReader(DataSourceStreamReader):
         if self.branch_name is not None:
             for off in (start, end):
                 base = off.get("branch_base")
-                if base is not None and base != self._branch_base:
+                inc = off.get("branch_inc")
+                recreated = (base is not None and base != self._branch_base) or (
+                    inc is not None
+                    and self._branch_incarnation is not None
+                    and inc != self._branch_incarnation
+                )
+                if recreated:
                     raise ValueError(
                         f"manifest_stream: branch {self.branch_name!r} of "
                         f"{self.path} was re-created (checkpoint pinned fork "
-                        f"base v{base}, the live branch forks at "
-                        f"v{self._branch_base}) — its version offsets name a "
-                        "different history; restart with a fresh checkpoint"
+                        f"base v{base} incarnation {inc}, the live branch is "
+                        f"v{self._branch_base}/{self._branch_incarnation}) — "
+                        "its version offsets name a different history; "
+                        "restart with a fresh checkpoint"
                     )
         s_v, s_i = start["version"], start.get("index")
         e_v, e_i = end["version"], end.get("index")

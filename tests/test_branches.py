@@ -47,7 +47,9 @@ def test_branch_chains_and_carries_metadata(spark, table):
     table.create_branch("dev")
     write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev", stats=True)
     h = table.read_manifest(table.branch_head("dev"))
-    assert h.meta["branch"] == {"name": "dev", "base": 1, "removed": 0, "changed": False}
+    bmeta = dict(h.meta["branch"])
+    assert bmeta.pop("incarnation") == table.branch_incarnation("dev")
+    assert bmeta == {"name": "dev", "base": 1, "removed": 0, "changed": False}
     # zone maps carried from the fork base plus the branch's own files
     assert set(h.meta["file_stats"]) == set(h.files)
 
@@ -719,3 +721,58 @@ def test_branch_stream_detects_recreated_branch(spark, table, tmp_path):
     q2 = run()
     with pytest.raises(Exception, match="re-created"):
         q2.awaitTermination(120)
+
+
+def test_branch_recreated_from_same_head_detected(spark, table, tmp_path):
+    """The hard case (name, base) cannot catch: delete + re-create from
+    the SAME fork base. The incarnation nonce must (a) fail a restarted
+    checkpoint loudly and (b) keep a fresh stream from mixing in the
+    dead line's commits."""
+    from octopufs_spark.sources import register_manifest_stream
+
+    register_manifest_stream(spark)
+    write_and_commit(_df(spark, 0, 5), table)
+    table.create_branch("dev")
+    first_inc = table.branch_incarnation("dev")
+    assert first_inc
+    write_and_commit(_df(spark, 10, 15), table, mode="append", branch="dev")
+
+    def run(ckpt, out):
+        s = (
+            spark.readStream.format("manifest_stream")
+            .option("path", table.root)
+            .option("branch", "dev")
+            .load()
+        )
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run(str(tmp_path / "c1"), str(tmp_path / "o1"))
+    q.awaitTermination(120)
+    assert {r.id for r in spark.read.parquet(str(tmp_path / "o1")).collect()} == set(
+        range(5)
+    ) | set(range(10, 15))
+
+    # re-create from the SAME head: base unchanged, incarnation new
+    table.delete_branch("dev")
+    table.create_branch("dev")
+    assert table.branch_incarnation("dev") != first_inc
+    write_and_commit(_df(spark, 30, 35), table, mode="append", branch="dev")
+
+    # (a) the old checkpoint must fail loudly, never mix histories
+    q2 = run(str(tmp_path / "c1"), str(tmp_path / "o1"))
+    with pytest.raises(Exception, match="re-created"):
+        q2.awaitTermination(120)
+
+    # (b) a fresh stream follows ONLY the new line: fork history + its
+    # commits — the dead line's rows (10..15) must not appear
+    q3 = run(str(tmp_path / "c2"), str(tmp_path / "o2"))
+    q3.awaitTermination(120)
+    assert {r.id for r in spark.read.parquet(str(tmp_path / "o2")).collect()} == set(
+        range(5)
+    ) | set(range(30, 35))

@@ -548,3 +548,19 @@ def test_conflicted_flip_releases_durable_tags(spark, setup):
     with pytest.raises(ConcurrentModificationError):
         t2.commit()
     assert not [t for t in a.tags() if t.startswith("txn-")]
+
+
+def test_convergence_never_deletes_coincident_user_tags(spark, setup):
+    """_release_txn_tag is scoped to transaction-minted ids: a USER tag
+    whose name happens to equal an interactive WAP's wap_id (a
+    deliberate retention pin on the audited snapshot) must survive
+    convergence passes."""
+    cat, a, b = setup
+    sv = write_and_commit(_df(spark, 10, 15), a, mode="append", wap_id="audit-q3")
+    a.create_tag("audit-q3", version=sv)
+    pv = a.publish_wap(wap_id="audit-q3")
+    cat.register("a", a, version=pv)  # pin lands on the publish commit
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 20, 25), mode="append")
+    txn.commit()
+    assert "audit-q3" in a.tags()  # the user's pin survived

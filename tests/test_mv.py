@@ -448,3 +448,78 @@ def test_min_max_views_fold_when_extrema_untouched(spark, src, tmp_path):
     assert _got(mv, spark) == _expect(
         _df(spark, 0, 50).where("(id < 20 or id >= 30) and id != 49")
     )
+
+
+def test_pre_phys2_sum_views_stay_readable_and_migrate(spark, src, tmp_path):
+    """Views committed before the __rows/companion-count layout store a
+    bare __sum_<name>: read() must keep working on them (and on time
+    travel into old versions), and the next refresh migrates via one
+    full recompute."""
+    write_and_commit(_df(spark, 0, 10), src)
+    view_root = str(tmp_path / "view")
+    vt = ManifestTable(view_root)
+    old = spark.createDataFrame([(0, 10.0), (1, 20.0)], "g int, __sum_total double")
+    staged = "mv-oldlayout"
+    old.write.parquet(f"{vt.root}/{staged}")
+    vt._commit_with_retry(
+        lambda p: sorted(vt._data_files_under(staged)),
+        "mv-refresh",
+        {
+            "mv": {
+                "source": src.root,
+                "source_version": src.current_version(),
+                "group_by": ["g"],
+                "aggs": {"total": ["sum", "v"]},
+                "mode": "full",
+            }
+        },
+    )
+    mv = MaterializedView(src, view_root, ["g"], {"total": ("sum", "v")})
+    assert {(r.g, r.total) for r in mv.read(spark).collect()} == {(0, 10.0), (1, 20.0)}
+    # next refresh migrates (phys marker absent -> one full recompute)
+    write_and_commit(_df(spark, 10, 20), src, mode="append")
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    assert {tuple(r) for r in mv.read(spark).collect()} == {
+        tuple(r)
+        for r in _df(spark, 0, 20).groupBy("g").agg(F.sum("v").alias("total")).collect()
+    }
+
+
+def test_foreign_file_swapping_delete_mor_recomputes(spark, src, tmp_path):
+    """A commit SPELLED delete_mor that also swaps a data file (same
+    count — a foreign writer) must not fold: set equality, not length,
+    gates the subtract path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    write_and_commit(_df(spark, 0, 40).repartition(2), src)
+    mv = MaterializedView(src, str(tmp_path / "view"), ["g"], SUB_AGGS)
+    mv.refresh(spark)
+    m = src.read_manifest()
+    # craft: drop one file, add another, register a vector — op says
+    # delete_mor, content says swap
+    import os
+
+    os.makedirs(f"{src.root_path}/data-foreign", exist_ok=True)
+    pq.write_table(
+        pa.table({"id": [999], "g": [0], "v": [1998]}),
+        f"{src.root_path}/data-foreign/part-0.parquet",
+    )
+    os.makedirs(f"{src.root_path}/_dv", exist_ok=True)
+    pq.write_table(pa.table({"id": [0]}), f"{src.root_path}/_dv/dv-foreign.parquet")
+
+    def build(parent):
+        return sorted(parent.files[1:] + ["data-foreign/part-0.parquet"])
+
+    src._commit_with_retry(
+        build,
+        "delete_mor",
+        {"delete_vectors": [{"path": "_dv/dv-foreign.parquet", "keys": ["id"]}]},
+    )
+    mv.refresh(spark)
+    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    # and the view equals a recompute of the live snapshot
+    assert {tuple(r) for r in mv.read(spark).collect()} == _sub_expect(
+        src.read(spark)
+    )

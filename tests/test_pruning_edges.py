@@ -227,3 +227,54 @@ def test_scan_paths_never_collapse_nested_nonhive_files(spark, table):
     table._commit_with_retry(lambda parent: sorted(files), "commit", None)
     assert len(table._collapse_scan_paths(sorted(files))) == 40  # exact list kept
     assert table.read(spark).count() == 200  # nested rows present
+
+
+def test_expire_refs_propagates_transient_errors(spark, table, monkeypatch):
+    """A transient read error during expire_refs must PROPAGATE, never
+    count as 'expired': deleting a ref on a storage hiccup lets the
+    next vacuum permanently delete the pinned snapshot."""
+    write_and_commit(spark.range(5), table)
+    table.create_tag("keep")
+
+    orig = type(table).read_manifest
+
+    def boom(self, version=None):
+        raise OSError("storage throttled")
+
+    monkeypatch.setattr(type(table), "read_manifest", boom)
+    with pytest.raises(OSError, match="throttled"):
+        table.expire_refs(tag_max_age_seconds=0.0)
+    monkeypatch.setattr(type(table), "read_manifest", orig)
+    assert "keep" in table.tags()  # the ref survived the error
+
+
+def test_append_hidden_spec_must_conform_to_live_layout(spark, table):
+    """Appends with a hidden spec that disagrees with the table's —
+    different transform params, a bucket source whose TYPE changed, or
+    a brand-new hidden column — are refused: each would silently break
+    pruning or the by-name read union."""
+    df = spark.range(40).select("id", F.col("id").cast("bigint").alias("k"))
+    write_and_commit(df, table, hidden_partition={"hb": ("bucket", "k", 8)})
+    # conforming append is fine
+    write_and_commit(
+        spark.range(40, 50).select("id", F.col("id").cast("bigint").alias("k")),
+        table,
+        mode="append",
+        hidden_partition={"hb": ("bucket", "k", 8)},
+    )
+    with pytest.raises(ValueError, match="must conform"):
+        write_and_commit(
+            df, table, mode="append", hidden_partition={"hb": ("bucket", "k", 16)}
+        )
+    with pytest.raises(ValueError, match="buckets per commit"):
+        write_and_commit(
+            spark.range(5).select("id", F.col("id").cast("decimal(10,2)").alias("k")),
+            table,
+            mode="append",
+            hidden_partition={"hb": ("bucket", "k", 8)},
+        )
+    with pytest.raises(ValueError, match="via overwrite"):
+        write_and_commit(
+            df, table, mode="append", hidden_partition={"other": ("bucket", "id", 4)}
+        )
+    assert table.read(spark).count() == 50
