@@ -26,6 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "examples/schema_evolution_demo.py",
         "examples/wap_tag_demo.py",
         "examples/lakehouse_platform_demo.py",
+        "examples/mv_maintenance_demo.py",
     ],
 )
 def test_demo_runs_clean(script):
