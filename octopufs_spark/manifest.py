@@ -502,9 +502,11 @@ class ManifestTable:
                     self.fs.delete_file(tmp)
                 except OSError:
                     pass
-            # sweep superseded hints (and the legacy file) — pure
-            # hygiene: a failed delete leaves a lower file the max
-            # simply ignores
+            # sweep superseded hints AND the legacy ``_latest`` file —
+            # pure hygiene: a failed delete leaves a lower file the max
+            # simply ignores. The legacy file is only ever written by
+            # pre-hint table versions, so once a hint file supersedes
+            # it, deleting it saves every future reader its open+parse.
             import pyarrow.fs as pafs
 
             sel = pafs.FileSelector(f"{self._mdir}/hint", allow_not_found=True)
@@ -515,6 +517,13 @@ class ManifestTable:
                         self.fs.delete_file(el.path)
                     except OSError:
                         pass
+            try:
+                with self.fs.open_input_stream(f"{self._mdir}/_latest") as f:
+                    legacy = int(f.read().decode().strip())
+                if legacy <= version:  # never drop a hint ahead of ours
+                    self.fs.delete_file(f"{self._mdir}/_latest")
+            except (OSError, FileNotFoundError, ValueError):
+                pass
         except OSError:
             pass
 
@@ -901,6 +910,14 @@ class ManifestTable:
         version/timestamp/tag/branch are mutually exclusive."""
         if sum(x is not None for x in (version, timestamp, tag, branch)) > 1:
             raise ValueError("pass at most one of version, timestamp, tag, branch")
+        # explicit version/time-travel/ref reads keep EXACT file lists
+        # (no directory collapse): a racing vacuum may legally delete a
+        # non-head snapshot's file between the collapse's verification
+        # listing and Spark's own directory listing, and a dir scan
+        # would then silently return fewer rows where the exact list
+        # fails loudly with file-not-found. The head read collapses —
+        # vacuum never deletes files the current head references.
+        at_head = version is None and timestamp is None and tag is None and branch is None
         if tag is not None:
             version = self.tag_version(tag)
         if branch is not None:
@@ -923,6 +940,7 @@ class ManifestTable:
             merge_schema=merge_schema,
             annotate_positions=self._has_positional_dvs(m),
             evolution=m.meta.get("schema_evolution"),
+            collapse=at_head,
         )
         df = _strip_dropped(self._apply_delete_vectors(spark, df, m))
         return self._strip_hidden(df, m)
@@ -957,6 +975,7 @@ class ManifestTable:
         merge_schema: bool = False,
         annotate_positions: bool = False,
         evolution: list | None = None,
+        collapse: bool = True,
     ) -> DataFrame:
         """Parquet scan over snapshot-relative files with hive partition
         columns RECOVERED. Explicit file lists disable Spark's partition
@@ -1001,8 +1020,13 @@ class ManifestTable:
         # per-staging-dir groups are schema-consistent (one commit
         # writes one dir), so the log replays per group and the union
         # converges on the logical schema
+        def scan_paths(rels: list[str]) -> list[str]:
+            if collapse:
+                return self._collapse_scan_paths(rels)
+            return [f"{self.root}/{f}" for f in rels]
+
         if not has_parts and not evolution:
-            return finish(reader().parquet(*self._collapse_scan_paths(rel_files)))
+            return finish(reader().parquet(*scan_paths(rel_files)))
         groups: dict[str, list[str]] = {}
         for f in rel_files:
             top = f.split("/", 1)[0] if "/" in f else ""
@@ -1010,7 +1034,7 @@ class ManifestTable:
         dfs = [
             finish(
                 reader(f"{self.root}/{top}" if top else None).parquet(
-                    *self._collapse_scan_paths(rels)
+                    *scan_paths(rels)
                 )
             )
             for top, rels in sorted(groups.items())
@@ -1040,6 +1064,13 @@ class ManifestTable:
         subset (staging dirs are written once and immutable, but a
         rewrite can retire a strict subset, and time travel can
         reference one) — anything else keeps the exact file list.
+        Callers reading a NON-HEAD snapshot (explicit version, AS OF
+        TIMESTAMP, tag, branch) pass ``collapse=False`` through
+        ``_scan_files``: between this verification listing and Spark's
+        own directory listing, a racing vacuum may legally delete a
+        non-head file, and a dir scan would then silently return fewer
+        rows where the exact list fails loudly. Head-referenced files
+        are never vacuumed, so the head read collapses safely.
         Sidecars Spark ignores (_SUCCESS, dotfiles, .crc) are ignored
         in the comparison too. One listing per candidate dir, only
         for dirs holding >= _DIR_COLLAPSE_MIN snapshot files."""
@@ -2895,14 +2926,31 @@ def write_and_commit(
             # and a brand-new hidden column breaks the by-name union
             # every read performs. Adopt or change a layout via
             # overwrite, which replaces the whole file set.
+            #
+            # The reference layout comes from the COMMIT TARGET's head:
+            # a branch append conforms to the branch head (a branch may
+            # have adopted a different layout via overwrite — checking
+            # main would either spuriously reject a conforming branch
+            # append or silently pass a spec the branch head does not
+            # have, recreating the pruning-lost-rows hazard on the
+            # branch line). wap_id without branch publishes onto main,
+            # so main's head is the right staging-time reference there.
+            if branch is not None:
+                ref_version: int | None = table.branch_head(branch)
+            else:
+                ref_version = table.current_version()
             try:
-                head_hp = table.read_manifest().meta.get("hidden_partitions") or {}
+                head_hp = (
+                    table.read_manifest(ref_version).meta.get("hidden_partitions")
+                    if ref_version is not None
+                    else None
+                ) or {}
             except FileNotFoundError:
                 head_hp = {}
             for name, entry in stored_specs.items():
                 old = head_hp.get(name)
                 if old is None:
-                    if head_hp or table.current_version() is not None:
+                    if head_hp or ref_version is not None:
                         raise ValueError(
                             f"append introduces hidden partition {name!r} the "
                             f"table does not have — adopt a layout via overwrite"
@@ -2948,8 +2996,35 @@ def write_and_commit(
         # the parent's zone maps / blooms carry forward at publish time
         # (_carry_skipping_meta), against the LIVE parent rather than a
         # pre-staging snapshot read
+        #
+        # The staging-time layout conformance check above is
+        # time-of-check-to-time-of-use: a concurrent overwrite can change
+        # the hidden layout between that check and this commit build, and
+        # a plain append would then land a mixed-layout snapshot. Capture
+        # the layout identity this append was staged under and re-verify
+        # against the LIVE parent inside build() — the same compare the
+        # WAP publish performs (_layout at publish time). A None parent
+        # (first commit on an empty table) is the adopt-layout case and
+        # passes by construction.
+        staged_layout = (
+            {k: tuple(v[:3]) for k, v in stored_specs.items()}
+            if hidden_partition
+            else None
+        )
 
         def build(parent):
+            if hidden_partition and parent is not None:
+                live = parent.meta.get("hidden_partitions") or None
+                live_layout = (
+                    {k: tuple(v[:3]) for k, v in live.items()} if live else None
+                )
+                if live_layout != staged_layout:
+                    raise ConcurrentModificationError(
+                        f"hidden-partition layout of {table.root} changed between "
+                        f"staging this append and committing it "
+                        f"({live_layout} vs staged {staged_layout}) — the staged "
+                        "files were written under the old layout; re-stage"
+                    )
             base = parent.files if parent else []
             return sorted(base + table._data_files_under(staged))
 

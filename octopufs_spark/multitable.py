@@ -259,12 +259,32 @@ class Catalog:
         The vacuum pre-check (one metadata call per data file) runs
         only for pins BEHIND the table's main head: the common case —
         a converged pin equal to the head — reads without it, since
-        vacuum never removes the current snapshot's files."""
+        vacuum never removes the current snapshot's files.
+
+        A CURRENT pin that still names a staged WAP snapshot (its
+        transaction crashed between the catalog flip and the table
+        publishes) is AUTO-HEALED here: the first reader converges the
+        table's main and re-pins, so the durability story needs no
+        operator ``heal()`` call. Detection is free on the hot path —
+        a staged snapshot can never equal ``current_version()`` (main
+        resolution skips it), so the check only runs for behind-head
+        pins, which were already paying a manifest read. Historical
+        reads (``catalog_version`` given) never converge: an old pin
+        legitimately names whatever was pinned then."""
         pin = self.snapshot(catalog_version).get(name)
         if pin is None:
             raise KeyError(f"no table {name!r} in catalog {self.log.root}")
         t = ManifestTable(pin["root"])
         current = catalog_version is None and pin["version"] == t.current_version()
+        if catalog_version is None and not current:
+            try:
+                staged = "wap" in t.read_manifest(pin["version"]).meta
+            except FileNotFoundError:
+                staged = False
+            if staged:
+                pin = self._converge(name, pin, spark=spark)
+                t = ManifestTable(pin["root"])
+                current = pin["version"] == t.current_version()
         return t.read(spark, version=pin["version"], check_vacuumed=not current)
 
     # ---------- catalog tags (durable multi-table pins) ----------

@@ -1,8 +1,9 @@
 """LLM-data-pipeline queries (SURVEY.md §2C ext rows).
 
 Thin registry wrappers over octopufs_spark.llm operators, each with a
-DuckDB oracle where the semantics are SQL-expressible. Weak (rows-only)
-entries: MinHash-LSH, SimHash and ANN — algorithm-specific outputs.
+full DuckDB value oracle (deterministic twins cover the
+algorithm-specific MinHash-LSH / SimHash / ANN outputs; VERIFICATION.md
+records 0 weak entries).
 """
 
 from __future__ import annotations

@@ -106,3 +106,62 @@ def test_outlier_retime_selection():
     assert not bench.plans_unchanged(pm, pm_diff)
     assert not bench.plans_unchanged(pm, dict(pm, shuffle_write_bytes=2_000_000))
     assert not bench.plans_unchanged(pm, None)
+
+
+def test_stdout_line_fits_capture_window():
+    """r8 verdict #1: the one-line stdout contract must fit the
+    consumer's 2000-char tail window no matter how many queries or
+    retimed outliers the run produced. Round 8's BENCH_r08.json was
+    `parsed: null` because the 40-entry outlier_retimed block rode the
+    capped line; the line is now built from a slim payload that never
+    carries it."""
+    import bench
+
+    # Worst case: 300 long-named queries and 100 retimed outliers.
+    timings = {f"q_ext_some_quite_long_query_name_{i:03d}": i / 7.0 for i in range(300)}
+    line = bench.stdout_line(timings, total=1234.567, sf=0.1, retimed_count=100)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_seconds_all_queries"
+    assert parsed["value"] == 1234.567
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["queries_in_full"] == 300
+    assert parsed["outliers_retimed"] == 100
+    assert parsed["queries"]  # at least some queries packed
+    # Slowest-first packing: every kept query is >= every dropped one.
+    kept_min = min(parsed["queries"].values())
+    dropped = [t for n, t in timings.items() if n not in parsed["queries"]]
+    assert all(t <= kept_min for t in dropped)
+    # Degenerate case: zero queries still emits a valid, tiny line.
+    empty = bench.stdout_line({}, total=0.0, sf=0.01)
+    assert len(empty) < 200 and json.loads(empty)["queries_in_full"] == 0
+
+
+def test_bench_diff_sentinel_normalization():
+    """r8 verdict #6: bench_diff separates machine drift from code
+    drift by normalizing per-query ratios with the load-sentinel
+    medians — a uniformly-1.5x-slower machine reads as 1.0x
+    normalized, and a genuinely-2x query still shows as a mover."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_diff
+
+    old = {
+        "queries": {"q_a": 1.0, "q_b": 2.0, "q_c": 4.0},
+        "load_sentinel": [0.10, 0.10, 0.11],
+    }
+    # machine 1.5x slower; q_c ALSO genuinely doubled on top of that
+    new = {
+        "queries": {"q_a": 1.5, "q_b": 3.0, "q_c": 12.0},
+        "load_sentinel": [0.15, 0.16, 0.15],
+    }
+    assert abs(bench_diff.sentinel_factor(old, new) - 1.5) < 0.01
+    lines = "\n".join(bench_diff.timing_report(old, new))
+    assert "normalized" in lines
+    assert "median 1.000x" in lines  # q_a/q_b are pure machine drift
+    assert "mover q_c" in lines and "normalized 2.00x" in lines
+    # pre-sentinel record degrades to raw-only, no crash
+    raw_only = bench_diff.timing_report({"queries": {"q_a": 1.0}}, {"queries": {"q_a": 2.0}})
+    assert any("raw ratios only" in ln for ln in raw_only)

@@ -278,3 +278,114 @@ def test_append_hidden_spec_must_conform_to_live_layout(spark, table):
             df, table, mode="append", hidden_partition={"other": ("bucket", "id", 4)}
         )
     assert table.read(spark).count() == 50
+
+
+def test_branch_append_conforms_to_branch_head_layout(spark, table):
+    """r8 ADVICE (medium): the append-time layout conformance check must
+    resolve against the COMMIT TARGET's head. A branch that adopted a
+    different hidden layout via overwrite takes conforming appends of
+    ITS layout (main's check would spuriously reject them) and refuses
+    main's layout (main's check would silently pass it — the
+    pruning-lost-rows hazard, on the branch line)."""
+    dfA = spark.range(40).select("id", F.col("id").cast("bigint").alias("k"))
+    write_and_commit(dfA, table, hidden_partition={"hb": ("bucket", "k", 8)})
+    table.create_branch("dev")
+    write_and_commit(
+        dfA, table, mode="overwrite",
+        hidden_partition={"hb": ("bucket", "k", 16)}, branch="dev",
+    )
+    write_and_commit(
+        spark.range(40, 50).select("id", F.col("id").cast("bigint").alias("k")),
+        table, mode="append",
+        hidden_partition={"hb": ("bucket", "k", 16)}, branch="dev",
+    )
+    with pytest.raises(ValueError, match="must conform"):
+        write_and_commit(
+            dfA, table, mode="append",
+            hidden_partition={"hb": ("bucket", "k", 8)}, branch="dev",
+        )
+    # main appends still conform against main's own head
+    write_and_commit(
+        spark.range(40, 50).select("id", F.col("id").cast("bigint").alias("k")),
+        table, mode="append", hidden_partition={"hb": ("bucket", "k", 8)},
+    )
+    assert table.read(spark, branch="dev").count() == 50
+    assert table.read(spark).count() == 50
+
+
+def test_append_layout_reverified_at_commit_build_time(spark, table, monkeypatch):
+    """r8 ADVICE (TOCTOU): a concurrent overwrite that changes the
+    hidden layout BETWEEN the staging-time conformance check and the
+    append's commit build must abort the append — a plain append would
+    otherwise land a mixed-layout snapshot."""
+    from octopufs_spark.manifest import ConcurrentModificationError
+
+    df = spark.range(40).select("id", F.col("id").cast("bigint").alias("k"))
+    write_and_commit(df, table, hidden_partition={"hb": ("bucket", "k", 8)})
+    orig = ManifestTable._commit_with_retry
+    fired = {"done": False}
+
+    def racy(self, files_or_build, operation, meta, **kw):
+        # fire the racing overwrite after the appender's staging-time
+        # check passed but before its commit builds
+        if not fired["done"] and operation == "append":
+            fired["done"] = True
+            write_and_commit(
+                spark.range(5).select("id", F.col("id").cast("bigint").alias("k")),
+                ManifestTable(table.root),
+                mode="overwrite",
+                hidden_partition={"hb": ("bucket", "k", 16)},
+            )
+        return orig(self, files_or_build, operation, meta, **kw)
+
+    monkeypatch.setattr(ManifestTable, "_commit_with_retry", racy)
+    with pytest.raises(ConcurrentModificationError, match="layout"):
+        write_and_commit(
+            spark.range(40, 50).select("id", F.col("id").cast("bigint").alias("k")),
+            table, mode="append", hidden_partition={"hb": ("bucket", "k", 8)},
+        )
+    # the table is exactly the overwrite's content — nothing mixed in
+    assert table.read(spark).count() == 5
+
+
+def test_time_travel_reads_keep_exact_file_lists(spark, table, monkeypatch):
+    """r8 ADVICE: directory collapse is a HEAD-read optimization only.
+    An explicit-version (or tag/timestamp/branch) read keeps the exact
+    file list, so a racing vacuum yields a loud file-not-found instead
+    of a silently smaller dir scan."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    write_and_commit(df.repartition(40), table)
+    v = table.current_version()
+    calls: list[int] = []
+    orig = ManifestTable._collapse_scan_paths
+
+    def spy(self, rels):
+        calls.append(len(rels))
+        return orig(self, rels)
+
+    monkeypatch.setattr(ManifestTable, "_collapse_scan_paths", spy)
+    assert table.read(spark).count() == 100
+    assert calls, "head read should attempt directory collapse"
+    calls.clear()
+    assert table.read(spark, version=v).count() == 100
+    assert not calls, "explicit-version read must keep the exact file list"
+
+
+def test_hint_sweep_removes_legacy_latest_file(spark, table):
+    """r8 ADVICE: once a CAS hint file supersedes the legacy _latest
+    (written by pre-hint table versions), the sweep deletes it — every
+    future reader saves the open+parse. A legacy value AHEAD of the
+    committed version survives (max() still needs it)."""
+    import pyarrow.fs as pafs
+
+    write_and_commit(spark.range(10).toDF("id"), table)
+    legacy = f"{table.root_path}/_manifest/_latest"
+    with table.fs.open_output_stream(legacy) as f:
+        f.write(b"1")
+    write_and_commit(spark.range(10).toDF("id"), table, mode="append")
+    assert table.fs.get_file_info(legacy).type == pafs.FileType.NotFound
+    # a legacy hint ahead of our version is preserved
+    with table.fs.open_output_stream(legacy) as f:
+        f.write(b"999")
+    table._write_latest_hint(3)
+    assert table.fs.get_file_info(legacy).type == pafs.FileType.File
