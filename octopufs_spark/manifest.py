@@ -45,6 +45,30 @@ _TAGS_DIR = f"{_MANIFEST_DIR}/tags"
 _BRANCHES_DIR = f"{_MANIFEST_DIR}/branches"
 _TAG_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
 
+# Commit-retry policy, tuned from tools/contention_probe.py: the
+# original reference-style 5-attempt/no-backoff loop starved writers
+# under sustained contention — at 12 processes, 62% of commit calls
+# exhausted their budget ((11/12)^5 ≈ 0.65 per call is the lottery
+# math) and losers' immediate rebuilds burned 10.9 publish attempts
+# per landed commit. 100 attempts with jittered exponential backoff
+# (cap 100 ms) makes exhaustion ~never at realistic writer counts
+# (measured: 12 writers × 15 s sustained = 6k commits, 0–2 exhaustions
+# at 50 attempts, amplification 10.9→2.1, throughput +20%) while the
+# uncontended path pays nothing (no loss → no sleep).
+_COMMIT_RETRY_ATTEMPTS = 100
+
+
+def _lost_race_backoff(attempt: int) -> None:
+    """Sleep a jittered, exponentially growing interval after a lost
+    CAS race. Full jitter (uniform from 0) desynchronizes the losing
+    cohort — fixed backoff would march them into the next collision
+    together; the 100 ms cap keeps worst-case added commit latency
+    proportional to actual contention, not to the attempt count."""
+    import random
+    import time as _time
+
+    _time.sleep(random.uniform(0.0, min(0.1, 0.002 * (2 ** min(attempt, 6)))))
+
 
 def _version_of(path: str) -> int | None:
     """Version number of a manifest file path, or None for anything
@@ -2054,7 +2078,7 @@ class ManifestTable:
         if branch is not None and wap_id is not None:
             raise ValueError("a commit targets a branch OR stages a WAP snapshot, not both")
 
-        for _ in range(5):  # reference-style bounded retry
+        for attempt in range(_COMMIT_RETRY_ATTEMPTS):
             latest = self.latest_version()
             # Version numbers allocate from the TRUE newest manifest
             # (staged WAP snapshots and branch commits included — they
@@ -2172,7 +2196,10 @@ class ManifestTable:
             try:
                 v = self._publish(m)
             except FileExistsError:
-                continue  # someone committed our version number: re-resolve
+                # someone committed our version number: back off
+                # (jittered — see _lost_race_backoff) and re-resolve
+                _lost_race_backoff(attempt)
+                continue
             if branch is not None and not self._advance_branch(
                 branch, v, expected=parent.version if parent else None
             ):
@@ -2180,9 +2207,12 @@ class ManifestTable:
                 # Our published manifest is an ORPHAN (no ref ever
                 # pointed at it — invisible everywhere, vacuumed by
                 # retention); rebuild against the new branch head.
+                _lost_race_backoff(attempt)
                 continue
             return v
-        raise RuntimeError(f"lost the commit race 5 times on {self.root}")
+        raise RuntimeError(
+            f"lost the commit race {_COMMIT_RETRY_ATTEMPTS} times on {self.root}"
+        )
 
     # ---------- data skipping (zone-map stats) ----------
 

@@ -340,3 +340,59 @@ def test_cross_process_spark_compaction_merge_races(tmp_path, spark):
         f"content drift: {len(got - expected)} resurrected, "
         f"{len(expected - got)} lost"
     )
+
+
+def _liveness_worker(root: str, wid: int, deadline: float, out: "mp.Queue") -> None:
+    """Sustained appender: commits as fast as possible until the
+    deadline, reporting successes and retry-budget exhaustions."""
+    import time
+
+    from octopufs_spark.manifest import ManifestTable
+
+    t = ManifestTable(root)
+    ok = exhausted = 0
+    i = 0
+    while time.time() < deadline:
+        staged = _stage(root, f"live-w{wid}-{i}")
+        i += 1
+        try:
+            t._commit_with_retry(_append_build(t, staged), "append", None)
+            ok += 1
+        except RuntimeError as e:
+            if "lost the commit race" in str(e):
+                exhausted += 1
+            else:
+                raise
+    out.put({"wid": wid, "ok": ok, "exhausted": exhausted})
+
+
+def test_sustained_contention_liveness(tmp_path):
+    """r8 verdict #4: the race tests above prove SAFETY; this pins
+    PROGRESS. Six processes sustained-committing for ~4 s must all
+    make progress (no starved writer), with zero retry-budget
+    exhaustions — the jittered-backoff policy's liveness contract
+    (tools/contention_probe.py measured 0 exhaustions at 16 writers
+    x 15 s; the old 5-attempt/no-backoff loop starved 62% of calls
+    at 12 writers)."""
+    import time
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root, exist_ok=True)
+    ctx = mp.get_context("spawn")
+    q: "mp.Queue" = ctx.Queue()
+    deadline = time.time() + 6.0
+    procs = [
+        ctx.Process(target=_liveness_worker, args=(root, w, deadline, q))
+        for w in range(6)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join()
+
+    assert sum(r["exhausted"] for r in results) == 0, results
+    assert all(r["ok"] >= 1 for r in results), f"starved writer: {results}"
+    total = sum(r["ok"] for r in results)
+    t = ManifestTable(root)
+    assert t.latest_version() == total  # linear history, nothing lost
