@@ -999,7 +999,7 @@ class ManifestTable:
         merge_schema: bool = False,
         annotate_positions: bool = False,
         evolution: list | None = None,
-        collapse: bool = True,
+        collapse: bool = False,
     ) -> DataFrame:
         """Parquet scan over snapshot-relative files with hive partition
         columns RECOVERED. Explicit file lists disable Spark's partition
@@ -1088,13 +1088,18 @@ class ManifestTable:
         subset (staging dirs are written once and immutable, but a
         rewrite can retire a strict subset, and time travel can
         reference one) — anything else keeps the exact file list.
-        Callers reading a NON-HEAD snapshot (explicit version, AS OF
-        TIMESTAMP, tag, branch) pass ``collapse=False`` through
-        ``_scan_files``: between this verification listing and Spark's
-        own directory listing, a racing vacuum may legally delete a
-        non-head file, and a dir scan would then silently return fewer
-        rows where the exact list fails loudly. Head-referenced files
-        are never vacuumed, so the head read collapses safely.
+        Collapse is OPT-IN (``_scan_files(collapse=True)``) and only
+        the verified-head read paths (``read``/``read_pruned`` with no
+        explicit version/timestamp/tag/branch) opt in: for any other
+        file set — time travel, MV delta folds over one commit's
+        files, MERGE/compaction source scans — a racing vacuum may
+        legally delete a file between this verification listing and
+        Spark's own directory listing, and a dir scan would then
+        silently return fewer rows where the exact list fails loudly
+        (for a rewrite path that means committing a silently-shrunken
+        file set). Head-referenced files are never vacuumed, so the
+        head read collapses safely — and the head read is exactly
+        where the 50k-file plan-build win lives.
         Sidecars Spark ignores (_SUCCESS, dotfiles, .crc) are ignored
         in the comparison too. One listing per candidate dir, only
         for dirs holding >= _DIR_COLLAPSE_MIN snapshot files."""
@@ -1499,7 +1504,7 @@ class ManifestTable:
         content_meta = _content_meta(s.meta)
         marker = {"wap_published": {"id": wap.get("id"), "staged_version": v}}
 
-        for _ in range(5):
+        for attempt in range(_COMMIT_RETRY_ATTEMPTS):
             head_v = self.current_version()
             fast_forward = head_v == base_v
 
@@ -1591,8 +1596,14 @@ class ManifestTable:
             except _AlreadyResolved as d:
                 return d.version
             except _ModeChanged:
+                # the head crossed the fast-forward/re-apply boundary
+                # mid-build: same lost-CAS shape as a publish race, so
+                # the same jittered backoff applies
+                _lost_race_backoff(attempt)
                 continue
-        raise RuntimeError(f"lost the publish race 5 times on {self.root}")
+        raise RuntimeError(
+            f"lost the publish race {_COMMIT_RETRY_ATTEMPTS} times on {self.root}"
+        )
 
     def abort_wap(self, wap_id: str | None = None, version: int | None = None) -> int:
         """Mark a staged snapshot dead without publishing it. The abort
@@ -2617,6 +2628,7 @@ class ManifestTable:
         # default-version double resolution could straddle a concurrent
         # commit and pair one snapshot's file list with another's
         # vectors/evolution log (a state that is neither version)
+        at_head = version is None
         if version is None:
             version = self.current_version()
             if version is None:
@@ -2638,6 +2650,7 @@ class ManifestTable:
             keep,
             annotate_positions=self._has_positional_dvs(m),
             evolution=evolution,
+            collapse=at_head,
         )
         df = _strip_dropped(self._apply_delete_vectors(spark, df, m))
         return self._strip_hidden(df, m)

@@ -203,7 +203,9 @@ class Catalog:
         (a racing transaction re-pinned the same table), abort instead
         of silently replacing its rows. Disjoint racers merge via
         retry."""
-        for _ in range(5):
+        from octopufs_spark.manifest import _COMMIT_RETRY_ATTEMPTS, _lost_race_backoff
+
+        for attempt in range(_COMMIT_RETRY_ATTEMPTS):
             base = self.snapshot()
             for name in updates:
                 cur = (base.get(name) or {}).get("version")
@@ -224,8 +226,14 @@ class Catalog:
             try:
                 return self.log._commit_with_retry(guard, op, {"tables": merged})
             except _Raced:
+                # a DISJOINT transaction flipped the catalog between our
+                # merge and the commit build: re-merge with the same
+                # jittered backoff the table-level CAS uses
+                _lost_race_backoff(attempt)
                 continue
-        raise RuntimeError(f"lost the catalog commit race 5 times on {self.log.root}")
+        raise RuntimeError(
+            f"lost the catalog commit race {_COMMIT_RETRY_ATTEMPTS} times on {self.log.root}"
+        )
 
     def register(self, name: str, table: ManifestTable, version: int | None = None) -> int:
         """Pin an existing table into the catalog (its current main

@@ -369,6 +369,16 @@ def test_time_travel_reads_keep_exact_file_lists(spark, table, monkeypatch):
     calls.clear()
     assert table.read(spark, version=v).count() == 100
     assert not calls, "explicit-version read must keep the exact file list"
+    # read_pruned: head opts in, explicit version keeps exact lists
+    assert table.read_pruned(spark, [("id", ">=", 0)]).count() == 100
+    assert calls, "head read_pruned should attempt directory collapse"
+    calls.clear()
+    assert table.read_pruned(spark, [("id", ">=", 0)], version=v).count() == 100
+    assert not calls
+    # internal non-head scans (MV folds, merge/compaction sources) use
+    # the exact-list default of _scan_files
+    assert table._scan_files(spark, list(table.read_manifest().files)).count() == 100
+    assert not calls
 
 
 def test_hint_sweep_removes_legacy_latest_file(spark, table):
