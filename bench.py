@@ -209,6 +209,7 @@ def main() -> None:
     # because nothing recorded the load).
     SENTINEL_EVERY = 20
     sentinel: list[float] = []
+    sentinel_shuffle: list[float] = []
 
     def sentinel_tick() -> None:
         t0 = time.perf_counter()
@@ -216,6 +217,17 @@ def main() -> None:
             "overwrite"
         ).save()
         sentinel.append(round(time.perf_counter() - t0, 3))
+        # second series with a SHUFFLE: the r9 record showed the
+        # CPU-only sum under-indexes the drift Spark-bound queries see
+        # (machine read 0.83x on the sum while untouched scan/agg/join
+        # queries re-timed 1.2-1.4x) — an exchange + hash aggregate is
+        # a far better proxy for the work the sweep actually does.
+        # bench_diff prefers this series when both records carry it.
+        t0 = time.perf_counter()
+        spark.range(2_000_000).selectExpr("id % 1000 k", "id v").groupBy(
+            "k"
+        ).sum("v").write.format("noop").mode("overwrite").save()
+        sentinel_shuffle.append(round(time.perf_counter() - t0, 3))
 
     sentinel_tick()
     for qi, (name, fn) in enumerate(queries.items()):
@@ -302,6 +314,7 @@ def main() -> None:
         payload["outlier_retimed"] = retimed
     sentinel_tick()  # closing sample brackets the sweep
     payload["load_sentinel"] = sentinel
+    payload["load_sentinel_shuffle"] = sentinel_shuffle
     # BENCH_OUT redirects the full per-query record (e.g. BENCH_SF1.json
     # for the scale sweep) so off-default runs don't clobber the sf0.1
     # record the plan-metrics gate baselines against. A BENCH_ONLY

@@ -98,12 +98,16 @@ def main() -> None:
         pass
     finally:
         ManifestTable.publish_wap = orig
-    assert cat.read(spark, "facts").count() == 2600  # flip landed
     assert facts.read(spark).count() == 2500  # main not yet converged
-    healed = cat.heal()
+    # the FIRST catalog reader auto-heals the crashed txn's pin:
+    # reading it publishes the staged snapshot onto main and re-pins
+    assert cat.read(spark, "facts").count() == 2600  # flip landed
+    assert facts.read(spark).count() == 2600  # ...and main converged
+    healed = cat.heal()  # finishes the table the reader never touched
+    assert sorted(healed) == ["dims"]
     assert facts.read(spark).count() == 2600
-    print(f"crash healed: {sorted(healed)} converged; facts main = "
-          f"{facts.read(spark).count()} rows")
+    print(f"crash healed: facts by its first reader, {sorted(healed)} by "
+          f"heal(); facts main = {facts.read(spark).count()} rows")
 
     # 4. catalog tag survives rewrite + aggressive vacuum
     cat.create_tag("release-2026-08")

@@ -165,3 +165,21 @@ def test_bench_diff_sentinel_normalization():
     # pre-sentinel record degrades to raw-only, no crash
     raw_only = bench_diff.timing_report({"queries": {"q_a": 1.0}}, {"queries": {"q_a": 2.0}})
     assert any("raw ratios only" in ln for ln in raw_only)
+
+
+def test_sentinel_factor_prefers_shuffle_series():
+    """r9: the shuffle-shaped sentinel is the machine proxy when both
+    records carry it (the CPU-only sum under-indexed Spark-bound
+    drift); records that predate it fall back to the plain series."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_diff
+
+    old = {"load_sentinel": [0.1, 0.1], "load_sentinel_shuffle": [0.4, 0.4]}
+    new = {"load_sentinel": [0.1, 0.1], "load_sentinel_shuffle": [0.8, 0.8]}
+    assert abs(bench_diff.sentinel_factor(old, new) - 2.0) < 1e-9
+    # pre-r9 old record: falls back to the plain series
+    pre = {"load_sentinel": [0.1, 0.1]}
+    assert abs(bench_diff.sentinel_factor(pre, new) - 1.0) < 1e-9
+    assert bench_diff.sentinel_factor({}, new) is None

@@ -46,16 +46,20 @@ def _median(xs: list[float]) -> float:
 def sentinel_factor(old: dict, new: dict) -> float | None:
     """Machine-speed ratio between two bench records: how much slower
     (>1) or faster (<1) the NEW run's machine was, per the sentinel
-    series both records carry. None when either record predates the
-    sentinel (pre-r8)."""
-    so = old.get("load_sentinel") or []
-    sn = new.get("load_sentinel") or []
-    if len(so) < 2 or len(sn) < 2:
-        return None
-    mo, mn = _median(so), _median(sn)
-    if mo <= 0 or mn <= 0:
-        return None
-    return mn / mo
+    series both records carry. Prefers the shuffle-shaped series
+    (``load_sentinel_shuffle``, r9+) — the r9 record proved the
+    CPU-only sum under-indexes Spark-bound drift (0.83x on the sum
+    while untouched queries re-timed 1.2-1.4x). None when either
+    record predates any shared sentinel (pre-r8)."""
+    for key in ("load_sentinel_shuffle", "load_sentinel"):
+        so = old.get(key) or []
+        sn = new.get(key) or []
+        if len(so) < 2 or len(sn) < 2:
+            continue
+        mo, mn = _median(so), _median(sn)
+        if mo > 0 and mn > 0:
+            return mn / mo
+    return None
 
 
 def timing_report(old: dict, new: dict, top: int = 8) -> list[str]:
