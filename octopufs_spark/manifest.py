@@ -526,11 +526,16 @@ class ManifestTable:
                     self.fs.delete_file(tmp)
                 except OSError:
                     pass
-            # sweep superseded hints AND the legacy ``_latest`` file —
-            # pure hygiene: a failed delete leaves a lower file the max
-            # simply ignores. The legacy file is only ever written by
-            # pre-hint table versions, so once a hint file supersedes
-            # it, deleting it saves every future reader its open+parse.
+            # sweep superseded hint FILES — pure hygiene: a failed
+            # delete leaves a lower file the max simply ignores. The
+            # legacy ``_latest`` file is deliberately LEFT IN PLACE:
+            # deleting it would race a rolling-upgrade legacy writer
+            # that read-modify-writes it past our hint between our
+            # read and our delete (no CAS on delete), and losing that
+            # race drops a hint AHEAD of ours — the exact monotonicity
+            # violation this file format exists to prevent. max() over
+            # hint/ plus the legacy file absorbs it instead; the cost
+            # is one extra open+parse per read on pre-hint tables.
             import pyarrow.fs as pafs
 
             sel = pafs.FileSelector(f"{self._mdir}/hint", allow_not_found=True)
@@ -541,13 +546,6 @@ class ManifestTable:
                         self.fs.delete_file(el.path)
                     except OSError:
                         pass
-            try:
-                with self.fs.open_input_stream(f"{self._mdir}/_latest") as f:
-                    legacy = int(f.read().decode().strip())
-                if legacy <= version:  # never drop a hint ahead of ours
-                    self.fs.delete_file(f"{self._mdir}/_latest")
-            except (OSError, FileNotFoundError, ValueError):
-                pass
         except OSError:
             pass
 
@@ -1099,7 +1097,14 @@ class ManifestTable:
         (for a rewrite path that means committing a silently-shrunken
         file set). Head-referenced files are never vacuumed, so the
         head read collapses safely — and the head read is exactly
-        where the 50k-file plan-build win lives.
+        where the 50k-file plan-build win lives. Residual window,
+        accepted and documented: "head" means head AT RESOLUTION — a
+        concurrent overwrite plus a zero-retention vacuum landing
+        between this verification listing and Spark's own listing can
+        still shrink a head-read dir scan. That needs retention_seconds=0
+        racing inside a millisecond-scale window (default retention
+        makes it unreachable); closing it entirely would mean giving
+        up dir collapse and re-opening the 33 s/50k-file plan builds.
         Sidecars Spark ignores (_SUCCESS, dotfiles, .crc) are ignored
         in the comparison too. One listing per candidate dir, only
         for dirs holding >= _DIR_COLLAPSE_MIN snapshot files."""

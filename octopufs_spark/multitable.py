@@ -273,12 +273,15 @@ class Catalog:
         transaction crashed between the catalog flip and the table
         publishes) is AUTO-HEALED here: the first reader converges the
         table's main and re-pins, so the durability story needs no
-        operator ``heal()`` call. Detection is free on the hot path —
-        a staged snapshot can never equal ``current_version()`` (main
-        resolution skips it), so the check only runs for behind-head
-        pins, which were already paying a manifest read. Historical
-        reads (``catalog_version`` given) never converge: an old pin
-        legitimately names whatever was pinned then."""
+        operator ``heal()`` call. The hot path (pin == head) pays
+        nothing — a staged snapshot can never equal
+        ``current_version()`` (main resolution skips it) — while
+        behind-head pins pay one extra manifest parse for the staged
+        check (on top of the one ``t.read`` does itself; ~ms even at
+        50k files, and that path already pays the per-file vacuum
+        pre-check). Historical reads (``catalog_version`` given) never
+        converge: an old pin legitimately names whatever was pinned
+        then."""
         pin = self.snapshot(catalog_version).get(name)
         if pin is None:
             raise KeyError(f"no table {name!r} in catalog {self.log.root}")
@@ -290,9 +293,20 @@ class Catalog:
             except FileNotFoundError:
                 staged = False
             if staged:
-                pin = self._converge(name, pin, spark=spark)
-                t = ManifestTable(pin["root"])
-                current = pin["version"] == t.current_version()
+                # fail-soft: convergence WRITES (publish + re-pin), so a
+                # reader without write access — read-only credentials, a
+                # replica mount — or one losing a pathological publish
+                # race falls back to reading the staged snapshot
+                # directly, which is exactly what this read returned
+                # before auto-heal existed (the pin's content is
+                # committed catalog truth either way; a later writer or
+                # heal() converges it)
+                try:
+                    pin = self._converge(name, pin, spark=spark)
+                    t = ManifestTable(pin["root"])
+                    current = pin["version"] == t.current_version()
+                except (OSError, RuntimeError, ConcurrentModificationError):
+                    pass
         return t.read(spark, version=pin["version"], check_vacuumed=not current)
 
     # ---------- catalog tags (durable multi-table pins) ----------

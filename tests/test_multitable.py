@@ -614,3 +614,29 @@ def test_reader_auto_heals_unconverged_pin(spark, setup):
     assert _ids(b.read(spark)) == set(range(100, 115))
     # nothing left for the operator pass
     assert cat.heal() == {}
+
+
+def test_reader_auto_heal_fails_soft_without_write_access(spark, setup, monkeypatch):
+    """Review finding on r9 auto-heal: convergence WRITES, so a reader
+    that cannot publish (read-only credentials, replica mount) must
+    fall back to reading the staged snapshot — the pre-auto-heal
+    behavior — never raise."""
+    cat, a, b = setup
+    txn = cat.transaction()
+    txn.write("a", _df(spark, 10, 15), mode="append")
+    orig = ManifestTable.publish_wap
+    ManifestTable.publish_wap = lambda self, **kw: (_ for _ in ()).throw(
+        OSError("read-only storage")
+    )
+    try:
+        with pytest.raises(OSError):
+            txn.commit()
+        # publish still broken: the read returns the staged rows anyway
+        assert _ids(cat.read(spark, "a")) == set(range(15))
+    finally:
+        ManifestTable.publish_wap = orig
+    # pin untouched (still staged), so a later heal converges normally
+    _t, v = cat.table("a")
+    assert "wap" in a.read_manifest(v).meta
+    assert "a" in cat.heal()
+    assert _ids(a.read(spark)) == set(range(15))

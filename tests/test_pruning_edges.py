@@ -381,11 +381,12 @@ def test_time_travel_reads_keep_exact_file_lists(spark, table, monkeypatch):
     assert not calls
 
 
-def test_hint_sweep_removes_legacy_latest_file(spark, table):
-    """r8 ADVICE: once a CAS hint file supersedes the legacy _latest
-    (written by pre-hint table versions), the sweep deletes it — every
-    future reader saves the open+parse. A legacy value AHEAD of the
-    committed version survives (max() still needs it)."""
+def test_hint_sweep_preserves_legacy_latest_file(spark, table):
+    """r8 ADVICE follow-up (review-hardened): the sweep never deletes
+    the legacy _latest file — a rolling-upgrade legacy writer could
+    advance it past our hint between read and delete (no CAS on
+    delete), dropping a hint AHEAD of ours. max() over hint files plus
+    the legacy file absorbs it instead, in both directions."""
     import pyarrow.fs as pafs
 
     write_and_commit(spark.range(10).toDF("id"), table)
@@ -393,9 +394,10 @@ def test_hint_sweep_removes_legacy_latest_file(spark, table):
     with table.fs.open_output_stream(legacy) as f:
         f.write(b"1")
     write_and_commit(spark.range(10).toDF("id"), table, mode="append")
-    assert table.fs.get_file_info(legacy).type == pafs.FileType.NotFound
-    # a legacy hint ahead of our version is preserved
-    with table.fs.open_output_stream(legacy) as f:
-        f.write(b"999")
-    table._write_latest_hint(3)
+    # superseded legacy value: preserved (harmless — max() ignores it)
     assert table.fs.get_file_info(legacy).type == pafs.FileType.File
+    assert table.latest_version() == 2
+    # a legacy hint ahead of every hint file still wins the max
+    with table.fs.open_output_stream(legacy) as f:
+        f.write(b"7")
+    assert table._read_latest_hint() == 7

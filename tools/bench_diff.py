@@ -29,18 +29,11 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from statistics import median as _median
 
 ABS_FLOOR = 64 * 1024  # ignore growth below 64 KiB — fixture jitter
 
 WATCHED = ("shuffle_write_bytes", "peak_task_shuffle_write_bytes")
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    if not n:
-        return 0.0
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def sentinel_factor(old: dict, new: dict) -> float | None:
