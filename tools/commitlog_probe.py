@@ -144,6 +144,55 @@ def main() -> None:
     t.read_manifest()
     out["head_parse_after_vacuum_s"] = round(time.time() - t0, 4)
 
+    # ---- section A2: branch-lineage costs on a long branch line ----
+    # A branch accumulating hundreds of its own commits: branch_head
+    # resolution (ref-dir listing, swept to O(1) files), a branch-head
+    # manifest read, the branch STREAM's offset resolution (walks the
+    # branch lineage), and fast_forward (O(1) via the fork-base copied
+    # down the chain — never a walk to the fork point).
+    br: dict = {}
+    fork_base = t.latest_version() or 0
+    t.create_branch("longline")
+    tbl = pa.table({"id": pa.array([1], pa.int64()), "v": pa.array([2.0], pa.float64())})
+    n_branch = min(500, n)
+    t0 = time.time()
+    for i in range(n_branch):
+        d = f"{root}/bdata-{i:06d}"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, f"{d}/part-0.parquet")
+        rel = [f"bdata-{i:06d}/part-0.parquet"]
+
+        def bbuild(parent, rel=rel):
+            return sorted((parent.files if parent else []) + rel)
+
+        t._commit_with_retry(bbuild, "append", None, branch="longline")
+    br["branch_commits"] = n_branch
+    br["branch_build_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    bh = t.branch_head("longline")
+    br["branch_head_s"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    t.read_manifest(bh)
+    br["branch_manifest_parse_s"] = round(time.time() - t0, 4)
+
+    from octopufs_spark.sources import ManifestStreamReader
+
+    # replay the branch's OWN lineage from the fork point (earlier main
+    # history was vacuumed above — a from-0 replay correctly fails loud)
+    t0 = time.time()
+    r = ManifestStreamReader(
+        {"path": t.root, "branch": "longline", "startingVersion": str(fork_base + 1)}
+    )
+    s0, e0 = r.initialOffset(), r.latestOffset()
+    parts = r.partitions(s0, e0)
+    br["branch_stream_line_replay_s"] = round(time.time() - t0, 3)
+    br["branch_stream_parts"] = len(parts)
+    t0 = time.time()
+    ffv = t.fast_forward("longline")
+    br["fast_forward_s"] = round(time.time() - t0, 4)
+    br["fast_forward_version"] = ffv
+    out["branch"] = br
+
     # ---- section B: evolution replay + scan-group fanout ----
     if use_spark:
         ev_root = f"{base}/ev"
