@@ -678,3 +678,41 @@ def simhash_bands_deterministic(
             for i in range(n_bands)
         ],
     )
+
+
+def cross_source_dedup(
+    df: DataFrame,
+    priority,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact dedup — the "dedupe the crawl against curated
+    sources" pipeline op (keep Wikipedia's copy, drop CommonCrawl's):
+    for each content digest exactly ONE row survives, chosen from the
+    highest-priority source (lowest ``priority`` value; ties break on
+    min id so the survivor is deterministic).
+
+    ``priority`` is a Column expression over the input (e.g. a rank
+    joined from a source-priority dim, or parsed from the source name).
+
+    Returns every input row as ``[h, doc_id, source, kept]``. Scale
+    design: ONE shuffle — a window partitioned by the 128-bit digest;
+    digests are uniform so there is no skew, and each window group is
+    the duplicate set of one content (tiny), so row_number never sees
+    a fat partition. At 100 TB this is the same cost shape as exact
+    dedup; the priority rule rides the sort key for free.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("pri", id_col)
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("h"),
+            F.col(id_col),
+            F.col(source_col),
+            priority.alias("pri"),
+        )
+        .withColumn("kept", F.row_number().over(w) == F.lit(1))
+        .drop("pri")
+    )

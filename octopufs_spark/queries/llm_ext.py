@@ -3004,3 +3004,66 @@ def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q_ext_dedup_cross_source",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, 'zcopy' AS source
+  FROM documents WHERE doc_id % 50 = 0
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY md5(text)
+           ORDER BY COALESCE(
+             CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '') AS INT),
+             999
+           ), doc_id
+         ) AS rn
+  FROM corpus
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY source ORDER BY source
+""",
+)
+def q_ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup ("keep the curated copy, drop the
+    crawl's"): every content digest keeps exactly one row, from the
+    highest-priority source. The fixture has no cross-source exact
+    dupes at small SFs, so the query plants them (the repo's
+    planted-clone contract pattern): every 50th doc is cloned under a
+    priority-less source 'zcopy' — a correct implementation keeps all
+    originals and drops exactly the clones, which the per-source
+    kept/dropped rollup pins value-level. One window shuffle on the
+    digest (llm/dedup.py::cross_source_dedup); the rollup combines
+    map-side."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    clones = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.lit("zcopy").alias("source"),
+    )
+    corpus = docs.unionByName(clones)
+    # priority = the number in the source name; sources without one
+    # (the planted 'zcopy') sink to the back
+    pri = F.coalesce(
+        F.nullif(F.regexp_extract("source", r"([0-9]+)", 1), F.lit("")).cast("int"),
+        F.lit(999),
+    )
+    marked = dedup.cross_source_dedup(corpus, pri)
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

@@ -402,3 +402,23 @@ def test_det_adaptive_near_dup_honors_id_col(spark):
         (r.doc_a, r.doc_b) for r in default
     }
     assert len(pairs) > 0
+
+
+def test_cross_source_dedup_priority_and_ties(spark):
+    """Cross-source exact dedup keeps the HIGHEST-priority source's
+    copy of each content (lowest pri value), breaking ties on min id;
+    unique content always survives."""
+    rows = spark.createDataFrame(
+        [
+            (1, "alpha beta", "wiki"),    # pri 0 -> survives
+            (2, "alpha beta", "crawl"),   # pri 9 -> dropped
+            (3, "alpha beta", "crawl"),   # pri 9 -> dropped
+            (4, "gamma", "crawl"),        # unique -> survives
+            (5, "delta", "crawl"),        # tie on (pri, ...) vs id 6
+            (6, "delta", "crawl"),        # same source: min id wins
+        ],
+        "doc_id long, text string, source string",
+    )
+    pri = F.when(F.col("source") == "wiki", F.lit(0)).otherwise(F.lit(9))
+    got = {r.doc_id: r.kept for r in dedup.cross_source_dedup(rows, pri).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: True, 6: False}
