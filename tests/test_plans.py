@@ -350,3 +350,17 @@ def test_pid_scoped_root_sweeps_dead_siblings(tmp_path, monkeypatch):
     assert alive.exists(), "live sibling root must survive"
     assert other_tag.exists(), "different tag must not be touched"
     assert root in buckets._CLEANUP_REGISTERED
+
+
+def test_cross_source_dedup_single_data_shuffle(plans):
+    """Cross-source dedup must stay exact-dedup-shaped: one digest
+    window shuffle carries the data; no join materializes pairs (the
+    clones are planted by a union, not a self-join) and nothing goes
+    cartesian. The post-window rollup exchanges only per-source
+    partials."""
+    p = plans("q_ext_dedup_cross_source")
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in p, f"pair-materializing {node} in plan"
+    import re as _re
+    assert len(_re.findall(r"\(\d+\) Window\b", p)) == 1
