@@ -351,14 +351,34 @@ def test_multitable_txn_fuzz(spark, setup):
                     errors.append(e)
                 return
 
+    def reader():
+        # exercises r9 reader auto-heal under contention: a read that
+        # catches a pin mid-convergence must either converge it itself
+        # (idempotent with the healer/committers via the publish-marker
+        # walk) or fall back to the staged snapshot — never error, and
+        # every read returns a consistent committed state
+        while not stop.is_set():
+            try:
+                for n in ("a", "b"):
+                    cat.read(spark, n).count()
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+                return
+
     threads = [threading.Thread(target=txn_worker, args=(w,)) for w in range(3)]
     threads += [
         threading.Thread(target=direct_appender, args=(n, 90000 + 100 * i))
         for i, n in enumerate(("a", "b"))
     ]
-    ht, vt = threading.Thread(target=healer), threading.Thread(target=vacuumer)
+    ht, vt, rt = (
+        threading.Thread(target=healer),
+        threading.Thread(target=vacuumer),
+        threading.Thread(target=reader),
+    )
     ht.start()
     vt.start()
+    rt.start()
     for t in threads:
         t.start()
     for t in threads:
@@ -366,6 +386,7 @@ def test_multitable_txn_fuzz(spark, setup):
     stop.set()
     ht.join()
     vt.join()
+    rt.join()
     assert not errors, f"background thread crashed: {errors[0]!r}"
 
     cat.heal()  # settle any in-flight convergence
