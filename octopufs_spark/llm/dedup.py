@@ -695,6 +695,13 @@ def cross_source_dedup(
 
     ``priority`` is a Column expression over the input (e.g. a rank
     joined from a source-priority dim, or parsed from the source name).
+    A NULL priority SINKS (``asc_nulls_last``): a row whose priority
+    expression fails to evaluate never beats an explicitly-ranked one.
+
+    NULL ``text_col`` rows do NOT dedup against each other: ``md5(NULL)``
+    is NULL, and a naive digest window would collapse every missing-text
+    row across all sources into one survivor. Each NULL-text row gets a
+    per-row digest (``null-<id>``) so it keeps itself and drops nothing.
 
     Returns every input row as ``[h, doc_id, source, kept]``. Scale
     design: ONE shuffle — a window partitioned by the 128-bit digest;
@@ -705,10 +712,14 @@ def cross_source_dedup(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("h").orderBy("pri", id_col)
+    w = Window.partitionBy("h").orderBy(F.asc_nulls_last("pri"), id_col)
+    text = F.col(text_col)
+    digest = F.when(
+        text.isNull(), F.concat(F.lit("null-"), F.col(id_col).cast("string"))
+    ).otherwise(F.md5(text))
     return (
         df.select(
-            F.md5(F.col(text_col)).alias("h"),
+            digest.alias("h"),
             F.col(id_col),
             F.col(source_col),
             priority.alias("pri"),

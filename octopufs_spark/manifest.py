@@ -2965,36 +2965,42 @@ def write_and_commit(
                 # write-side md5 hashed (exact only for integer types)
                 entry.append(dtypes[src])
             stored_specs[name] = entry
-        if mode == "append":
-            # an append must CONFORM to the live layout: a different
-            # transform under the same name would hash the same probe
-            # into different dirs per commit (one spec prunes all
-            # files — silently lost rows), a bucket source whose TYPE
-            # changed renders differently under CAST (same failure),
-            # and a brand-new hidden column breaks the by-name union
-            # every read performs. Adopt or change a layout via
-            # overwrite, which replaces the whole file set.
-            #
-            # The reference layout comes from the COMMIT TARGET's head:
-            # a branch append conforms to the branch head (a branch may
-            # have adopted a different layout via overwrite — checking
-            # main would either spuriously reject a conforming branch
-            # append or silently pass a spec the branch head does not
-            # have, recreating the pruning-lost-rows hazard on the
-            # branch line). wap_id without branch publishes onto main,
-            # so main's head is the right staging-time reference there.
-            if branch is not None:
-                ref_version: int | None = table.branch_head(branch)
-            else:
-                ref_version = table.current_version()
-            try:
-                head_hp = (
-                    table.read_manifest(ref_version).meta.get("hidden_partitions")
-                    if ref_version is not None
-                    else None
-                ) or {}
-            except FileNotFoundError:
-                head_hp = {}
+        df = df.repartition(*hidden_partition.keys())
+        partition_by += list(hidden_partition.keys())
+        meta = {**(meta or {}), "hidden_partitions": stored_specs}
+    if mode == "append":
+        # EVERY append (hidden-spec'd or plain) must CONFORM to the live
+        # layout: a different transform under the same name would hash
+        # the same probe into different dirs per commit (one spec prunes
+        # all files — silently lost rows), a bucket source whose TYPE
+        # changed renders differently under CAST (same failure), a
+        # brand-new hidden column breaks the by-name union every read
+        # performs, and a SUBSET layout (or a plain append onto a
+        # hidden-layout table) lands files that every source-predicate
+        # prune on the omitted transform silently skips. Adopt or change
+        # a layout via overwrite, which replaces the whole file set.
+        #
+        # The reference layout comes from the COMMIT TARGET's head:
+        # a branch append conforms to the branch head (a branch may
+        # have adopted a different layout via overwrite — checking
+        # main would either spuriously reject a conforming branch
+        # append or silently pass a spec the branch head does not
+        # have, recreating the pruning-lost-rows hazard on the
+        # branch line). wap_id without branch publishes onto main,
+        # so main's head is the right staging-time reference there.
+        if branch is not None:
+            ref_version: int | None = table.branch_head(branch)
+        else:
+            ref_version = table.current_version()
+        try:
+            head_hp = (
+                table.read_manifest(ref_version).meta.get("hidden_partitions")
+                if ref_version is not None
+                else None
+            ) or {}
+        except FileNotFoundError:
+            head_hp = {}
+        if hidden_partition:
             for name, entry in stored_specs.items():
                 old = head_hp.get(name)
                 if old is None:
@@ -3021,9 +3027,26 @@ def write_and_commit(
                         f"{old[3]} in the table — CAST renderings differ, the same "
                         "key would land in different buckets per commit"
                     )
-        df = df.repartition(*hidden_partition.keys())
-        partition_by += list(hidden_partition.keys())
-        meta = {**(meta or {}), "hidden_partitions": stored_specs}
+            missing = set(head_hp) - set(stored_specs)
+            if missing:
+                # r9 ADVICE: a strict-subset layout previously passed
+                # staging (every OWN spec matched) and then always died
+                # in the build-time equality re-verify with a misleading
+                # "changed between staging and committing" race error —
+                # refuse it HERE with the conformance message instead
+                raise ValueError(
+                    f"append omits hidden partition(s) {sorted(missing)} the "
+                    "table has — appends must conform to the FULL live "
+                    "layout; change the layout via overwrite"
+                )
+        elif head_hp:
+            raise ValueError(
+                f"table has a hidden-partition layout "
+                f"{ {k: tuple(v[:3]) for k, v in head_hp.items()} } — a plain "
+                "append would land un-transformed files that source-predicate "
+                "pruning silently skips; pass a conforming hidden_partition= "
+                "or replace the layout via overwrite"
+            )
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -3048,12 +3071,15 @@ def write_and_commit(
         # The staging-time layout conformance check above is
         # time-of-check-to-time-of-use: a concurrent overwrite can change
         # the hidden layout between that check and this commit build, and
-        # a plain append would then land a mixed-layout snapshot. Capture
+        # the append would then land a mixed-layout snapshot. Capture
         # the layout identity this append was staged under and re-verify
         # against the LIVE parent inside build() — the same compare the
-        # WAP publish performs (_layout at publish time). A None parent
-        # (first commit on an empty table) is the adopt-layout case and
-        # passes by construction.
+        # WAP publish performs (_layout at publish time). This covers
+        # PLAIN appends too (staged_layout=None vs a live layout adopted
+        # mid-flight — r9 ADVICE: previously unchecked, the un-transformed
+        # files landed and every source-predicate prune silently skipped
+        # them). A None parent (first commit on an empty table) is the
+        # adopt-layout case and passes by construction.
         staged_layout = (
             {k: tuple(v[:3]) for k, v in stored_specs.items()}
             if hidden_partition
@@ -3061,7 +3087,7 @@ def write_and_commit(
         )
 
         def build(parent):
-            if hidden_partition and parent is not None:
+            if parent is not None:
                 live = parent.meta.get("hidden_partitions") or None
                 live_layout = (
                     {k: tuple(v[:3]) for k, v in live.items()} if live else None

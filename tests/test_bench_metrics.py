@@ -83,12 +83,14 @@ def test_robust_time_repeat_logic():
 def test_outlier_retime_selection():
     """r7 verdict #1: a median >1.5x its prior record with an UNCHANGED
     plan is a phantom regression and gets re-timed; a changed plan, a
-    ratio under threshold, missing metrics, or a failed run never do."""
+    ratio under threshold, missing metrics, or a failed run never do.
+    r9 verdict #1: a plan change means SHUFFLE metrics moved — stage
+    counts jitter under AQE and must not deny a re-time."""
     import bench
 
     pm = {"stages": 10, "shuffle_write_bytes": 1_000_000, "shuffle_write_records": 500}
     pm_close = dict(pm, shuffle_write_bytes=1_010_000)  # within 2% slack
-    pm_diff = dict(pm, stages=11)
+    pm_diff = dict(pm, shuffle_write_records=501)  # a REAL plan change
     timings = {
         "noisy": 5.0,       # 7x, plan unchanged -> retime
         "legit": 5.0,       # 7x but plan changed -> real regression, keep
@@ -101,11 +103,94 @@ def test_outlier_retime_selection():
     cur_pm = {"noisy": pm_close, "legit": pm_diff, "steady": pm, "failed": pm}
     prior_pm = {"noisy": pm, "legit": pm, "steady": pm, "failed": pm}
     assert bench.find_outliers(timings, prior, cur_pm, prior_pm) == ["noisy"]
-    # plan equality is exact on stages/records, 2% slack on bytes
+    # plan equality is exact on records, 2% slack on bytes
     assert bench.plans_unchanged(pm, pm_close)
     assert not bench.plans_unchanged(pm, pm_diff)
     assert not bench.plans_unchanged(pm, dict(pm, shuffle_write_bytes=2_000_000))
     assert not bench.plans_unchanged(pm, None)
+
+
+def test_stage_jitter_does_not_deny_retime():
+    """r9 verdict #1 regression: the official r9 record denied 4
+    legitimate load-spike re-times SOLELY because AQE stage counts
+    jittered while every shuffle metric matched exactly. Replays the
+    actual q_ext_dedup_cluster numbers from that record (0.78→1.47 s,
+    stages 37→44, shuffle records/bytes identical): the retime pass
+    must select it."""
+    import bench
+
+    prior_pm = {
+        "q_ext_dedup_cluster": {
+            "stages": 37,
+            "shuffle_write_bytes": 4026,
+            "shuffle_write_records": 161,
+        }
+    }
+    cur_pm = {
+        "q_ext_dedup_cluster": {
+            "stages": 44,  # AQE jitter — identical shuffle signature
+            "shuffle_write_bytes": 4026,
+            "shuffle_write_records": 161,
+        }
+    }
+    assert bench.plans_unchanged(
+        cur_pm["q_ext_dedup_cluster"], prior_pm["q_ext_dedup_cluster"]
+    )
+    got = bench.find_outliers(
+        {"q_ext_dedup_cluster": 1.47}, {"q_ext_dedup_cluster": 0.78}, cur_pm, prior_pm
+    )
+    assert got == ["q_ext_dedup_cluster"]
+
+
+def test_bench_diff_stage_jitter_is_informational_only():
+    """r9 verdict #2 regression: the r8→r9 diff printed 6 false
+    "REGRESSION stages" flags on queries with byte-identical shuffle
+    metrics. Stage deltas must demote to info notes (no exit-1 flag);
+    a genuine shuffle fattening still flags."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_diff
+
+    base = {"shuffle_write_bytes": 5_000_000, "shuffle_write_records": 1000,
+            "peak_task_shuffle_write_bytes": 500_000}
+    old = {"q_jit": dict(base, stages=37), "q_fat": dict(base, stages=10)}
+    new = {
+        "q_jit": dict(base, stages=44),  # AQE jitter, shuffle identical
+        "q_fat": dict(base, stages=10, shuffle_write_bytes=20_000_000),
+    }
+    flags, notes = bench_diff.plan_flags(old, new)
+    assert [(q, k) for q, k, *_ in flags] == [("q_fat", "shuffle_write_bytes")]
+    assert [(q, so, sn) for q, so, sn in notes] == [("q_jit", 37, 44)]
+
+
+def test_bench_diff_noise_floor_from_timing_spread():
+    """r9 verdict #5: with both records carrying timing_spread, a mover
+    whose normalized ratio sits inside its OWN sample spread is tagged
+    'within own noise floor'; a mover beyond it is not."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_diff
+
+    old = {
+        "queries": {"q_noisy": 1.0, "q_tight": 1.0},
+        "load_sentinel": [0.1, 0.1],
+        "timing_spread": {"q_noisy": [0.8, 1.0, 1.6], "q_tight": [0.98, 1.0, 1.02]},
+    }
+    new = {
+        "queries": {"q_noisy": 1.8, "q_tight": 1.8},
+        "load_sentinel": [0.1, 0.1],
+        "timing_spread": {"q_noisy": [1.2, 1.8, 2.0], "q_tight": [1.75, 1.8, 1.85]},
+    }
+    assert bench_diff.noise_floor(old, new, "q_noisy") == 2.0  # 1.6/0.8
+    assert bench_diff.noise_floor(old, new, "q_tight") < 1.1
+    assert bench_diff.noise_floor({}, {}, "q_absent") == 1.0  # pre-r10 records
+    lines = bench_diff.timing_report(old, new)
+    noisy = [ln for ln in lines if "mover q_noisy" in ln]
+    tight = [ln for ln in lines if "mover q_tight" in ln]
+    assert noisy and "[within own noise floor]" in noisy[0]
+    assert tight and "[within own noise floor]" not in tight[0]
 
 
 def test_stdout_line_fits_capture_window():
@@ -165,6 +250,23 @@ def test_bench_diff_sentinel_normalization():
     # pre-sentinel record degrades to raw-only, no crash
     raw_only = bench_diff.timing_report({"queries": {"q_a": 1.0}}, {"queries": {"q_a": 2.0}})
     assert any("raw ratios only" in ln for ln in raw_only)
+
+
+def test_committed_plan_baselines_in_sync():
+    """r9 verdict #6: PLANS.md and tools/bench_baseline.json must be
+    refreshed against the SAME BENCH_FULL.json — the r9 flow needed two
+    manual refresh commits and the artifacts drifted between them. One
+    command (tools/explain_audit.py --refresh-baseline) now does both;
+    this gate fails any commit where they drifted apart."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import explain_audit
+
+    if not (REPO / "BENCH_FULL.json").exists():
+        pytest.skip("no bench record")
+    problems = explain_audit.check_baselines(str(REPO))
+    assert not problems, "\n".join(problems)
 
 
 def test_sentinel_factor_prefers_shuffle_series():

@@ -422,3 +422,46 @@ def test_cross_source_dedup_priority_and_ties(spark):
     pri = F.when(F.col("source") == "wiki", F.lit(0)).otherwise(F.lit(9))
     got = {r.doc_id: r.kept for r in dedup.cross_source_dedup(rows, pri).collect()}
     assert got == {1: True, 2: False, 3: False, 4: True, 5: True, 6: False}
+
+
+def test_cross_source_dedup_null_priority_sinks(spark):
+    """A NULL priority must LOSE to any explicit priority (asc would
+    otherwise put NULLS FIRST and invert the documented lowest-wins
+    rule — r9 ADVICE)."""
+    rows = spark.createDataFrame(
+        [
+            (1, "alpha", "ranked"),    # pri 5 -> survives
+            (2, "alpha", "unranked"),  # pri NULL -> dropped
+            (3, "beta", "unranked"),   # unique, NULL pri -> survives
+        ],
+        "doc_id long, text string, source string",
+    )
+    pri = F.when(F.col("source") == "ranked", F.lit(5)).otherwise(
+        F.lit(None).cast("int")
+    )
+    got = {r.doc_id: r.kept for r in dedup.cross_source_dedup(rows, pri).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_cross_source_dedup_null_text_rows_each_survive(spark):
+    """md5(NULL) is NULL; without a per-row digest every missing-text
+    row across all sources would collapse into ONE window group and a
+    single survivor — silent row drops (r9 ADVICE). Each NULL-text row
+    must keep itself, and NULL-text must never dedup against real text."""
+    rows = spark.createDataFrame(
+        [
+            (1, None, "wiki"),
+            (2, None, "crawl"),
+            (3, None, "crawl"),
+            (4, "real text", "wiki"),
+            (5, "real text", "crawl"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pri = F.when(F.col("source") == "wiki", F.lit(0)).otherwise(F.lit(9))
+    out = dedup.cross_source_dedup(rows, pri).collect()
+    got = {r.doc_id: r.kept for r in out}
+    assert got == {1: True, 2: True, 3: True, 4: True, 5: False}
+    # per-row digests stay distinct across NULL-text rows
+    null_digests = {r.h for r in out if r.doc_id in (1, 2, 3)}
+    assert len(null_digests) == 3

@@ -348,6 +348,81 @@ def test_append_layout_reverified_at_commit_build_time(spark, table, monkeypatch
     assert table.read(spark).count() == 5
 
 
+def test_append_with_subset_layout_refused_at_staging(spark, table):
+    """r9 ADVICE: an append specifying a strict SUBSET of the head's
+    hidden partitions used to pass the staging check (each of its own
+    specs matched) and then always die at commit-build with a
+    misleading ConcurrentModificationError claiming a race that never
+    happened. It must be refused AT STAGING with the conformance
+    ValueError instead."""
+    df = spark.range(40).select(
+        "id",
+        F.col("id").cast("bigint").alias("k"),
+        F.concat(
+            F.lit("2024-01-"), F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0")
+        )
+        .cast("date")
+        .alias("d"),
+    )
+    write_and_commit(
+        df, table,
+        hidden_partition={"hb": ("bucket", "k", 8), "dd": ("days", "d")},
+    )
+    with pytest.raises(ValueError, match="omits hidden partition"):
+        write_and_commit(
+            df, table, mode="append", hidden_partition={"hb": ("bucket", "k", 8)}
+        )
+    assert table.read(spark).count() == 40
+
+
+def test_plain_append_onto_hidden_layout_refused(spark, table):
+    """r9 ADVICE: a plain append (no hidden_partition=) onto a
+    hidden-layout table would land un-transformed files that every
+    source-predicate prune silently skips — refused at staging."""
+    df = spark.range(40).select("id", F.col("id").cast("bigint").alias("k"))
+    write_and_commit(df, table, hidden_partition={"hb": ("bucket", "k", 8)})
+    with pytest.raises(ValueError, match="plain\\s+append"):
+        write_and_commit(
+            spark.range(40, 50).select("id", F.col("id").cast("bigint").alias("k")),
+            table, mode="append",
+        )
+    assert table.read(spark).count() == 40
+
+
+def test_plain_append_racing_layout_adoption_aborts_at_build(
+    spark, table, monkeypatch
+):
+    """r9 ADVICE (TOCTOU side): a PLAIN append staged against a
+    layout-less head must abort if an overwrite ADOPTS a hidden layout
+    before the append's commit builds — previously the un-transformed
+    files landed unchecked."""
+    from octopufs_spark.manifest import ConcurrentModificationError
+
+    df = spark.range(40).select("id", F.col("id").cast("bigint").alias("k"))
+    write_and_commit(df, table)  # layout-less head: plain append stages fine
+    orig = ManifestTable._commit_with_retry
+    fired = {"done": False}
+
+    def racy(self, files_or_build, operation, meta, **kw):
+        if not fired["done"] and operation == "append":
+            fired["done"] = True
+            write_and_commit(
+                spark.range(5).select("id", F.col("id").cast("bigint").alias("k")),
+                ManifestTable(table.root),
+                mode="overwrite",
+                hidden_partition={"hb": ("bucket", "k", 8)},
+            )
+        return orig(self, files_or_build, operation, meta, **kw)
+
+    monkeypatch.setattr(ManifestTable, "_commit_with_retry", racy)
+    with pytest.raises(ConcurrentModificationError, match="layout"):
+        write_and_commit(
+            spark.range(40, 50).select("id", F.col("id").cast("bigint").alias("k")),
+            table, mode="append",
+        )
+    assert table.read(spark).count() == 5
+
+
 def test_time_travel_reads_keep_exact_file_lists(spark, table, monkeypatch):
     """r8 ADVICE: directory collapse is a HEAD-read optimization only.
     An explicit-version (or tag/timestamp/branch) read keeps the exact

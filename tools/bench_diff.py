@@ -55,9 +55,29 @@ def sentinel_factor(old: dict, new: dict) -> float | None:
     return None
 
 
+def noise_floor(old: dict, new: dict, q: str) -> float:
+    """A query's OWN observed timing variance across both records'
+    ``timing_spread`` ([min, median, max] of the bench iterations,
+    r10+): the largest max/min ratio either record measured for it.
+    A round-over-round delta inside this band is indistinguishable
+    from the query's single-run jitter on identical code (the r9
+    judge measured up to 1.7× spread across 20 minutes on one box).
+    Returns 1.0 when either record predates the field."""
+    floor = 1.0
+    for rec in (old, new):
+        s = (rec.get("timing_spread") or {}).get(q)
+        if isinstance(s, list) and len(s) == 3 and s[0] and s[0] > 0:
+            floor = max(floor, s[2] / s[0])
+    return floor
+
+
 def timing_report(old: dict, new: dict, top: int = 8) -> list[str]:
     """Raw + sentinel-normalized timing ratios over the common query
-    set. Returns printable lines (kept side-effect-free for tests)."""
+    set. Returns printable lines (kept side-effect-free for tests).
+    Movers are additionally weighed against their OWN per-query noise
+    floor when both records carry ``timing_spread`` — a mover whose
+    normalized ratio sits inside its own sample spread is demoted to
+    'within own noise floor' instead of listed as a mover."""
     oq = {k: v for k, v in (old.get("queries") or {}).items() if v and v > 0}
     nq = {k: v for k, v in (new.get("queries") or {}).items() if v and v > 0}
     common = sorted(set(oq) & set(nq))
@@ -87,12 +107,39 @@ def timing_report(old: dict, new: dict, top: int = 8) -> list[str]:
         if r < 1.3:
             break
         raw = ratios[q]
+        floor = noise_floor(old, new, q)
+        tag = " [within own noise floor]" if r <= floor else ""
         lines.append(
             f"  mover {q}: raw {raw:.2f}x"
             + (f", normalized {r:.2f}x" if factor is not None else "")
             + f" ({oq[q]:.2f}s -> {nq[q]:.2f}s)"
+            + (f" spread-floor {floor:.2f}x{tag}" if floor > 1.0 else "")
         )
     return lines
+
+
+def plan_flags(
+    old: dict, new: dict, ratio: float = 1.5
+) -> tuple[list[tuple], list[tuple]]:
+    """Compute (regression_flags, stage_notes) over two plan_metrics
+    dicts. Only SHUFFLE metrics flag as REGRESSION. Stage-count deltas
+    are INFORMATIONAL ONLY (r9 verdict #2): AQE re-plans at runtime —
+    the same code at the same sf produced 61/78/72 stages across three
+    r9 runs with byte-identical shuffle bytes/records, and the old
+    stage flag printed 6 false "REGRESSION stages" lines in the r8→r9
+    diff. A REAL plan regression moves shuffle metrics, which the
+    WATCHED loop catches."""
+    flags = []
+    stage_notes = []
+    for q in sorted(set(old) & set(new)):
+        for k in WATCHED:
+            o, n = old[q].get(k, 0), new[q].get(k, 0)
+            if n > max(o * ratio, o + ABS_FLOOR):
+                flags.append((q, k, o, n))
+        so, sn = old[q].get("stages", 0), new[q].get("stages", 0)
+        if sn > so + 2:
+            stage_notes.append((q, so, sn))
+    return flags, stage_notes
 
 
 def main() -> int:
@@ -112,18 +159,11 @@ def main() -> int:
         print("one side has no plan_metrics (pre-r3 bench file?) — nothing to diff")
         return 0
 
-    flags = []
-    for q in sorted(set(old) & set(new)):
-        for k in WATCHED:
-            o, n = old[q].get(k, 0), new[q].get(k, 0)
-            if n > max(o * args.ratio, o + ABS_FLOOR):
-                flags.append((q, k, o, n))
-        so, sn = old[q].get("stages", 0), new[q].get("stages", 0)
-        if sn > so + 2:  # wholesale plan-shape change
-            flags.append((q, "stages", so, sn))
-
+    flags, stage_notes = plan_flags(old, new, args.ratio)
     for q, k, o, n in flags:
         print(f"REGRESSION {q}: {k} {o} -> {n}")
+    for q, so, sn in stage_notes:
+        print(f"info: {q} stages {so} -> {sn} (AQE jitter unless shuffle moved)")
     gone = sorted(set(old) - set(new))
     added = sorted(set(new) - set(old))
     if gone:

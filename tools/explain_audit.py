@@ -3,17 +3,30 @@ a mechanical audit (pushed filters, pruned columns, broadcast usage,
 exchange count, codegen coverage). Run after plan-affecting changes:
 
     python tools/explain_audit.py [sf_dir]
+
+r9 verdict #6 — one-command baseline refresh + drift gate:
+
+    python tools/explain_audit.py --refresh-baseline [sf_dir]
+        regenerates PLANS.md AND copies BENCH_FULL.json to
+        tools/bench_baseline.json in the same invocation, so the plan
+        audit and the plan-metrics baseline can never be refreshed in
+        separate commits against different records (the r9 flow needed
+        two manual refresh commits and the ledger drifted between them).
+
+    python tools/explain_audit.py --check
+        Spark-free consistency gate (also run by pytest every suite
+        run, tests/test_bench_metrics.py): fails when the committed
+        baseline's query set drifted from BENCH_FULL.json's, or when
+        PLANS.md's sections drifted from the FLAGSHIPS list here.
 """
 
 from __future__ import annotations
 
+import json
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
-
-from octopufs_spark.registry import all_queries  # noqa: E402
-from octopufs_spark.session import get_spark  # noqa: E402
 
 FLAGSHIPS = [
     ("q_agg_sum_group", "decimal hash aggregate, map-side partial combine"),
@@ -96,8 +109,59 @@ def audit(plan: str) -> list[str]:
     return notes
 
 
+def check_baselines(repo: str = "/root/repo") -> list[str]:
+    """Spark-free drift gate between the three committed plan artifacts:
+    BENCH_FULL.json (the latest full record), tools/bench_baseline.json
+    (the regression-gate baseline), and PLANS.md (the flagship audit).
+    Returns human-readable problems; empty means in sync. Run by pytest
+    on every suite run so a refresh can never land half-done."""
+    problems: list[str] = []
+    try:
+        record = json.load(open(f"{repo}/BENCH_FULL.json"))
+        baseline = json.load(open(f"{repo}/tools/bench_baseline.json"))
+    except (OSError, ValueError) as e:
+        return [f"cannot read bench records: {e}"]
+    rq = set((record.get("plan_metrics") or {}))
+    bq = set((baseline.get("plan_metrics") or {}))
+    if rq != bq:
+        extra = sorted(rq - bq)[:5]
+        gone = sorted(bq - rq)[:5]
+        problems.append(
+            "bench_baseline.json query set drifted from BENCH_FULL.json "
+            f"(in record only: {extra or '[]'}; in baseline only: {gone or '[]'}) "
+            "— run tools/explain_audit.py --refresh-baseline"
+        )
+    try:
+        plans = open(f"{repo}/PLANS.md").read()
+    except OSError as e:
+        return problems + [f"cannot read PLANS.md: {e}"]
+    sections = set(re.findall(r"^## (\S+)$", plans, flags=re.M))
+    declared = {name for name, _ in FLAGSHIPS}
+    if sections != declared:
+        missing = sorted(declared - sections)[:5]
+        stale = sorted(sections - declared)[:5]
+        problems.append(
+            f"PLANS.md sections drifted from FLAGSHIPS (missing: {missing or '[]'}; "
+            f"stale: {stale or '[]'}) — run tools/explain_audit.py --refresh-baseline"
+        )
+    return problems
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    if "--check" in flags:
+        problems = check_baselines()
+        for p in problems:
+            print(p)
+        if not problems:
+            print("ok: PLANS.md + bench_baseline.json in sync with BENCH_FULL.json")
+        raise SystemExit(1 if problems else 0)
+
+    from octopufs_spark.registry import all_queries
+    from octopufs_spark.session import get_spark
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("explain_audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -132,6 +196,20 @@ def main() -> None:
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(FLAGSHIPS)} queries)")
+    if "--refresh-baseline" in flags:
+        record = json.load(open("/root/repo/BENCH_FULL.json"))
+        with open("/root/repo/tools/bench_baseline.json", "w") as f:
+            json.dump(record, f, indent=1)
+        print(
+            "refreshed tools/bench_baseline.json from BENCH_FULL.json "
+            f"({len(record.get('plan_metrics') or {})} queries, "
+            f"sf {record.get('sf')})"
+        )
+        problems = check_baselines()
+        for p in problems:
+            print(f"STILL DRIFTED: {p}")
+        if problems:
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":
