@@ -11,9 +11,12 @@ rollup" into "aggregate one commit's files and merge".
 
 Commits that change rows beyond pure addition (overwrite, compaction
 rewrites observed as removals, merge-on-read delete vectors) cannot
-be folded into an algebraic merge; ``refresh()`` detects them from
-the log and falls back to ONE full recompute, then resumes
-incremental maintenance. Maintenance commits that change nothing
+in general be folded into an algebraic merge; ``refresh()`` detects
+them from the log and falls back to ONE full recompute, then resumes
+incremental maintenance. Pure MOR deletes DO fold subtractively —
+and when a deleted row ties a group's stored min/max (the one case
+subtraction cannot repair), only the extremum-hit groups are
+rescanned from the head (key-pruned file set), not the table. Maintenance commits that change nothing
 visible (vector consolidation, WAP aborts, schema-evolution events)
 fold as no-ops; staged WAP snapshots and branch commits are not on
 main and are skipped outright.
@@ -123,8 +126,10 @@ class MaterializedView:
         only CONDITIONALLY so — a deleted row strictly inside its
         group's (stored_min, stored_max) open interval cannot change
         either, which the fold verifies per delete commit
-        (:meth:`_minmax_fold_unsafe`); a delete touching any stored
-        extremum falls back to one full recompute."""
+        (:meth:`_minmax_unsafe_groups`); a delete touching a stored
+        extremum triggers a rescan of ONLY the affected groups (up to
+        :attr:`MINMAX_RESCAN_MAX_GROUPS` of them; beyond that, one
+        full recompute)."""
         return all(fn in ("count", "sum", "avg", "min", "max") for fn, _ in self.aggs.values())
 
     def _minmax_cols(self) -> list[tuple[str, str]]:
@@ -151,25 +156,39 @@ class MaterializedView:
             ],
         )
 
-    def _minmax_fold_unsafe(self, cur: DataFrame | None, negatives: list[DataFrame]) -> bool:
-        """True when any deleted row TIES OR PASSES its group's stored
+    # max number of extremum-hit groups to rescan in place of a full
+    # recompute: each key becomes one disjunct of the rescan predicate
+    # (pushed into the parquet scan + zone-map pruning), so the cap
+    # bounds both the predicate size and the collected driver state;
+    # beyond it a full recompute is cheaper than a 100+-arm filter
+    MINMAX_RESCAN_MAX_GROUPS = 128
+
+    def _minmax_unsafe_groups(
+        self, cur: DataFrame | None, negatives: list[DataFrame]
+    ) -> list[dict] | None:
+        """Group keys whose deleted rows TIE OR PASS the group's stored
         extremum for any declared min/max — removal could then raise
         the min / lower the max, which only a rescan of that group can
-        recompute (multiplicity is not stored). The negatives carry
-        the DELETED rows' per-group extremes in their min/max physical
-        columns, so the check is one broadcast-size join against the
-        current view. NULL deleted extremes (all-NULL deleted values)
-        never flag — NULLs cannot hold an extremum."""
+        recompute (multiplicity is not stored). Returns ``[]`` when the
+        fold is safe everywhere, the affected groups' key dicts when a
+        scoped rescan can repair them, or ``None`` when more than
+        :attr:`MINMAX_RESCAN_MAX_GROUPS` groups are hit (caller falls
+        back to one full recompute). The negatives carry the DELETED
+        rows' per-group extremes in their min/max physical columns, so
+        the check is one broadcast-size join against the current view —
+        NULL-SAFE on the group keys (a plain equi-join would silently
+        drop the NULL-keyed group, leaving its stored extremum standing
+        after its row was deleted). NULL deleted extremes (all-NULL
+        deleted values) never flag — NULLs cannot hold an extremum."""
         mm = self._minmax_cols()
         if not mm or not negatives or cur is None:
-            return False
+            return []
         deleted = negatives[0]
         for n in negatives[1:]:
             deleted = deleted.unionByName(n)
         dmm = deleted.groupBy(*self.group_by).agg(
             *[getattr(F, fn)(phys).alias(phys) for phys, fn in mm]
         )
-        j = dmm.alias("d").join(cur.alias("v"), self.group_by, "inner")
         conds = [
             (F.col(f"d.{phys}") <= F.col(f"v.{phys}"))
             if fn == "min"
@@ -179,7 +198,70 @@ class MaterializedView:
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
-        return j.where(cond).limit(1).count() > 0
+        if not self.group_by:
+            # a group-less view has one global "group": repairing it IS
+            # the full recompute
+            j = dmm.alias("d").crossJoin(cur.alias("v"))
+            return None if j.where(cond).limit(1).count() > 0 else []
+        on = None
+        for c in self.group_by:
+            t = F.col(f"d.{c}").eqNullSafe(F.col(f"v.{c}"))
+            on = t if on is None else (on & t)
+        j = dmm.alias("d").join(cur.alias("v"), on, "inner")
+        cap = self.MINMAX_RESCAN_MAX_GROUPS
+        rows = (
+            j.where(cond)
+            .select(*[F.col(f"v.{c}").alias(c) for c in self.group_by])
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            return None
+        return [r.asDict() for r in rows]
+
+    def _group_key_predicate(self, keys: list[dict]):
+        """One null-safe disjunct per affected group key — a literal
+        predicate (not a join) so Catalyst pushes it into the rescan's
+        parquet scan."""
+        disj = None
+        for k in keys:
+            conj = None
+            for c in self.group_by:
+                t = F.col(c).eqNullSafe(F.lit(k[c]))
+                conj = t if conj is None else (conj & t)
+            disj = conj if disj is None else (disj | conj)
+        return disj
+
+    def _rescan_groups_partial(
+        self, spark: SparkSession, keys: list[dict], src_head: int
+    ) -> DataFrame:
+        """Fresh partials for exactly the extremum-hit groups, scanned
+        from the source HEAD (vectors + evolution applied — what a full
+        recompute would see for those groups). Single-column group keys
+        additionally bound the FILE set through ``prune_plan`` (zone
+        maps / segments / hidden transforms) via the keys' min-max
+        interval — at 100 TB a delete clipping one group's maximum
+        rescans the files that group's key reaches, never the table.
+        NULL group keys have no interval (and stats-pruning a file on
+        ``col >= lo`` may drop its NULL rows), so any NULL key keeps
+        the unpruned head read."""
+        src_df = None
+        if len(self.group_by) == 1:
+            col = self.group_by[0]
+            vals = [k[col] for k in keys if k[col] is not None]
+            if vals and len(vals) == len(keys):
+                try:
+                    src_df = self.source.read_pruned(
+                        spark,
+                        [(col, ">=", min(vals)), (col, "<=", max(vals))],
+                        version=src_head,
+                    )
+                except Exception:
+                    src_df = None  # stats-less or unorderable: full read
+        if src_df is None:
+            src_df = self.source.read(spark, version=src_head)
+        return self._partial(src_df.where(self._group_key_predicate(keys)))
 
     def _partial(self, df: DataFrame) -> DataFrame:
         if self.filter is not None:
@@ -324,18 +406,20 @@ class MaterializedView:
                 # merge (each explicit-version read pays per-file
                 # vacuum pre-checks)
                 cur_df = self.view.read(spark, version=view_m.version)
-                if self._minmax_fold_unsafe(cur_df, negatives):
-                    # a deleted row ties/passes a stored extremum: only
-                    # a rescan can recompute that group's min/max
+                unsafe = self._minmax_unsafe_groups(cur_df, negatives)
+                if unsafe is None:
+                    # more extremum-hit groups than the rescan cap:
+                    # one full recompute is the cheaper repair
                     incremental = False
                 else:
                     delta = None
                     if added:
                         delta = self._added_rows_partial(spark, added, src_head)
                     for n in negatives:
-                        # deleted extremes verified harmless — NULL them
-                        # so the merge keeps the stored min/max instead
-                        # of folding the deleted values back in
+                        # deleted extremes verified harmless (or their
+                        # group is being rescanned wholesale) — NULL
+                        # them so the merge keeps the stored min/max
+                        # instead of folding the deleted values back in
                         delta = (
                             self._null_minmax(n)
                             if delta is None
@@ -343,9 +427,14 @@ class MaterializedView:
                         )
                     if delta is None:  # deletes netted entirely against adds
                         return self._publish(spark, None, src_head, view_m, mode="noop")
+                    rescan = (
+                        (unsafe, self._rescan_groups_partial(spark, unsafe, src_head))
+                        if unsafe
+                        else None
+                    )
                     return self._publish(
                         spark, delta, src_head, view_m, mode="incremental",
-                        current_df=cur_df,
+                        current_df=cur_df, rescan=rescan,
                     )
         if incremental:
             delta = self._added_rows_partial(spark, added, src_head)
@@ -514,10 +603,15 @@ class MaterializedView:
         view_m: Manifest | None,
         mode: str,
         current_df: DataFrame | None = None,
+        rescan: tuple[list[dict], DataFrame] | None = None,
     ) -> int:
         """Stage the merged view content and commit it with the
         advanced source pointer; abort if a racing refresh advanced the
-        view first (its merge already covers our delta)."""
+        view first (its merge already covers our delta). ``rescan``
+        carries (extremum-hit group keys, their fresh head partials):
+        those groups' folded rows are REPLACED wholesale — the fold's
+        NULLed min/max is wrong exactly there, and the head partials
+        are what a full recompute would say for them."""
         expected = (view_m.meta["mv"]["source_version"] if view_m else None)
         if delta is None:
             staged_files = list(view_m.files) if view_m else []
@@ -530,6 +624,11 @@ class MaterializedView:
                     else self.view.read(spark, version=view_m.version)
                 )
                 merged = self._merge(current.unionByName(delta))
+            if rescan is not None:
+                keys, rescan_df = rescan
+                merged = merged.where(
+                    ~self._group_key_predicate(keys)
+                ).unionByName(rescan_df)
             # groups whose every row was deleted leave the view — the
             # __rows liveness counter makes a subtractive fold agree
             # with what a full recompute (no such group) produces
@@ -549,6 +648,8 @@ class MaterializedView:
                 "phys": 2,
             }
         }
+        if rescan is not None:
+            meta["mv"]["minmax_rescan_groups"] = len(rescan[0])
 
         def build(parent: Manifest | None) -> list[str]:
             cur = (parent.meta.get("mv") or {}).get("source_version") if parent else None

@@ -108,7 +108,11 @@ def test_row_changing_commits_force_full_recompute(spark, src, tmp_path):
     mv.refresh(spark)
     delete_where_mor(spark, src, spark.range(0, 10), ["id"])
     mv.refresh(spark)
-    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    # a pure MOR delete folds subtractively — it hits the stored group
+    # minima, so the extremum-hit groups rescan, still incrementally
+    meta = mv.view.read_manifest().meta["mv"]
+    assert meta["mode"] == "incremental"
+    assert meta["minmax_rescan_groups"] == 3
     assert _got(mv, spark) == _expect(_df(spark, 10, 100))
     # compaction (rewrite) likewise
     write_and_commit(_df(spark, 100, 120), src, mode="append")
@@ -334,9 +338,11 @@ def test_mor_delete_fold_drops_emptied_groups_and_ignores_rehidden_rows(spark, s
     )
 
 
-def test_min_max_views_still_recompute_on_mor_delete(spark, src, tmp_path):
-    """min/max cannot subtract (the extremum may be the deleted row):
-    views declaring them keep the full-recompute fallback."""
+def test_min_max_extremum_delete_rescans_only_hit_groups(spark, src, tmp_path):
+    """min/max cannot subtract when the deleted row holds a stored
+    extremum — but only the HIT groups need a rescan, not the table:
+    deleting every group's maxima now folds incrementally with a
+    3-group rescan instead of a full recompute."""
     from octopufs_spark.merge import delete_where_mor_positional
 
     write_and_commit(_df(spark, 0, 50), src)
@@ -344,8 +350,68 @@ def test_min_max_views_still_recompute_on_mor_delete(spark, src, tmp_path):
     mv.refresh(spark)
     delete_where_mor_positional(spark, src, "id >= 40")
     mv.refresh(spark)
-    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    meta = mv.view.read_manifest().meta["mv"]
+    assert meta["mode"] == "incremental"
+    assert meta["minmax_rescan_groups"] == 3
     assert _got(mv, spark) == _expect(_df(spark, 0, 40))
+
+
+def test_min_max_rescan_cap_falls_back_to_full_recompute(
+    spark, src, tmp_path, monkeypatch
+):
+    """Above MINMAX_RESCAN_MAX_GROUPS hit groups the per-group filter
+    stops being a win — the old one-full-recompute repair remains."""
+    from octopufs_spark.merge import delete_where_mor_positional
+    from octopufs_spark.mv import MaterializedView as MV
+
+    monkeypatch.setattr(MV, "MINMAX_RESCAN_MAX_GROUPS", 2)
+    write_and_commit(_df(spark, 0, 50), src)
+    mv = _mv(src, tmp_path)
+    mv.refresh(spark)
+    delete_where_mor_positional(spark, src, "id >= 40")  # hits 3 groups' maxima
+    mv.refresh(spark)
+    meta = mv.view.read_manifest().meta["mv"]
+    assert meta["mode"] == "full"
+    assert "minmax_rescan_groups" not in meta
+    assert _got(mv, spark) == _expect(_df(spark, 0, 40))
+
+
+def test_null_group_key_extremum_delete_is_detected(spark, src, tmp_path):
+    """Regression: the extremum-hit check joins deleted extremes to the
+    view on the group keys — a plain equi-join drops the NULL-keyed
+    group (NULL != NULL), silently keeping its stored min/max after
+    the extremum row was deleted. The join is null-safe now and the
+    NULL-keyed group rescans like any other."""
+    from octopufs_spark.merge import delete_where_mor_positional
+
+    df = spark.range(0, 12).select(
+        "id",
+        F.when(F.col("id") % 3 != 0, F.col("id") % 3).alias("g"),  # id%3==0 -> NULL g
+        (F.col("id") * 2).alias("v"),
+    )
+    write_and_commit(df, src)
+    mv = MaterializedView(src, str(tmp_path / "view"), ["g"], AGGS)
+    mv.refresh(spark)
+    # id=9 holds the NULL group's maximum v=18 (NULL-group ids: 0,3,6,9)
+    delete_where_mor_positional(spark, src, "id = 9")
+    mv.refresh(spark)
+    meta = mv.view.read_manifest().meta["mv"]
+    assert meta["mode"] == "incremental"
+    assert meta["minmax_rescan_groups"] == 1
+    expect = {
+        tuple(r)
+        for r in df.where("id != 9")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    }
+    assert _got(mv, spark) == expect
 
 
 def test_subtracted_sum_goes_null_when_only_nulls_remain(spark, src, tmp_path):
@@ -428,8 +494,9 @@ def test_maintain_stream_refreshes_view(spark, src, tmp_path):
 def test_min_max_views_fold_when_extrema_untouched(spark, src, tmp_path):
     """min/max views fold a MOR delete whose rows sit strictly inside
     every group's stored (min, max): removal cannot move either, so
-    the fold NULLs the deleted extremes out of the merge — and one
-    deleted row tying an extremum still forces the recompute."""
+    the fold NULLs the deleted extremes out of the merge with NO
+    rescan — and one deleted row tying an extremum rescans exactly
+    that one group."""
     from octopufs_spark.merge import delete_where_mor_positional
 
     write_and_commit(_df(spark, 0, 50), src)
@@ -437,14 +504,18 @@ def test_min_max_views_fold_when_extrema_untouched(spark, src, tmp_path):
     mv.refresh(spark)
     delete_where_mor_positional(spark, src, "id >= 20 and id < 30")
     mv.refresh(spark)
-    assert mv.view.read_manifest().meta["mv"]["mode"] == "incremental"
+    meta = mv.view.read_manifest().meta["mv"]
+    assert meta["mode"] == "incremental"
+    assert "minmax_rescan_groups" not in meta  # strictly-inside: no rescan
     assert _got(mv, spark) == _expect(
         _df(spark, 0, 50).where("id < 20 or id >= 30")
     )
-    # now hit a stored maximum: ids 47..49 hold the per-group maxima
+    # now hit a stored maximum: id 49 holds group g=1's maximum only
     delete_where_mor_positional(spark, src, "id = 49")
     mv.refresh(spark)
-    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    meta = mv.view.read_manifest().meta["mv"]
+    assert meta["mode"] == "incremental"
+    assert meta["minmax_rescan_groups"] == 1
     assert _got(mv, spark) == _expect(
         _df(spark, 0, 50).where("(id < 20 or id >= 30) and id != 49")
     )
