@@ -234,13 +234,24 @@ def q_ext_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the LSH found ≥ 90% of the exact set. The oracle
     recomputes n_exact_pairs and expects recall_ok = TRUE; a
     seed/banding regression that drops recall flips the hard signal.
-    The raw pair surface stays available via
-    llm.dedup.minhash_near_dup_pairs (pytest-covered). LSH distance
-    cutoff 0.81 (not 0.80) so exact pairs sitting exactly on the 0.2
-    similarity boundary remain discoverable."""
+
+    The LSH under test is the pure-DataFrame banded path in its r=1
+    hash-tables mode (b=24 one-row bands: any shared min-hash is a
+    candidate — the same matching rule as pyspark.ml MinHashLSH's
+    numHashTables, detection 1-(1-s)^24 ≈ 0.995 at the s=0.2
+    boundary and higher above it). It replaced the pyspark.ml
+    implementation in round 10: the r10 sf10 probe measured the ML
+    path's HashingTF-featurization + vector-UDT join at 189-266 s /
+    500k docs where the banded path's signature fold stays in the
+    tens of seconds, and its checkpointed featurization dominated a
+    whole-session heap budget. The ML path itself stays pytest-covered
+    (tests/test_llm.py) as API parity, per the round-6 retirement
+    plan."""
     docs = load(spark, sf_dir, "documents")
     lsh = (
-        dedup.minhash_near_dup_pairs(docs, threshold=0.81)
+        dedup.minhash_near_dup_pairs_df(
+            docs, threshold=0.2, num_perm=24, bands=24
+        )
         .select("doc_a", "doc_b")
         .withColumn("_m", F.lit(1))
     )
@@ -2669,7 +2680,7 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN s sa ON sa.doc_id = c.doc_a
 JOIN s sb ON sb.doc_id = c.doc_b
-WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 """.format(
         votes=",\n         ".join(
             f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -2680,31 +2691,54 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
             for b in range(48)
         ),
         bands="\n  UNION ALL ".join(
-            f"SELECT doc_id, {i} AS band_no,"
-            f" CAST((simhash >> {i * 12}) & {(1 << 12) - 1} AS BIGINT) AS key FROM s"
-            for i in range(4)
+            f"SELECT doc_id, {n} AS band_no, CAST("
+            f"((simhash >> {i * 8}) & 255)"
+            f" + (((simhash >> {j * 8}) & 255) * 256)"
+            f" + (((simhash >> {k * 8}) & 255) * 65536)"
+            f" AS BIGINT) AS key FROM s"
+            for n, (i, j, k) in enumerate(
+                __import__("itertools").combinations(range(6), 3)
+            )
         ),
     ),
 )
 def q_ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS (completing SimHash as a dedup operator,
-    not just a fingerprinter): banded candidates from the deterministic
-    48-bit signatures, verified by exact Hamming distance <= 6 — by the
-    pigeonhole principle any pair within 3 bit-flips shares at least
-    one of the 4 bands, so the banding loses nothing below that radius.
-    One xor+popcount per candidate; fully hash-verified."""
+    not just a fingerprinter): all pairs at exact Hamming distance
+    <= 3 over the deterministic 48-bit signatures, found via
+    COMPLETE multi-block banding (Manku/Jain/Sarma, WWW'07): the
+    signature splits into 6 byte blocks, and every C(6,3) = 20 choice
+    of 3 blocks becomes one 24-bit band key — 3 flips touch at most 3
+    blocks, so some untouched 3-subset always matches, making the
+    candidate set provably complete at the radius and the OUTPUT
+    banding-independent (exactly the hamming <= 3 pair set). The
+    r10 sf10 probe retired the old fixed 4x12-bit banding: its 4096-
+    key band space gave ~n/4096 docs PER BUCKET, i.e. candidate
+    volume ~n^2/4096 (measured 20x on 10x data at 500k docs) —
+    24-bit keys hold occupancy near zero so candidates track true
+    near-dups, and widening to 4-of-7 blocks at the next corpus
+    decade keeps that invariant. One xor+popcount per candidate;
+    fully hash-verified."""
+    from itertools import combinations
+
     from octopufs_spark.llm import dedup
 
     sig = dedup.simhash_bands_deterministic(load(spark, sf_dir, "documents")).localCheckpoint()
+    block = [
+        F.shiftright(F.col("simhash"), 8 * t).bitwiseAND(F.lit(255)) for t in range(6)
+    ]
     stacked = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).cast("long").alias("band_no"), F.col(f"band{i}").alias("key")
+                        F.lit(n).cast("long").alias("band_no"),
+                        (block[i] + block[j] * 256 + block[k] * 65536)
+                        .cast("long")
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for n, (i, j, k) in enumerate(combinations(range(6), 3))
                 ]
             )
         ).alias("bk"),
@@ -2729,7 +2763,7 @@ def q_ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
         )
-        .where(F.col("hamming") <= 6)
+        .where(F.col("hamming") <= 3)
     )
 
 

@@ -45,6 +45,9 @@ DRIVER_SAMPLE = 50
 REVERIFY_FROM_ROUND: dict[str, int] = {
     "q_udaf_weighted_median": 6,  # r6: GROUPED_AGG pandas UDAF -> pure-window plan
     "q_ext_ann_opq_alt": 6,  # r6: exploded rotation pair rows -> array-native
+    # r10 sf10-probe rewrites (SCALE.md round-10):
+    "q_ext_dedup_minhash_recall": 10,  # pyspark.ml LSH side -> pure-DF r=1 banding
+    "q_ext_simhash_pairs": 10,  # fixed 4x12 banding -> complete C(6,3) radius-3
 }
 
 

@@ -38,6 +38,14 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) (events.ts) is read as long nanos and
     # converted to timestamp in tables.load — Spark has no ns type.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ContextCleaner reclaims localCheckpoint/persist blocks only after
+    # a JVM GC flushes their weak refs; the 30 min default lets a
+    # long-lived session invoking checkpoint-materializing operators
+    # (MinHash/LSH featurization, ADC code tables) accumulate dead
+    # blocks until storage pressure — the r10 sf10 probe measured
+    # repeat invocations 2x slower than first runs, and a 24-query
+    # sweep OOMing the heap, purely from orphaned checkpoint blocks.
+    "spark.cleaner.periodicGC.interval": "2min",
     # Let Python Data Source readers implementing pushFilters receive
     # catalyst predicates (synthgen narrows its generated id range).
     "spark.sql.python.filterPushdown.enabled": "true",

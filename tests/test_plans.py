@@ -265,6 +265,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
         "q_ext_ann_ivfpq_residual",
         "q_ext_ann_binary",
         "q_ext_simhash_pairs",
+        "q_ext_dedup_minhash_recall",
     ],
 )
 def test_det_similarity_no_pair_product(plans, qname):
