@@ -103,14 +103,17 @@ def main() -> None:
     assert view_rows(mv) == recompute()
     print("equality delete: folded (key-range-pruned scan)")
 
-    # delete rows holding a group MINIMUM: the extremum check refuses
-    # the fold and recomputes once
+    # delete rows holding a group MINIMUM: the extremum check flags
+    # exactly that group and rescans it from the head (key-pruned),
+    # while every other group still folds — no full recompute
     m0 = src.read(spark).where("region = 0").agg(F.min("amount")).collect()[0][0]
     delete_where_mor_positional(spark, src, f"region = 0 and amount = {m0}")
     mv.refresh(spark)
-    assert mv.view.read_manifest().meta["mv"]["mode"] == "full"
+    meta = mv.view.read_manifest().meta["mv"]
+    assert meta["mode"] == "incremental"
+    assert meta["minmax_rescan_groups"] == 1
     assert view_rows(mv) == recompute()
-    print("extremum delete: recomputed (fold correctly refused)")
+    print("extremum delete: folded with a 1-group rescan")
 
     # stream-scheduled maintenance: commits land, ticks refresh
     write_and_commit(orders(20_000, 21_000), src, mode="append", stats=True)
