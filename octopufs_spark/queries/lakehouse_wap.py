@@ -280,6 +280,94 @@ def q_ext_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_mv_minmax_rescan",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey % 20 AS g, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         (CAST(o_totalprice AS DECIMAL(18,2)) >= 499900 OR o_orderkey % 13 = 0) AS del
+  FROM orders
+), agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(price) AS DOUBLE) AS total,
+         CAST(MIN(price) AS DOUBLE) AS lo,
+         CAST(MAX(price) AS DOUBLE) AS hi
+  FROM base WHERE NOT del GROUP BY g
+), resc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rescan FROM (
+    SELECT g FROM base GROUP BY g
+    HAVING MAX(CASE WHEN del THEN price END) = MAX(price)
+        OR MIN(CASE WHEN del THEN price END) = MIN(price)
+  )
+)
+SELECT a.g, a.n_orders, a.total, a.lo, a.hi,
+       'incremental' AS mode, r.n_rescan
+FROM agg a CROSS JOIN resc r
+""",
+)
+def q_ext_mv_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extremum-safe subtractive MV maintenance (r10,
+    octopufs_spark/mv.py): a MOR delete folds into a min/max view
+    subtractively ONLY where it provably cannot move a stored
+    extremum; the groups where it ties one are rescanned from the
+    head INDIVIDUALLY (a literal group-key predicate pushed into the
+    parquet scan, file set bounded via prune_plan) — never a
+    full-view recompute. At 100 TB this is the difference between a
+    retention delete costing a handful of group-sliced scans and
+    rescanning the fact table.
+
+    The scenario builds a 20-group rollup (count/sum/min/max over
+    order prices), then lands ONE positional MOR delete that mixes
+    both populations: every 13th order (strictly-inside rows — pure
+    subtraction) plus all orders priced >= 499900, which clips the
+    price MAXIMUM of some groups but not others (4/20 at sf0.001,
+    6/20 at sf0.01, 15/20 at sf0.1). The emitted ``mode`` pins that
+    the refresh stayed incremental, ``n_rescan`` pins exactly how
+    many groups took the rescan path (the oracle recomputes it as
+    the groups whose deleted extreme ties the group-wide extreme),
+    and the view rows must equal a from-scratch rollup of the kept
+    rows — a wrong NULLed-fold, a missed rescan group, or a stale
+    stored extremum all flip the hash."""
+    from octopufs_spark.manifest import ManifestTable, write_and_commit
+    from octopufs_spark.merge import delete_where_mor_positional
+    from octopufs_spark.mv import MaterializedView
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("g"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="octopufs_mvrescan_")
+    src = ManifestTable(f"{root}/src")
+    write_and_commit(o, src)
+    mv = MaterializedView(
+        src,
+        f"{root}/view",
+        ["g"],
+        {
+            "n_orders": ("count", "*"),
+            "total": ("sum", "price"),
+            "lo": ("min", "price"),
+            "hi": ("max", "price"),
+        },
+    )
+    mv.refresh(spark)  # full build
+    delete_where_mor_positional(
+        spark, src, "price >= 499900 or o_orderkey % 13 = 0"
+    )
+    mv.refresh(spark)  # subtractive fold + extremum-group rescan
+    meta = mv.view.read_manifest().meta["mv"]
+    return mv.read(spark).select(
+        "g",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total").cast("double").alias("total"),
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+        F.lit(meta["mode"]).alias("mode"),
+        F.lit(int(meta.get("minmax_rescan_groups", 0))).cast("long").alias("n_rescan"),
+    )
+
+
+@register(
     "q_ext_wap_quality_gate",
     oracle="""
 WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) n,
