@@ -218,7 +218,16 @@ class MaterializedView:
         )
         if len(rows) > cap:
             return None
-        return [r.asDict() for r in rows]
+        keys = [r.asDict() for r in rows]
+        if keys:
+            try:
+                # a group key F.lit cannot encode (struct/array group
+                # columns) must keep the old full-recompute repair, not
+                # crash the refresh when the predicate is built later
+                self._group_key_predicate(keys)
+            except Exception:
+                return None
+        return keys
 
     def _group_key_predicate(self, keys: list[dict]):
         """One null-safe disjunct per affected group key — a literal
@@ -260,7 +269,12 @@ class MaterializedView:
                 except Exception:
                     src_df = None  # stats-less or unorderable: full read
         if src_df is None:
-            src_df = self.source.read(spark, version=src_head)
+            # src_head IS the head this refresh targets: vacuum never
+            # removes the newest snapshot's files, so skip the
+            # per-file existence pre-check an explicit-version read
+            # pays by default (O(files) driver metadata calls — on
+            # exactly the path sold as the cheap repair)
+            src_df = self.source.read(spark, version=src_head, check_vacuumed=False)
         return self._partial(src_df.where(self._group_key_predicate(keys)))
 
     def _partial(self, df: DataFrame) -> DataFrame:

@@ -8,6 +8,8 @@ records 0 weak entries).
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +19,14 @@ from pyspark.sql.window import Window
 from octopufs_spark.llm import dedup, multimodal, similarity, text
 from octopufs_spark.registry import register
 from octopufs_spark.tables import load
+
+# q_ext_simhash_pairs: the ONE enumeration of Manku-style complete
+# banding blocks — 3-of-6 byte blocks of the 48-bit signature. The
+# DuckDB oracle's band SQL and the Spark band structs are BOTH
+# generated from this list; a drift between them would silently break
+# candidate-set equality (widening to 4-of-7 at the next corpus
+# decade edits exactly this line).
+_SIMHASH_BLOCK_COMBOS: tuple = tuple(combinations(range(6), 3))
 
 
 @register(
@@ -2696,9 +2706,7 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
             f" + (((simhash >> {j * 8}) & 255) * 256)"
             f" + (((simhash >> {k * 8}) & 255) * 65536)"
             f" AS BIGINT) AS key FROM s"
-            for n, (i, j, k) in enumerate(
-                __import__("itertools").combinations(range(6), 3)
-            )
+            for n, (i, j, k) in enumerate(_SIMHASH_BLOCK_COMBOS)
         ),
     ),
 )
@@ -2719,8 +2727,6 @@ def q_ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups, and widening to 4-of-7 blocks at the next corpus
     decade keeps that invariant. One xor+popcount per candidate;
     fully hash-verified."""
-    from itertools import combinations
-
     from octopufs_spark.llm import dedup
 
     sig = dedup.simhash_bands_deterministic(load(spark, sf_dir, "documents")).localCheckpoint()
@@ -2738,7 +2744,7 @@ def q_ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long")
                         .alias("key"),
                     )
-                    for n, (i, j, k) in enumerate(combinations(range(6), 3))
+                    for n, (i, j, k) in enumerate(_SIMHASH_BLOCK_COMBOS)
                 ]
             )
         ).alias("bk"),

@@ -100,7 +100,11 @@ def test_incremental_reads_only_added_files(spark, src, tmp_path):
     assert _got(mv, spark) == _expect(_df(spark, 0, 1010))
 
 
-def test_row_changing_commits_force_full_recompute(spark, src, tmp_path):
+def test_mor_delete_folds_but_compaction_forces_full_recompute(spark, src, tmp_path):
+    """A pure MOR delete is subtractable (extremum-hit groups rescan,
+    still incremental); a COMPACTION rewrite is the row-changing
+    commit class that still forces one full recompute, after which
+    incremental maintenance resumes."""
     from octopufs_spark.merge import delete_where_mor
 
     write_and_commit(_df(spark, 0, 100), src)
