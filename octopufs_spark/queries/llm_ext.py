@@ -2917,19 +2917,42 @@ def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def sval(j: int, q: int):  # signed permuted coordinate, 0-based target q
-        e = F.col("v").getItem(src_idx[j][q])
-        return e if sgn[j][q] == 1 else -e
+    # Every rotated coordinate is a 2-term integer combination
+    #   rot[j][t] = c1*v[i1] + c2*v[i2]   (Pythagorean (3,4,5) block mix
+    # of the signed permutation): even t pairs (t, t+1) as 3a+4b, odd t
+    # pairs (t-1, t) as 3b-4a. r10 optimization: the coefficients and
+    # source indices are LITERAL ARRAYS and the rotation is ONE
+    # `transform` per candidate — constant-size expression tree. The
+    # previous shape unrolled 4x64 two-term expressions into the
+    # explode projection, whose generated Java breached Janino's 64 KB
+    # method limit: every bench run paid a multi-second failed
+    # compilation of a ~14k-line class and then executed the stage
+    # INTERPRETED (ERROR CodeGenerator ... Code grows beyond 64 KB, six
+    # per bench sweep). Same integer arithmetic, same values.
+    def rot_lists(j: int) -> tuple[list[int], list[int], list[int], list[int]]:
+        c1, i1, c2, i2 = [], [], [], []
+        for t in range(dim):
+            if t % 2 == 0:
+                c1.append(3 * sgn[j][t]), i1.append(src_idx[j][t] + 1)
+                c2.append(4 * sgn[j][t + 1]), i2.append(src_idx[j][t + 1] + 1)
+            else:
+                c1.append(3 * sgn[j][t]), i1.append(src_idx[j][t] + 1)
+                c2.append(-4 * sgn[j][t - 1]), i2.append(src_idx[j][t - 1] + 1)
+        return c1, i1, c2, i2
 
-    def rot_elem(j: int, t: int):  # Pythagorean (3,4,5) 2x2 block mix
-        q0 = (t // 2) * 2
-        a, b = sval(j, q0), sval(j, q0 + 1)
-        return (3 * a + 4 * b) if t % 2 == 0 else (3 * b - 4 * a)
+    def rot_col(j: int):
+        c1, i1, c2, i2 = (F.lit(x) for x in rot_lists(j))
+        v = F.col("v")
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda t: F.element_at(c1, t) * F.element_at(v, F.element_at(i1, t))
+            + F.element_at(c2, t) * F.element_at(v, F.element_at(i2, t)),
+        )
 
-    # rotation and subspace split in ONE generator: emit the 4x8 (j,
-    # subspace) slices directly as 8-element arrays of rotation
-    # expressions — no intermediate 64-array, no slice pass
-    sub = qv.select(
+    # rotation computed once per candidate as a 64-array column; the
+    # explode emits the 4x8 (j, subspace) slices of those arrays
+    rot = qv.select("vec_id", *[rot_col(j).alias(f"_r{j}") for j in range(4)])
+    sub = rot.select(
         "vec_id",
         F.explode(
             F.array(
@@ -2937,7 +2960,7 @@ def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(j).cast("long").alias("j"),
                         F.lit(s).cast("long").alias("subspace"),
-                        F.array(*[rot_elem(j, sw * s + k) for k in range(sw)]).alias("sl"),
+                        F.slice(F.col(f"_r{j}"), sw * s + 1, sw).alias("sl"),
                     )
                     for j in range(4)
                     for s in range(nsub)
