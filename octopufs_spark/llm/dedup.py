@@ -178,16 +178,7 @@ def connected_components(
     it scales with executors.
     """
     spark = pairs.sparkSession
-    # Materialize the incoming pair list ONCE, under the session's
-    # normal conf (candidate generation — LSH bucket joins, broadcast
-    # scorers — is usually the most expensive plan feeding this
-    # operator and should keep AQE's coalescing/skew handling): the
-    # loop reads it every round, and without the checkpoint the
-    # candidate plan would re-run per round.
-    base = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).localCheckpoint()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if partitions:
         # near-dup edge lists are usually tiny relative to the corpus:
         # shrinking shuffle parallelism for the iteration loop avoids
@@ -195,69 +186,41 @@ def connected_components(
         # thousand rows. (On a real cluster size this to the edge
         # count; AQE coalescing helps but the per-round floor remains.)
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    # The loop body is a FIXED plan over two co-partitioned tables
-    # (edges re-keyed by dst once, labels produced keyed by id every
-    # round, same partition count). Three properties make per-round
-    # adaptivity pure overhead here, at any scale:
-    #   - AQE materializes every query stage as its own job, so one
-    #     round costs ~7 driver round-trips instead of 1; across
-    #     O(log d) rounds that dominated the operator's wall clock
-    #     (measured r10: 122 jobs -> 44 on the sf0.1 semantic graph).
-    #   - AQE's coalescing would REBUCKET the label table away from the
-    #     explicit loop partitioning, forcing a re-exchange of both
-    #     sides every round (the whole point of the layout is that the
-    #     big edge join is exchange-free).
-    #   - auto-broadcast would re-ship the (corpus-sized at 100 TB)
-    #     label table to every executor every round; the co-partitioned
-    #     merge join moves nothing.
-    # Skew: per-round shuffles are keyed by label value / node id;
-    # near-dup components are tiny by construction, so no single key
-    # carries more than a component's edges.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        return _connected_components_loop(base, max_iter, round_counter)
+        return _connected_components_loop(pairs, a_col, b_col, max_iter, round_counter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
 
 
 def _connected_components_loop(
-    base: DataFrame,
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
     max_iter: int,
     round_counter: list | None = None,
 ) -> DataFrame:
-    """Loop body, laid out so each round runs exactly TWO exchanges
-    and ONE driver job plus the convergence probe (r10 optimization —
-    the old shape ran ~7 exchanges/round as 3 joins + a separate
-    neighbor-min aggregate, and under AQE every stage materialized as
-    its own job: 122 jobs for a 13-round sf0.1 graph, rounds being
-    driver-latency-bound, not data-bound).
-
-    Layout: the static mirrored edge table is re-keyed by ``dst`` ONCE;
-    every round produces the label table keyed by ``id`` with the same
-    partition count, so the per-round label-fetch join
-    (edges.dst == labels.id) is EXCHANGE-FREE on both sides. The only
-    per-round shuffles are the hop join (candidates re-keyed by label
-    value) and the final min aggregate, whose groupBy(id) output
-    partitioning feeds the next round's join for free.
-
-    Pointer doubling rides the candidate stream: every candidate label
-    (self + neighbor labels) is hopped one step through the previous
-    round's label table BEFORE the min — a superset of hopping only
-    the post-aggregation winner, so per-round labels are ≤ the old
-    implementation's pointwise (monotone in the label table) and
-    convergence needs the same rounds or fewer; any adopted value is
-    still the label of a reachable node, so the fixpoint is the same
-    min-reachable-id labeling.
-    """
-    spark = base.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Materialize the incoming pair list ONCE before mirroring it:
+    # the union below reads it twice, and candidate generation
+    # (exact BNLJ, LSH bucket join) is usually the most expensive
+    # plan feeding this operator — without the checkpoint it runs
+    # twice.
+    #
+    # The loop keeps AQE and auto-broadcast ENABLED deliberately: the
+    # label table is bounded by the pair-graph node count (near-dup
+    # candidates, not the corpus), so the runtime planner broadcasts
+    # it while it is small — the per-round joins then move no edge
+    # bytes at all — and falls back to partitioned joins only when the
+    # graph genuinely outgrows the threshold. An r10 experiment that
+    # pinned an exchange-free co-partitioned merge-join layout (AQE
+    # off, broadcast off, 2 exchanges/round) benched 1.3–2× SLOWER at
+    # sf0.1 with matched load sentinels: per-round sorts of the static
+    # edge table cost more than the adaptive broadcasts they replaced,
+    # and the saved driver round-trips did not pay for them. Scale
+    # adaptivity is the point — let the planner re-decide per round.
+    base = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).localCheckpoint()
     edges = (
         base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition(n_parts, "dst")
         .localCheckpoint()
     )
     labels = (
@@ -267,49 +230,54 @@ def _connected_components_loop(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # Candidate labels per node: its own label (flagged, so the
-        # same aggregate recovers the previous label for the change
-        # probe) plus every neighbor's label. The dst==id join is
-        # co-partitioned — no exchange on either side.
-        nbr = edges.join(labels, edges.dst == labels.id).select(
-            F.col("src").alias("id"), "cluster_id", F.lit(False).alias("own")
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        cand = nbr.unionByName(
-            labels.select("id", "cluster_id", F.lit(True).alias("own"))
+        new_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
         )
-        # Hop EVERY candidate through the previous label table (left
-        # join on the label value; label values are always node ids,
-        # so the join always matches — left only for safety).
-        hop = labels.select(F.col("id").alias("hop_id"), F.col("cluster_id").alias("hop_label"))
-        cand2 = cand.join(hop, cand.cluster_id == hop.hop_id, "left").select(
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
             "id",
-            "own",
-            "cluster_id",
-            F.coalesce("hop_label", "cluster_id").alias("hopped"),
+            F.col("cluster_id").alias("old_cluster_id"),
+            new_label.alias("cluster_id"),
         )
-        # One aggregate computes the new label AND the change flag;
-        # its groupBy(id) output partitioning is exactly what the next
-        # round's edge join needs, so no re-exchange before the
-        # checkpoint. The convergence probe rides the SAME job as an
-        # observed metric (CollectMetrics) instead of a separate
-        # count() action — one driver job per round, not two.
+        # Pointer doubling: follow the freshly-stepped label one more
+        # hop through the PREVIOUS round's (checkpointed) label table
+        # (label := min(label, old_label(label))). Hopping through
+        # `stepped` itself would be a self-join that recomputes the
+        # neighbor-min aggregation twice per round; the old table is
+        # already materialized, and any adopted label is still the
+        # label of a reachable node, so correctness and monotonicity
+        # hold. Net effect: convergence in ~O(log diameter) rounds
+        # instead of O(diameter) — and rounds, not per-round work, are
+        # the cost on a near-dup graph (each round is a fixed number of
+        # jobs regardless of edge count).
+        hop = labels.select(
+            F.col("id").alias("hop_id"), F.col("cluster_id").alias("hop_label")
+        )
+        jumped_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("hop_label"), F.col("cluster_id"))
+        )
+        # The convergence probe rides the checkpoint job as an observed
+        # metric (CollectMetrics) instead of a separate count() action
+        # over the checkpointed result — one fewer driver job per
+        # round, and rounds are job-launch bound (r10, guide §1).
         obs = Observation()
         new_labels = (
-            cand2.groupBy("id")
-            .agg(
-                F.least(F.min("cluster_id"), F.min("hopped")).alias("cluster_id"),
-                F.min(F.when(F.col("own"), F.col("cluster_id"))).alias("_old"),
-            )
+            stepped.join(hop, stepped.cluster_id == hop.hop_id, "left")
             .select(
                 "id",
-                "cluster_id",
-                (F.col("cluster_id") != F.col("_old")).alias("_changed"),
+                jumped_label.alias("new_cluster_id"),
+                (jumped_label != F.col("old_cluster_id")).alias("_changed"),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .observe(obs, F.count_if(F.col("_changed")).alias("n_changed"))
             .localCheckpoint()
         )
         changed = obs.get["n_changed"]
-        labels = new_labels.select("id", "cluster_id")
+        labels = new_labels.drop("_changed")
         if round_counter is not None:
             round_counter.append(1)
         if changed == 0:
