@@ -2561,24 +2561,25 @@ def q_ext_ann_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def evaluate(name, top):
-        m = exact.alias("e").join(
-            top.alias("n"),
-            (F.col("e.qid") == F.col("n.qid")) & (F.col("e.xid") == F.col("n.xid")),
-        )
-        hits = m.agg(F.count("*").alias("hits_at_5"))
-        rr = m.where(F.col("e.rn") == 1).agg(
-            F.coalesce(F.sum(F.expr("60 div n.rn")), F.lit(0)).alias("mrr_x60")
-        )
-        nq = exact.agg(F.countDistinct("qid").alias("n_queries"))
-        return (
-            nq.crossJoin(hits)
-            .crossJoin(rr)
-            .select(
-                F.lit(name).alias("index_name"),
-                F.col("n_queries").cast("long").alias("n_queries"),
-                F.col("hits_at_5").cast("long").alias("hits_at_5"),
-                F.col("mrr_x60").cast("long").alias("mrr_x60"),
+        # ONE left join + ONE aggregate produce the whole report row
+        # (r10, guide §1.2 step 1): the previous three aggregates + two
+        # crossJoins executed the un-checkpointed ADC top-k pipeline
+        # TWICE per index and re-read the exact table three times. A
+        # left join keeps every exact row, so countDistinct(qid) is the
+        # old nq, count(nrn) counts the inner-matched pairs, and the
+        # rank-1 reciprocal-rank sum skips unmatched rows (60 div NULL
+        # is NULL).
+        m = exact.join(top.withColumnRenamed("rn", "nrn"), ["qid", "xid"], "left")
+        return m.agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count("nrn").cast("long").alias("hits_at_5"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") == 1, F.expr("60 div nrn"))), F.lit(0)
             )
+            .cast("long")
+            .alias("mrr_x60"),
+        ).select(
+            F.lit(name).alias("index_name"), "n_queries", "hits_at_5", "mrr_x60"
         )
 
     return evaluate("pq", adc_topk(e_pq)).unionByName(evaluate("opq", adc_topk(e_opq)))

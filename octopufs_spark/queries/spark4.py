@@ -1683,22 +1683,23 @@ def q_ext_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("xid"), cos.alias("cos_sim")
         )
     )
-    matched = exact.alias("e").join(
-        ann.alias("n"), (F.col("e.qid") == F.col("n.qid")) & (F.col("e.xid") == F.col("n.xid"))
-    )
-    hits = matched.agg(F.count("*").alias("hits_at_5"))
-    rr = matched.where(F.col("e.rn") == 1).agg(
-        F.coalesce(F.sum(F.expr("60 div n.rn")), F.lit(0)).alias("mrr_x60")
-    )
-    nq = exact.agg(F.countDistinct("qid").alias("n_queries"))
-    return (
-        nq.crossJoin(hits)
-        .crossJoin(rr)
-        .select(
-            F.col("n_queries").cast("long").alias("n_queries"),
-            F.col("hits_at_5").cast("long").alias("hits_at_5"),
-            F.col("mrr_x60").cast("long").alias("mrr_x60"),
+    # ONE left join + ONE aggregate produce all three report columns
+    # (r10, guide §1.2 step 1: the previous three separate aggregates +
+    # two crossJoins re-executed the expensive exact subtree — a
+    # 50-query broadcast against the corpus — three times in one plan;
+    # a left join preserves every exact row, so countDistinct(qid)
+    # equals the old nq, count(nrn) counts exactly the inner-matched
+    # pairs, and the rank-1 reciprocal-rank sum skips unmatched rows
+    # because 60 div NULL is NULL).
+    m = exact.join(ann.withColumnRenamed("rn", "nrn"), ["qid", "xid"], "left")
+    return m.agg(
+        F.countDistinct("qid").cast("long").alias("n_queries"),
+        F.count("nrn").cast("long").alias("hits_at_5"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.expr("60 div nrn"))), F.lit(0)
         )
+        .cast("long")
+        .alias("mrr_x60"),
     )
 
 
