@@ -425,19 +425,17 @@ def minhash_near_dup_pairs_df(
         minhash_signature_col("ngrams", num_perm).alias("sig"),
     )
     # one (band_idx, band_key) row per band; keys are hashes of the
-    # signature slice so the join key is a fixed-width bigint pair
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.xxhash64(F.slice("sig", j * r + 1, r)).alias("band_key"),
-            )
-            for j in range(bands)
-        ]
+    # signature slice so the join key is a fixed-width bigint pair.
+    # Rendered as ONE expression instead of a per-band Column loop —
+    # band count is corpus-adaptive and the py4j construction cost of
+    # the loop grew with it (r10, guide §1.2 step 2).
+    band_structs = ",".join(
+        f"struct({j} as band_idx, xxhash64(slice(sig, {j * r + 1}, {r})) as band_key)"
+        for j in range(bands)
     )
-    e = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, "b.band_idx", "b.band_key"
-    )
+    e = sig.select(
+        F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("b")
+    ).select(id_col, "b.band_idx", "b.band_key")
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(
@@ -593,29 +591,29 @@ def minhash_near_dup_pairs_deterministic(
         F.expr("CAST(conv(substr(md5(ng), 1, 15), 16, 10) AS BIGINT)") % MH_P
     ).alias("h")
     he = e.select("doc_id", h0)
-    sig = he.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h") * a + b) % MH_P).alias(f"s{k}")
-            for k, (a, b) in enumerate(params)
-        ]
+    # Signature and band keys are rendered as TWO expressions total
+    # (r10, guide §1.2 step 2): the per-permutation/per-band Python
+    # loops built num_perm min Columns + bands md5/struct Columns —
+    # hundreds of py4j round-trips dominating plan construction.
+    # Identical arithmetic: the same num_perm affine min-aggregates
+    # (here packed into one array), the same md5 over the same
+    # comma-joined r-slice rendering (concat_ws casts BIGINT elements
+    # to the same decimal strings element_at does).
+    sig_sql = (
+        "array("
+        + ",".join(f"min((h * {a} + {b}) % {MH_P})" for a, b in params)
+        + ")"
     )
-    band_cols = [
-        F.md5(F.concat_ws(",", *[F.col(f"s{i * r + j}") for j in range(r)])).alias(
-            f"band{i}"
+    sig = he.groupBy("doc_id").agg(F.expr(sig_sql).alias("sig"))
+    band_structs = ",".join(
+        "struct(cast({i} as bigint) as band_no, md5(concat_ws(',', {slots})) as key)".format(
+            i=i,
+            slots=", ".join(f"element_at(sig, {i * r + j + 1})" for j in range(r)),
         )
         for i in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).cast("long").alias("band_no"), F.col(f"band{i}").alias("key"))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
+    )
+    stacked = sig.select(
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bk")
     ).select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
     a_side, b_side = stacked.alias("a"), stacked.alias("b")
     cand = (
@@ -669,28 +667,25 @@ def simhash_bands_deterministic(
     h = toks.select(
         "doc_id", F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("h")
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # The signature is ONE rendered aggregate expression (r10, guide
+    # §1.2 step 2): the previous per-bit Python loops built n_bits vote
+    # Columns plus n_bits sig terms — hundreds of py4j round-trips that
+    # made plan construction cost multiples of execution. Identical
+    # arithmetic: per-bit ±1 vote sums, bit set when the vote is
+    # positive, summed as the same left-to-right + chain.
+    sig_sql = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN cast({1 << b} as bigint) ELSE cast(0 as bigint) END)"
         for b in range(n_bits)
-    ]
-    sig_terms = None
-    agg = h.groupBy("doc_id").agg(*votes)
-    for b in range(n_bits):
-        t = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig_terms = t if sig_terms is None else sig_terms + t
-    sig = agg.select("doc_id", sig_terms.alias("simhash"))
+    )
+    sig = h.groupBy("doc_id").agg(F.expr(sig_sql).alias("simhash"))
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
-    return sig.select(
+    return sig.selectExpr(
         "doc_id",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), i * band_bits)
-            .bitwiseAND(mask)
-            .cast("long")
-            .alias(f"band{i}")
+            f"cast((simhash >> {i * band_bits}) & {mask} as bigint) as band{i}"
             for i in range(n_bands)
         ],
     )

@@ -574,24 +574,34 @@ def det_lsh_index(
         F.transform(F.col(vec_col), lambda x: F.round(x * DET_SCALE).cast("long")).alias("qv"),
     )
 
-    def fold_dot(a, b_literal: list[int]):
-        lit = F.array(*[F.lit(int(c)).cast("long") for c in b_literal])
-        return F.aggregate(
-            F.zip_with(a, lit, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
-
-    bucket = None
-    for j, plane in enumerate(planes):
-        bit = F.when(fold_dot(F.col("qv"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    # The whole bucket is ONE rendered SQL expression (r10, guide §1.2
+    # step 2): the previous per-plane Python loop built n_planes × dim
+    # individual literal Columns — thousands of py4j round-trips — and
+    # plan CONSTRUCTION alone cost 2.8-4.4 s per invocation at
+    # (16, 64), more than executing the index (2.7 s). Rendering the
+    # plane matrix as a nested array literal inside one expr() is a
+    # single gateway call; the JVM parses it in milliseconds. The
+    # arithmetic is identical: bit j = sign of the exact integer dot
+    # (same zip_with multiply + left-to-right sum), and the descending
+    # fold acc*2 + bit_j reproduces sum(bit_j << j) exactly.
+    mat = ",".join(
+        "array(" + ",".join(f"{int(c)}L" for c in plane) + ")" for plane in planes
+    )
+    dot_j = (
+        f"aggregate(zip_with(qv, element_at(array({mat}), j + 1), "
+        "(x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    bucket = F.expr(
+        f"aggregate(sequence({n_planes - 1}, 0, -1), cast(0 as bigint), "
+        f"(acc, j) -> acc * 2 + IF({dot_j} > 0, cast(1 as bigint), cast(0 as bigint)))"
+    )
     return q.select(
         "vec_id",
         "qv",
         bucket.cast("long").alias("bucket"),
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("qv"), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        F.expr(
+            "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
         ).alias("nn"),
     )
 
