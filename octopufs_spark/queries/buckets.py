@@ -86,15 +86,25 @@ def write_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # Repartition on the bucket key BEFORE the bucketed write (r10,
+    # guide §6): Spark does not shuffle for bucketBy — each input task
+    # writes its own file per bucket, so a many-split input produces
+    # tasks x buckets small files while a single-split input sorts and
+    # writes everything in ONE task. The explicit hash exchange makes
+    # the write exactly one file per bucket at every input layout and
+    # parallelizes the per-bucket sort — the same shuffle the bucket
+    # layout is supposed to pre-pay.
     (
-        o.write.bucketBy(_N_BUCKETS, "o_orderkey")
+        o.repartition(_N_BUCKETS, "o_orderkey")
+        .write.bucketBy(_N_BUCKETS, "o_orderkey")
         .sortBy("o_orderkey")
         .option("path", f"{root}/orders")
         .mode("overwrite")
         .saveAsTable("octopufs_bucketed_orders")
     )
     (
-        li.write.bucketBy(_N_BUCKETS, "l_orderkey")
+        li.repartition(_N_BUCKETS, "l_orderkey")
+        .write.bucketBy(_N_BUCKETS, "l_orderkey")
         .sortBy("l_orderkey")
         .option("path", f"{root}/lineitem")
         .mode("overwrite")
