@@ -69,6 +69,19 @@ def ngram_jaccard_pairs(
     Jaccard selectivity), never a reported similarity value.
     """
     g = ngram_sets(df, n=n, id_col=id_col, text_col=text_col)
+    # Collapse shingle strings to 64-bit xxhash64 digests the moment
+    # they exist (r10, guide §2.3 "shuffle keys instead of payloads"):
+    # every downstream leg — the inverted-index explode + DF count, the
+    # candidate self-join key, and BOTH array_intersect verification
+    # sides — moves 8-byte longs instead of ~25-40-byte n-gram strings
+    # (~4x thinner shuffles end to end). Hash-set Jaccard equals
+    # string-set Jaccard up to 2^-64 collisions — the same documented
+    # trade minhash_near_dup_pairs_df already makes; distinctness,
+    # intersection and union counts are otherwise preserved exactly, so
+    # reported jaccard values are unchanged.
+    g = g.select(
+        F.col(id_col), F.transform("ngrams", lambda s: F.xxhash64(s)).alias("ngrams")
+    )
     if materialize:
         # three plan legs read the n-gram sets (index + both
         # verification sides); on a large corpus the tokenize→shingle

@@ -157,16 +157,21 @@ def q_ext_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned with map-side combine; nothing here is pairwise,
     so cost stays linear in corpus shingle count at 100 TB."""
     docs = load(spark, sf_dir, "documents")
-    g = dedup.ngram_sets(docs, n=5).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    # Shingle with `source` carried from the ONE scan (r10, guide
+    # §2.4/§6): ngram_sets drops source, and the old re-join of a
+    # second documents scan on doc_id existed only to re-attach it —
+    # one scan + one broadcast join removed, and the scan no longer
+    # reads doc_id at all. The per-(source, shingle) distinct is fused
+    # into the groupBy as collect_set — one exchange of the digest
+    # stream instead of two (partial collect_set dedups map-side, so
+    # shuffle bytes match the old distinct's); set-vs-list only changes
+    # element order, which size() and explode() don't observe.
+    g = dedup.ngram_sets(docs, n=5, id_col="source")
     ngd = F.conv(F.substring(F.md5(F.col("ng")), 1, 15), 16, 10).cast("long")
-    e = (
-        g.select("source", F.explode("ngrams").alias("ng"))
-        .select("source", ngd.alias("ngd"))
-        .distinct()
+    e = g.select("source", F.explode("ngrams").alias("ng")).select(
+        "source", ngd.alias("ngd")
     )
-    per_ng = e.groupBy("ngd").agg(F.collect_list("source").alias("srcs"))
+    per_ng = e.groupBy("ngd").agg(F.collect_set("source").alias("srcs"))
     per = (
         per_ng.select(
             F.explode("srcs").alias("source"), (F.size("srcs") >= 2).alias("shared")
