@@ -64,31 +64,57 @@ def centroid_df(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def rank_cells(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """(vec_id, qv, cluster, crn): every centroid ranked per vector by
-    exact integer distance, ties to the lowest cluster id — the shared
-    primitive behind k-means assignment (crn=1) and IVF cell probing
-    (crn<=n_probe). Centroids join as a broadcast k-row table with ONE
-    small fold expression — k separate literal-array distance columns
-    make Catalyst analyze k*dim-literal trees, which dominates wall
-    time long before the data does."""
-    from pyspark.sql.window import Window
-
-    cdf = centroid_df(q, centroids)
-    d = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _ranked_cells_expr(centroids: list[list[int]]) -> F.Column:
+    """Sorted array<struct<d, cluster>> of exact integer distances to
+    every centroid, rendered as ONE SQL expression over a nested
+    literal (one gateway call; the JVM parses the k*dim ints in
+    milliseconds). array_sort on the (d, cluster) struct orders by d
+    then cluster — the same ORDER BY d, cluster tie-break as the old
+    row_number window."""
+    cents = ",".join(
+        "struct({i} as cluster, array({vals}) as cv)".format(
+            i=i, vals=",".join(f"{int(x)}L" for x in c)
+        )
+        for i, c in enumerate(centroids)
     )
-    joined = q.crossJoin(F.broadcast(cdf)).select("vec_id", "qv", "cluster", d.alias("d"))
-    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-    return joined.withColumn("crn", F.row_number().over(w))
+    return F.expr(
+        f"array_sort(transform(array({cents}), c -> struct("
+        "aggregate(zip_with(qv, c.cv, (a, b) -> (a - b) * (a - b)), "
+        "cast(0 as bigint), (acc, x) -> acc + x) as d, "
+        "cast(c.cluster as bigint) as cluster)))"
+    )
+
+
+def rank_cells(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, qv, cluster, d, crn): every centroid ranked per vector
+    by exact integer distance, ties to the lowest cluster id — the
+    shared primitive behind k-means assignment (crn=1) and IVF cell
+    probing (crn<=n_probe). r10 (guide §2.4): the ranking is a pure
+    per-row map — distances to the literal centroids sorted in ONE
+    array expression, position = rank — replacing the broadcast k-row
+    join + row_number window, which paid a full shuffle+sort of n*k
+    rows per call (and per k-means iteration). Centroids are driver
+    literals either way; no data moves at all until the caller
+    aggregates."""
+    return q.select(
+        "vec_id", "qv", F.posexplode(_ranked_cells_expr(centroids)).alias("pos", "s")
+    ).select(
+        "vec_id",
+        "qv",
+        F.col("s.cluster").alias("cluster"),
+        F.col("s.d").alias("d"),
+        (F.col("pos") + 1).cast("int").alias("crn"),
+    )
 
 
 def assign_clusters(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Adds ``cluster``: argmin of exact distances, ties to lowest id."""
-    return rank_cells(q, centroids).where(F.col("crn") == 1).select(
-        "vec_id", "qv", "cluster"
+    """Adds ``cluster``: argmin of exact distances, ties to lowest id.
+    Pure map — element 1 of the sorted distance array; no explode, no
+    shuffle."""
+    return q.select(
+        "vec_id",
+        "qv",
+        F.element_at(_ranked_cells_expr(centroids), 1)["cluster"].alias("cluster"),
     )
 
 
