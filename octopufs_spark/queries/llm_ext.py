@@ -2083,6 +2083,84 @@ def q_ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OPQ_MULTS = (37, 21, 45, 29)  # odd => each is a bijection mod 64
 
+
+def _opq_src_sgn(dim: int = 64) -> tuple[list[list[int]], list[list[int]]]:
+    """0-based source index + sign per (candidate j, target coord q) of
+    the signed permutation: q_pos-1 = ((p-1)*mult) % dim inverted with
+    mult^-1 mod dim; the sign formula is keyed by the 1-based SOURCE
+    position exactly as the oracles render it."""
+    inv = [pow(m, -1, dim) for m in _OPQ_MULTS]
+    src_idx = [[(q * inv[j]) % dim for q in range(dim)] for j in range(4)]
+    sgn = [
+        [1 if ((src_idx[j][q] + 1) * 2654435761 + j * 97) % 4 < 2 else -1 for q in range(dim)]
+        for j in range(4)
+    ]
+    return src_idx, sgn
+
+
+def _opq_rot_col(j: int, src_idx, sgn, dim: int = 64) -> F.Column:
+    """Rotated coordinate array for candidate ``j`` as ONE ``transform``
+    over literal coefficient/index arrays (constant-size expression
+    tree — the unrolled 4x64 two-term projection breached Janino's
+    64 KB codegen limit and ran interpreted). rot[t] = c1*v[i1] +
+    c2*v[i2]: the Pythagorean (3,4,5) block mix of the signed
+    permutation — even t pairs (t, t+1) as 3a+4b, odd t pairs (t-1, t)
+    as 3b-4a. Same integer arithmetic as the exploded-row formulation."""
+    c1, i1, c2, i2 = [], [], [], []
+    for t in range(dim):
+        if t % 2 == 0:
+            c1.append(3 * sgn[j][t]), i1.append(src_idx[j][t] + 1)
+            c2.append(4 * sgn[j][t + 1]), i2.append(src_idx[j][t + 1] + 1)
+        else:
+            c1.append(3 * sgn[j][t]), i1.append(src_idx[j][t] + 1)
+            c2.append(-4 * sgn[j][t - 1]), i2.append(src_idx[j][t - 1] + 1)
+    c1, i1, c2, i2 = (F.lit(x) for x in (c1, i1, c2, i2))
+    v = F.col("v")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda t: F.element_at(c1, t) * F.element_at(v, F.element_at(i1, t))
+        + F.element_at(c2, t) * F.element_at(v, F.element_at(i2, t)),
+    )
+
+
+def _opq_sub_slices(rot: DataFrame, nsub: int = 8, sw: int = 8) -> DataFrame:
+    """(vec_id, j, subspace, sl): the 4 x nsub subspace slices of the
+    rotated arrays, one explode."""
+    return rot.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        F.lit(s).cast("long").alias("subspace"),
+                        F.slice(F.col(f"_r{j}"), sw * s + 1, sw).alias("sl"),
+                    )
+                    for j in range(4)
+                    for s in range(nsub)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.j", "e.subspace", "e.sl")
+
+
+def _opq_dists_col(cents_col) -> F.Column:
+    """Per-code squared distances of this row's slice to each centroid
+    slice, as (d, code) structs — array_min gives the (d, code)-ordered
+    argmin, matching the oracles' ROW_NUMBER tie-break."""
+    return F.transform(
+        cents_col,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sl"), c["cs"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["code"].alias("code"),
+        ),
+    )
+
+
 _OPQ_TRAINED_ORACLE = f"""
 WITH q AS (
   SELECT vec_id,
@@ -2167,66 +2245,42 @@ def q_ext_ann_opq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     it lazily — no driver-side collect of the training result."""
     from pyspark.sql.window import Window
 
-    qv = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
-    )
-    pos = qv.select("vec_id", F.posexplode("v").alias("p0", "val")).select(
-        "vec_id", (F.col("p0") + 1).alias("p"), "val"
-    )
-    cand = spark.createDataFrame(
-        [(j, m) for j, m in enumerate(_OPQ_MULTS)], "j long, mult long"
-    )
-    sp = pos.crossJoin(F.broadcast(cand)).select(
-        "j",
-        "vec_id",
-        (((F.col("p") - 1) * F.col("mult")) % 64 + 1).alias("q_pos"),
-        F.when(
-            (F.col("p") * F.lit(2654435761) + F.col("j") * 97) % 4 < 2, F.col("val")
-        )
-        .otherwise(-F.col("val"))
-        .alias("sval"),
-    )
-    prs = sp.groupBy(
-        "j", "vec_id", (F.floor((F.col("q_pos") - 1) / 2) + 1).alias("pk")
-    ).agg(
-        F.sum(F.when((F.col("q_pos") - 1) % 2 == 0, F.col("sval")).otherwise(0)).alias("a"),
-        F.sum(F.when((F.col("q_pos") - 1) % 2 == 1, F.col("sval")).otherwise(0)).alias("b"),
-    )
-    rot = prs.select(
-        "j",
-        "vec_id",
-        (2 * F.col("pk") - 1).alias("p"),
-        (3 * F.col("a") + 4 * F.col("b")).alias("val"),
-    ).unionAll(
-        prs.select(
-            "j",
+    # r10: array-native formulation (the shape q_ext_ann_opq_alt already
+    # used) — rotation as one transform per candidate over literal
+    # coefficient arrays, subspace slices in one explode, per-code
+    # distances as an array fold against the broadcast seed codebook.
+    # Replaces posexplode (64 rows/vector) x broadcast-crossJoin (x4
+    # candidates) x two row-stream aggregations; identical integer
+    # arithmetic, same (d, code)/(total_err, j) tie-breaks.
+    src_idx, sgn = _opq_src_sgn(64)
+    qv = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
             "vec_id",
-            (2 * F.col("pk")).alias("p"),
-            (3 * F.col("b") - 4 * F.col("a")).alias("val"),
+            F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
         )
     )
-    e = rot.select(
-        "j",
-        "vec_id",
-        F.floor((F.col("p") - 1) / 8).cast("long").alias("subspace"),
-        "p",
-        "val",
+    rot = qv.select(
+        "vec_id", *[_opq_rot_col(j, src_idx, sgn).alias(f"_r{j}") for j in range(4)]
     )
-    cent = e.where(F.col("vec_id") < 4).select(
-        "j", F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval")
-    )
-    dist = (
-        e.join(F.broadcast(cent), ["j", "subspace", "p"])
-        .groupBy("j", "vec_id", "subspace", "code")
+    sub = _opq_sub_slices(rot)
+    cent_g = (
+        sub.where(F.col("vec_id") < 4)
+        .groupBy("j", "subspace")
         .agg(
-            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d")
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("code"), F.col("sl").alias("cs")))
+            ).alias("cents")
         )
+    )
+    scored = (
+        sub.join(F.broadcast(cent_g), ["j", "subspace"])
+        .select("j", "vec_id", "subspace", _opq_dists_col(F.col("cents")).alias("ds"))
         .localCheckpoint()  # feeds training errs, codes, AND the LUT
     )
     errs = (
-        dist.groupBy("j", "vec_id", "subspace")
-        .agg(F.min("d").alias("bd"))
+        scored.select("j", F.array_min("ds")["d"].alias("bd"))
         .groupBy("j")
         .agg(F.sum("bd").alias("total_err"))
     )
@@ -2236,19 +2290,17 @@ def q_ext_ann_opq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("j")
     )
-    picked = dist.join(F.broadcast(chosen), "j")
-    w_code = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
-    codes = (
-        picked.withColumn("rn", F.row_number().over(w_code))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "subspace", "code")
+    picked = scored.join(F.broadcast(chosen), "j")
+    codes = picked.select(
+        F.col("vec_id").alias("xid"), "subspace", F.array_min("ds")["code"].alias("code")
     )
-    lut = picked.where(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"), "subspace", "code", "d"
+    lut = (
+        picked.where(F.col("vec_id") < 50)
+        .select(F.col("vec_id").alias("qid"), "subspace", F.explode("ds").alias("dc"))
+        .select("qid", "subspace", F.col("dc.code").alias("code"), F.col("dc.d").alias("d"))
     )
     adc = (
-        codes.withColumnRenamed("vec_id", "xid")
-        .join(lut, ["subspace", "code"])
+        codes.join(F.broadcast(lut), ["subspace", "code"])
         .where(F.col("qid") != F.col("xid"))
         .groupBy("qid", "xid")
         .agg(F.sum("d").alias("adist"))
@@ -2893,15 +2945,13 @@ def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     or corpus-linear with combiners."""
     from pyspark.sql.window import Window
 
-    dim, nsub, sw = 64, 8, 8
-    # src[j][q]: 0-based source coord feeding 0-based target q under the
-    # permutation q_pos-1 = ((p-1)*mult) % 64, inverted with mult^-1 mod 64
-    inv = [pow(m, -1, dim) for m in _OPQ_MULTS]
-    src_idx = [[(q * inv[j]) % dim for q in range(dim)] for j in range(4)]
-    sgn = [
-        [1 if ((src_idx[j][q] + 1) * 2654435761 + j * 97) % 4 < 2 else -1 for q in range(dim)]
-        for j in range(4)
-    ]
+    # Array-native rotation/slicing/distance helpers shared with
+    # q_ext_ann_opq_trained (r10): _opq_rot_col renders each candidate's
+    # rotation as ONE transform over literal coefficient arrays — the
+    # unrolled 4x64 projection breached Janino's 64 KB codegen limit and
+    # ran interpreted.
+    src_idx, sgn = _opq_src_sgn(64)
+    dists_col = _opq_dists_col
 
     # The pipeline below is map-dominated (the rotation/assign stages are
     # pure column expressions), so parallelism equals input splits; a small
@@ -2917,74 +2967,10 @@ def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("v"),
         )
     )
-
-    # Every rotated coordinate is a 2-term integer combination
-    #   rot[j][t] = c1*v[i1] + c2*v[i2]   (Pythagorean (3,4,5) block mix
-    # of the signed permutation): even t pairs (t, t+1) as 3a+4b, odd t
-    # pairs (t-1, t) as 3b-4a. r10 optimization: the coefficients and
-    # source indices are LITERAL ARRAYS and the rotation is ONE
-    # `transform` per candidate — constant-size expression tree. The
-    # previous shape unrolled 4x64 two-term expressions into the
-    # explode projection, whose generated Java breached Janino's 64 KB
-    # method limit: every bench run paid a multi-second failed
-    # compilation of a ~14k-line class and then executed the stage
-    # INTERPRETED (ERROR CodeGenerator ... Code grows beyond 64 KB, six
-    # per bench sweep). Same integer arithmetic, same values.
-    def rot_lists(j: int) -> tuple[list[int], list[int], list[int], list[int]]:
-        c1, i1, c2, i2 = [], [], [], []
-        for t in range(dim):
-            if t % 2 == 0:
-                c1.append(3 * sgn[j][t]), i1.append(src_idx[j][t] + 1)
-                c2.append(4 * sgn[j][t + 1]), i2.append(src_idx[j][t + 1] + 1)
-            else:
-                c1.append(3 * sgn[j][t]), i1.append(src_idx[j][t] + 1)
-                c2.append(-4 * sgn[j][t - 1]), i2.append(src_idx[j][t - 1] + 1)
-        return c1, i1, c2, i2
-
-    def rot_col(j: int):
-        c1, i1, c2, i2 = (F.lit(x) for x in rot_lists(j))
-        v = F.col("v")
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda t: F.element_at(c1, t) * F.element_at(v, F.element_at(i1, t))
-            + F.element_at(c2, t) * F.element_at(v, F.element_at(i2, t)),
-        )
-
-    # rotation computed once per candidate as a 64-array column; the
-    # explode emits the 4x8 (j, subspace) slices of those arrays
-    rot = qv.select("vec_id", *[rot_col(j).alias(f"_r{j}") for j in range(4)])
-    sub = rot.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("long").alias("j"),
-                        F.lit(s).cast("long").alias("subspace"),
-                        F.slice(F.col(f"_r{j}"), sw * s + 1, sw).alias("sl"),
-                    )
-                    for j in range(4)
-                    for s in range(nsub)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", "e.j", "e.subspace", "e.sl")
-
-    def dists_col(cents_col):
-        # per-code squared distance of this row's slice to each centroid
-        # slice, as (d, code) structs — array_min gives the (d, code)-
-        # ordered argmin, matching the oracle's ROW_NUMBER tie-break
-        return F.transform(
-            cents_col,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("sl"), c["cs"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                c["code"].alias("code"),
-            ),
-        )
+    rot = qv.select(
+        "vec_id", *[_opq_rot_col(j, src_idx, sgn).alias(f"_r{j}") for j in range(4)]
+    )
+    sub = _opq_sub_slices(rot)
 
     # seed codebook: rotated first-4 vectors, code-ordered per (j, subspace)
     cent_g = (

@@ -210,15 +210,17 @@ def test_python_ds_partition_count(spark):
     assert df.rdd.getNumPartitions() == 6
 
 
-def test_kmeans_join_is_broadcast_only(plans):
-    """Centroids enter the k-means assignment as a broadcast k-row
-    table (driver-side k*dim ints — one small fold expression instead
-    of k literal-array columns, which bloat Catalyst analysis), so the
-    plan may contain ONLY broadcast joins: a shuffle join against the
-    corpus would mean the centroid side stopped being broadcast."""
+def test_kmeans_assignment_is_pure_map(plans):
+    """Centroids are driver literals, so k-means assignment must be a
+    pure per-row expression (distances to the nested-literal centroids,
+    array_sort argmin) — NO join of any strategy and no exchange: the
+    r10 rewrite replaced the broadcast k-row join + row_number window,
+    which shuffled+sorted n*k rows per call. A join or window
+    reappearing here means the centroid ranking stopped being a map."""
     plan = plans("q_ext_cluster_kmeans")
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "Broadcast" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
