@@ -2105,7 +2105,13 @@ def _opq_rot_col(j: int, src_idx, sgn, dim: int = 64) -> F.Column:
     64 KB codegen limit and ran interpreted). rot[t] = c1*v[i1] +
     c2*v[i2]: the Pythagorean (3,4,5) block mix of the signed
     permutation — even t pairs (t, t+1) as 3a+4b, odd t pairs (t-1, t)
-    as 3b-4a. Same integer arithmetic as the exploded-row formulation."""
+    as 3b-4a. Same integer arithmetic as the exploded-row formulation.
+
+    Rendered as one SQL string => ONE gateway call: building the same
+    tree through the Column API cost ~230 ms of py4j round-trips per
+    candidate (F.lit materializes 64-int lists one Literal at a time),
+    ~2.8 s per build across both OPQ queries (guide §1: plan
+    CONSTRUCTION was the cost, not execution)."""
     c1, i1, c2, i2 = [], [], [], []
     for t in range(dim):
         if t % 2 == 0:
@@ -2114,50 +2120,45 @@ def _opq_rot_col(j: int, src_idx, sgn, dim: int = 64) -> F.Column:
         else:
             c1.append(3 * sgn[j][t]), i1.append(src_idx[j][t] + 1)
             c2.append(-4 * sgn[j][t - 1]), i2.append(src_idx[j][t - 1] + 1)
-    c1, i1, c2, i2 = (F.lit(x) for x in (c1, i1, c2, i2))
-    v = F.col("v")
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda t: F.element_at(c1, t) * F.element_at(v, F.element_at(i1, t))
-        + F.element_at(c2, t) * F.element_at(v, F.element_at(i2, t)),
+
+    def arr(xs: list[int]) -> str:
+        # plain INT literals: element_at(v, idx) requires an INT index,
+        # and int coefficients * bigint v widen to bigint exactly as
+        # the Column-API formulation did
+        return "array(" + ",".join(str(x) for x in xs) + ")"
+
+    return F.expr(
+        f"transform(sequence(1, {dim}), t -> "
+        f"element_at({arr(c1)}, t) * element_at(v, element_at({arr(i1)}, t)) + "
+        f"element_at({arr(c2)}, t) * element_at(v, element_at({arr(i2)}, t)))"
     )
 
 
 def _opq_sub_slices(rot: DataFrame, nsub: int = 8, sw: int = 8) -> DataFrame:
     """(vec_id, j, subspace, sl): the 4 x nsub subspace slices of the
-    rotated arrays, one explode."""
+    rotated arrays, one explode rendered as one SQL string (the
+    32-struct Column-API build cost ~0.8 s of py4j round-trips)."""
+    structs = ",".join(
+        f"struct(cast({j} as bigint) as j, cast({s} as bigint) as subspace, "
+        f"slice(_r{j}, {sw * s + 1}, {sw}) as sl)"
+        for j in range(4)
+        for s in range(nsub)
+    )
     return rot.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("long").alias("j"),
-                        F.lit(s).cast("long").alias("subspace"),
-                        F.slice(F.col(f"_r{j}"), sw * s + 1, sw).alias("sl"),
-                    )
-                    for j in range(4)
-                    for s in range(nsub)
-                ]
-            )
-        ).alias("e"),
+        "vec_id", F.expr(f"explode(array({structs})) as e")
     ).select("vec_id", "e.j", "e.subspace", "e.sl")
 
 
-def _opq_dists_col(cents_col) -> F.Column:
-    """Per-code squared distances of this row's slice to each centroid
-    slice, as (d, code) structs — array_min gives the (d, code)-ordered
-    argmin, matching the oracles' ROW_NUMBER tie-break."""
-    return F.transform(
-        cents_col,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("sl"), c["cs"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            c["code"].alias("code"),
-        ),
+def _opq_dists_col(cents_name: str) -> F.Column:
+    """Per-code squared distances of this row's ``sl`` slice to each
+    centroid slice of array column ``cents_name``, as (d, code)
+    structs — array_min gives the (d, code)-ordered argmin, matching
+    the oracles' ROW_NUMBER tie-break. One rendered expression."""
+    return F.expr(
+        f"transform({cents_name}, c -> struct("
+        "aggregate(zip_with(sl, c.cs, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, x) -> acc + x) as d, "
+        "c.code as code))"
     )
 
 
@@ -2276,7 +2277,7 @@ def q_ext_ann_opq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         sub.join(F.broadcast(cent_g), ["j", "subspace"])
-        .select("j", "vec_id", "subspace", _opq_dists_col(F.col("cents")).alias("ds"))
+        .select("j", "vec_id", "subspace", _opq_dists_col("cents").alias("ds"))
         .localCheckpoint()  # feeds training errs, codes, AND the LUT
     )
     errs = (
@@ -2984,25 +2985,32 @@ def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = (
         sub.join(F.broadcast(cent_g), ["j", "subspace"])
-        .withColumn("code", F.array_min(dists_col(F.col("cents")))["code"])
+        .withColumn("code", F.array_min(dists_col("cents"))["code"])
         .drop("cents")
         .localCheckpoint()  # reused by the UPDATE and RE-ASSIGN stages
     )
-    # UPDATE: floor-mean per (candidate, code, subspace, coordinate) —
-    # 4x4x8x8 = 4096 keys, so map-side combine collapses the shuffle
-    cent2 = (
-        assigned.select("j", "code", "subspace", F.posexplode("sl").alias("pi", "val"))
-        .groupBy("j", "code", "subspace", "pi")
-        .agg(F.floor(F.sum("val").cast("double") / F.count("*")).cast("long").alias("cval"))
-    )
+    # UPDATE: floor-mean per (candidate, code, subspace, coordinate).
+    # r10: the 8 coordinate sums are 8 agg columns of ONE 128-key
+    # groupBy (sum(sl[i]) == the old per-pi sum since sl is always
+    # 8 long) instead of posexplode to 8x rows + a 4096-key groupBy +
+    # a re-pack groupBy — one exchange and 8x fewer shuffled rows.
     cent2_g = (
-        cent2.groupBy("j", "code", "subspace")
-        .agg(F.array_sort(F.collect_list(F.struct("pi", "cval"))).alias("ps"))
+        assigned.groupBy("j", "code", "subspace")
+        .agg(
+            *[F.sum(F.element_at("sl", i)).alias(f"s{i}") for i in range(1, 9)],
+            F.count("*").alias("n"),
+        )
         .select(
             "j",
             "subspace",
             F.struct(
-                F.col("code"), F.transform("ps", lambda s: s["cval"]).alias("cs")
+                F.col("code"),
+                F.array(
+                    *[
+                        F.floor(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
+                        for i in range(1, 9)
+                    ]
+                ).alias("cs"),
             ).alias("cc"),
         )
         .groupBy("j", "subspace")
@@ -3011,7 +3019,7 @@ def q_ext_ann_opq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RE-ASSIGN: full per-code distance vector per (j, vec_id, subspace) row
     scored = (
         assigned.join(F.broadcast(cent2_g), ["j", "subspace"])
-        .select("j", "vec_id", "subspace", dists_col(F.col("cents")).alias("ds"))
+        .select("j", "vec_id", "subspace", dists_col("cents").alias("ds"))
         .localCheckpoint()  # feeds the argmin, final codes, AND the LUT
     )
     errs2 = (
