@@ -2548,82 +2548,73 @@ def q_ext_ann_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    pos = qv.select("vec_id", F.posexplode("v").alias("p0", "val")).select(
-        "vec_id", (F.col("p0") + 1).alias("p"), "val"
+    # r10 (guide §2.3/§2.4): BOTH index pipelines fused into ONE
+    # array-native pass with an `idx` dimension (0 = pq on the raw
+    # array, 1 = opq on the j=0 rotation — _opq_rot_col(0) reproduces
+    # the oracle's mult=37 signed permutation + Pythagorean mix
+    # exactly). Replaces, PER INDEX, the exploded-row shape: posexplode
+    # to 64 rows/vector, a broadcast (subspace, p) join with 4x fanout,
+    # a 32-key-per-vector groupBy, its own localCheckpoint, and a
+    # row_number argmin window. Now: one 16-struct explode, one
+    # broadcast codebook join, one checkpoint, array_min argmins, one
+    # ADC aggregate, one report aggregate grouped by index.
+    src_idx, sgn = _opq_src_sgn(64)
+    rot = qn.select(
+        "vec_id", F.col("v").alias("_r0"), _opq_rot_col(0, src_idx, sgn).alias("_r1")
     )
-
-    def adc_topk(e_rows):
-        """(vec_id, subspace, p, val) rows -> ADC top-k (qid, xid, rn)."""
-        cent = e_rows.where(F.col("vec_id") < 4).select(
-            F.col("vec_id").alias("code"), "subspace", "p", F.col("val").alias("cval")
-        )
-        dist = (
-            e_rows.join(F.broadcast(cent), ["subspace", "p"])
-            .groupBy("vec_id", "subspace", "code")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
-                ).alias("d")
-            )
-            .localCheckpoint()
-        )
-        w_code = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
-        codes = (
-            dist.withColumn("crn", F.row_number().over(w_code))
-            .where(F.col("crn") == 1)
-            .select(F.col("vec_id").alias("xid"), "subspace", "code")
-        )
-        lut = dist.where(F.col("vec_id") < qlimit).select(
-            F.col("vec_id").alias("qid"), "subspace", "code", "d"
-        )
-        w_top = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("xid"))
-        return (
-            codes.join(lut, ["subspace", "code"])
-            .where(F.col("qid") != F.col("xid"))
-            .groupBy("qid", "xid")
-            .agg(F.sum("d").alias("adist"))
-            .withColumn("rn", F.row_number().over(w_top))
-            .where(F.col("rn") <= k)
-            .select("qid", "xid", "rn")
-        )
-
-    e_pq = pos.select(
-        "vec_id", F.floor((F.col("p") - 1) / 8).cast("long").alias("subspace"), "p", "val"
+    structs = ",".join(
+        f"struct(cast({i} as bigint) as idx, cast({s} as bigint) as subspace, "
+        f"slice(_r{i}, {8 * s + 1}, 8) as sl)"
+        for i in range(2)
+        for s in range(8)
     )
-    sp = pos.select(
-        "vec_id",
-        (((F.col("p") - 1) * 37) % 64 + 1).alias("q_pos"),
-        F.when((F.col("p") * F.lit(2654435761)) % 4 < 2, F.col("val"))
-        .otherwise(-F.col("val"))
-        .alias("sval"),
+    sub = rot.select("vec_id", F.expr(f"explode(array({structs})) as e")).select(
+        "vec_id", "e.idx", "e.subspace", "e.sl"
     )
-    prs = sp.groupBy("vec_id", (F.floor((F.col("q_pos") - 1) / 2) + 1).alias("pk")).agg(
-        F.sum(F.when((F.col("q_pos") - 1) % 2 == 0, F.col("sval")).otherwise(0)).alias("a"),
-        F.sum(F.when((F.col("q_pos") - 1) % 2 == 1, F.col("sval")).otherwise(0)).alias("b"),
-    )
-    e_opq = prs.select(
-        "vec_id",
-        (2 * F.col("pk") - 1).alias("p"),
-        (3 * F.col("a") + 4 * F.col("b")).alias("val"),
-    ).unionAll(
-        prs.select(
-            "vec_id", (2 * F.col("pk")).alias("p"), (3 * F.col("b") - 4 * F.col("a")).alias("val")
+    cent_g = (
+        sub.where(F.col("vec_id") < 4)
+        .groupBy("idx", "subspace")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("code"), F.col("sl").alias("cs")))
+            ).alias("cents")
         )
-    ).select(
-        "vec_id", F.floor((F.col("p") - 1) / 8).cast("long").alias("subspace"), "p", "val"
     )
-
-    def evaluate(name, top):
-        # ONE left join + ONE aggregate produce the whole report row
-        # (r10, guide §1.2 step 1): the previous three aggregates + two
-        # crossJoins executed the un-checkpointed ADC top-k pipeline
-        # TWICE per index and re-read the exact table three times. A
-        # left join keeps every exact row, so countDistinct(qid) is the
-        # old nq, count(nrn) counts the inner-matched pairs, and the
-        # rank-1 reciprocal-rank sum skips unmatched rows (60 div NULL
-        # is NULL).
-        m = exact.join(top.withColumnRenamed("rn", "nrn"), ["qid", "xid"], "left")
-        return m.agg(
+    scored = (
+        sub.join(F.broadcast(cent_g), ["idx", "subspace"])
+        .select("idx", "vec_id", "subspace", _opq_dists_col("cents").alias("ds"))
+        .localCheckpoint()  # feeds codes AND the LUT
+    )
+    codes = scored.select(
+        "idx", F.col("vec_id").alias("xid"), "subspace", F.array_min("ds")["code"].alias("code")
+    )
+    lut = (
+        scored.where(F.col("vec_id") < qlimit)
+        .select("idx", F.col("vec_id").alias("qid"), "subspace", F.explode("ds").alias("dc"))
+        .select("idx", "qid", "subspace", F.col("dc.code").alias("code"), F.col("dc.d").alias("d"))
+    )
+    w_top = Window.partitionBy("idx", "qid").orderBy(F.asc("adist"), F.asc("xid"))
+    top = (
+        codes.join(F.broadcast(lut), ["idx", "subspace", "code"])
+        .where(F.col("qid") != F.col("xid"))
+        .groupBy("idx", "qid", "xid")
+        .agg(F.sum("d").alias("adist"))
+        .withColumn("nrn", F.row_number().over(w_top))
+        .where(F.col("nrn") <= k)
+        .select("idx", "qid", "xid", "nrn")
+    )
+    # ONE left join + ONE aggregate produce both report rows (the
+    # pre-r10 shape ran three aggregates + two crossJoins per index,
+    # executing the un-checkpointed ADC pipeline twice): a left join
+    # keeps every (exact x index) row, countDistinct(qid) is nq,
+    # count(nrn) the inner-matched pairs, and the rank-1
+    # reciprocal-rank sum skips unmatched rows (60 div NULL is NULL).
+    names = spark.createDataFrame([(0, "pq"), (1, "opq")], "idx long, index_name string")
+    return (
+        exact.crossJoin(F.broadcast(names))
+        .join(top, ["idx", "qid", "xid"], "left")
+        .groupBy("index_name")
+        .agg(
             F.countDistinct("qid").cast("long").alias("n_queries"),
             F.count("nrn").cast("long").alias("hits_at_5"),
             F.coalesce(
@@ -2631,11 +2622,9 @@ def q_ext_ann_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("mrr_x60"),
-        ).select(
-            F.lit(name).alias("index_name"), "n_queries", "hits_at_5", "mrr_x60"
         )
-
-    return evaluate("pq", adc_topk(e_pq)).unionByName(evaluate("opq", adc_topk(e_opq)))
+        .select("index_name", "n_queries", "hits_at_5", "mrr_x60")
+    )
 
 
 @register(
