@@ -242,31 +242,47 @@ def _connected_components_loop(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    # TWO propagation sub-steps per materialized round (r10, guide §1):
+    # the fixed costs of a round — localCheckpoint materialization, AQE
+    # stage-job launches, the driver round-trip on the convergence
+    # probe — dominated per-round compute on near-dup graphs (measured
+    # 13 rounds x ~0.4 s at sf0.1 with ~4k edges), so folding a second
+    # neighbor-min step into the same lazy plan halves the round count
+    # (13 -> 8 measured, labels identical) while total propagation
+    # steps stay ~equal. Labels are monotone non-increasing, so "a full
+    # unrolled round changed nothing" still certifies the fixpoint. An
+    # r10 experiment that chained extra POINTER hops instead reduced no
+    # rounds at all (propagation here is edge-hop-bound, not
+    # pointer-chain-bound).
+    UNROLL = 2
+
+    def substep(lbl: DataFrame) -> DataFrame:
+        # carries old_cluster_id through untouched so the convergence
+        # flag needs no extra re-join at the end of the round
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(lbl, edges.dst == lbl.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         new_label = F.least(
             F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
         )
-        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
-            "id",
-            F.col("cluster_id").alias("old_cluster_id"),
-            new_label.alias("cluster_id"),
+        return lbl.join(neighbor_min, lbl.id == neighbor_min.src, "left").select(
+            "id", "old_cluster_id", new_label.alias("cluster_id")
         )
-        # Pointer doubling: follow the freshly-stepped label one more
-        # hop through the PREVIOUS round's (checkpointed) label table
-        # (label := min(label, old_label(label))). Hopping through
-        # `stepped` itself would be a self-join that recomputes the
-        # neighbor-min aggregation twice per round; the old table is
+
+    for _ in range(max_iter):
+        cur = labels.select(
+            "id", F.col("cluster_id").alias("old_cluster_id"), "cluster_id"
+        )
+        for _u in range(UNROLL):
+            cur = substep(cur)
+        # Pointer hop: follow the stepped label one more hop through the
+        # PREVIOUS round's (checkpointed) label table
+        # (label := min(label, old_label(label))) — the old table is
         # already materialized, and any adopted label is still the
         # label of a reachable node, so correctness and monotonicity
-        # hold. Net effect: convergence in ~O(log diameter) rounds
-        # instead of O(diameter) — and rounds, not per-round work, are
-        # the cost on a near-dup graph (each round is a fixed number of
-        # jobs regardless of edge count).
+        # hold.
         hop = labels.select(
             F.col("id").alias("hop_id"), F.col("cluster_id").alias("hop_label")
         )
@@ -279,13 +295,13 @@ def _connected_components_loop(
         # round, and rounds are job-launch bound (r10, guide §1).
         obs = Observation()
         new_labels = (
-            stepped.join(hop, stepped.cluster_id == hop.hop_id, "left")
+            cur.join(hop, cur.cluster_id == hop.hop_id, "left")
+            .select("id", "old_cluster_id", jumped_label.alias("cluster_id"))
             .select(
                 "id",
-                jumped_label.alias("new_cluster_id"),
-                (jumped_label != F.col("old_cluster_id")).alias("_changed"),
+                "cluster_id",
+                (F.col("cluster_id") != F.col("old_cluster_id")).alias("_changed"),
             )
-            .withColumnRenamed("new_cluster_id", "cluster_id")
             .observe(obs, F.count_if(F.col("_changed")).alias("n_changed"))
             .localCheckpoint()
         )
