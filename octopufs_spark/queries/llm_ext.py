@@ -380,27 +380,44 @@ def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = docs.where(F.col("doc_id") < 50).select(
         (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
     )
+    # Single-pass report (r10, guide §7.2 duplicated subtrees): the
+    # old shape read the signature table from THREE legs (src side of
+    # the match join, clone side, corpus stats) glued with a join and
+    # a crossJoin — Spark does not CSE across joins, so the tokenize +
+    # 64-bit vote fold (the expensive part at any scale) ran 3x.
+    # Instead: fold clone ids back onto their source id, ONE groupBy
+    # pairing each source with its clone (doc ids are unique — the
+    # same premise the old equi-join and the clone-offset scheme rest
+    # on), then one scalar aggregate. Signatures are computed once and
+    # no join remains.
     sigs = dedup.simhash_bands(docs.unionByName(clones))
-    src = sigs.where(F.col("doc_id") < 50).select(
-        "doc_id", F.col("simhash").alias("sig_src")
+    tagged = sigs.select(
+        F.when(
+            F.col("doc_id") >= _CLONE_OFFSET, F.col("doc_id") - _CLONE_OFFSET
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("orig"),
+        (F.col("doc_id") >= _CLONE_OFFSET).alias("is_clone"),
+        "simhash",
     )
-    cln = sigs.where(F.col("doc_id") >= _CLONE_OFFSET).select(
-        (F.col("doc_id") - _CLONE_OFFSET).alias("doc_id"),
-        F.col("simhash").alias("sig_clone"),
+    per_doc = tagged.groupBy("orig").agg(
+        F.count(F.when(~F.col("is_clone"), 1)).alias("n_src"),
+        F.count(F.when(F.col("is_clone"), 1)).alias("n_cln"),
+        F.max(F.when(~F.col("is_clone"), F.col("simhash"))).alias("sig_src"),
+        F.max(F.when(F.col("is_clone"), F.col("simhash"))).alias("sig_clone"),
     )
-    matches = src.join(cln, "doc_id").agg(
-        F.count("*").alias("n_planted"),
+    return per_doc.agg(
+        F.sum("n_src").cast("long").alias("n_docs"),
+        # == count(*) of the old src-x-clone equi-join (clone groups
+        # carry n_src=1), including its multiplicity under duplicate
+        # ids; sig equality below is null-unsafe exactly like the old
+        # `sig_src == sig_clone` predicate.
+        F.sum(F.col("n_src") * F.col("n_cln")).cast("long").alias("n_planted"),
         F.count(F.when(F.col("sig_src") == F.col("sig_clone"), 1)).alias(
             "n_clone_matches"
         ),
-    )
-    corpus = sigs.where(F.col("doc_id") < _CLONE_OFFSET).agg(
-        F.count("*").alias("n_docs"),
-        (F.countDistinct("simhash") >= 2).alias("discriminates"),
-    )
-    return corpus.crossJoin(matches).select(
-        "n_docs", "n_planted", "n_clone_matches", "discriminates"
-    )
+        (F.countDistinct("sig_src") >= 2).alias("discriminates"),
+    ).select("n_docs", "n_planted", "n_clone_matches", "discriminates")
 
 
 @register(
