@@ -44,6 +44,38 @@ def ngram_sets(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     return df.select(F.col(id_col), F.array_distinct(ngrams).alias("ngrams"))
 
 
+def hashed_ngram_sets(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, ngrams]: distinct xxhash64-hashed word n-grams — the shared
+    shingle pass (r10, guide §7.2): both the exact-Jaccard path and the
+    DF-MinHash path accept this via their ``sets`` parameter, so a
+    caller that needs both (the recall contract) tokenizes the corpus
+    ONCE instead of once per operator.
+
+    Semantics match :func:`ngram_sets` + xxhash64 exactly — tokens are
+    a raw ``split`` (empty tokens preserved; the compiled ``NGram``
+    transformer joins n consecutive tokens with a single space just
+    like ``concat_ws`` over a slice, and yields an empty list below n
+    tokens like the ``when`` gate), hashed then distinct'd (== distinct
+    then hashed up to 2^-64 collisions, the documented trade both
+    consumers already make).
+    """
+    from pyspark.ml.feature import NGram
+
+    w = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    return (
+        NGram(n=n, inputCol="_w", outputCol="_raw")
+        .transform(w)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("_raw", lambda s: F.xxhash64(s))
+            ).alias("ngrams"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -52,6 +84,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_doc_freq: int = 1000,
     materialize: bool = False,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
     indexed n-gram. Returns [doc_a, doc_b, jaccard] with doc_a < doc_b.
@@ -68,27 +101,33 @@ def ngram_jaccard_pairs(
     ubiquitous n-grams is missed — by construction those carry ~zero
     Jaccard selectivity), never a reported similarity value.
     """
-    g = ngram_sets(df, n=n, id_col=id_col, text_col=text_col)
-    # Collapse shingle strings to 64-bit xxhash64 digests the moment
-    # they exist (r10, guide §2.3 "shuffle keys instead of payloads"):
-    # every downstream leg — the inverted-index explode + DF count, the
-    # candidate self-join key, and BOTH array_intersect verification
-    # sides — moves 8-byte longs instead of ~25-40-byte n-gram strings
-    # (~4x thinner shuffles end to end). Hash-set Jaccard equals
-    # string-set Jaccard up to 2^-64 collisions — the same documented
-    # trade minhash_near_dup_pairs_df already makes; distinctness,
-    # intersection and union counts are otherwise preserved exactly, so
-    # reported jaccard values are unchanged.
-    g = g.select(
-        F.col(id_col), F.transform("ngrams", lambda s: F.xxhash64(s)).alias("ngrams")
-    )
-    if materialize:
-        # three plan legs read the n-gram sets (index + both
-        # verification sides); on a large corpus the tokenize→shingle
-        # pass dominates if recomputed per leg (cf. the DF-MinHash
-        # featurization checkpoint). Opt-in because bounded callers
-        # prefer the transparent single plan.
-        g = g.localCheckpoint()
+    if sets is not None:
+        # pre-hashed shingle sets from hashed_ngram_sets (the caller
+        # owns materialization — pass a localCheckpoint'd frame when
+        # several operators share it)
+        g = sets
+    else:
+        g = ngram_sets(df, n=n, id_col=id_col, text_col=text_col)
+        # Collapse shingle strings to 64-bit xxhash64 digests the moment
+        # they exist (r10, guide §2.3 "shuffle keys instead of payloads"):
+        # every downstream leg — the inverted-index explode + DF count, the
+        # candidate self-join key, and BOTH array_intersect verification
+        # sides — moves 8-byte longs instead of ~25-40-byte n-gram strings
+        # (~4x thinner shuffles end to end). Hash-set Jaccard equals
+        # string-set Jaccard up to 2^-64 collisions — the same documented
+        # trade minhash_near_dup_pairs_df already makes; distinctness,
+        # intersection and union counts are otherwise preserved exactly, so
+        # reported jaccard values are unchanged.
+        g = g.select(
+            F.col(id_col), F.transform("ngrams", lambda s: F.xxhash64(s)).alias("ngrams")
+        )
+        if materialize:
+            # three plan legs read the n-gram sets (index + both
+            # verification sides); on a large corpus the tokenize→shingle
+            # pass dominates if recomputed per leg (cf. the DF-MinHash
+            # featurization checkpoint). Opt-in because bounded callers
+            # prefer the transparent single plan.
+            g = g.localCheckpoint()
     e = g.select(F.col(id_col), F.explode("ngrams").alias("ng"))
     rare = (
         e.groupBy("ng")
@@ -379,6 +418,7 @@ def minhash_near_dup_pairs_df(
     shingle_n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash near-duplicate pairs without ``pyspark.ml`` — the
     pure-DataFrame scale path. Returns [doc_a, doc_b, jaccard] with
@@ -433,21 +473,29 @@ def minhash_near_dup_pairs_df(
     if num_perm is None or bands is None:
         num_perm, bands, _ = adaptive_minhash_params(df.count(), threshold)
 
-    w = df.select(
-        F.col(id_col), F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("_w")
-    )
-    g = (
-        NGram(n=shingle_n, inputCol="_w", outputCol="_raw")
-        .transform(w)
-        .select(
+    if sets is not None:
+        # shared pre-hashed shingle sets (hashed_ngram_sets; caller
+        # owns materialization). Empty sets must still be dropped —
+        # a zero-shingle doc would otherwise carry the identity
+        # signature and turn every band into one degenerate hot bucket.
+        g = sets.where(F.size("ngrams") > 0)
+    else:
+        w = df.select(
             F.col(id_col),
-            F.array_distinct(
-                F.transform("_raw", lambda s: F.xxhash64(s))
-            ).alias("ngrams"),
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("_w"),
         )
-        .where(F.size("ngrams") > 0)
-        .localCheckpoint()
-    )
+        g = (
+            NGram(n=shingle_n, inputCol="_w", outputCol="_raw")
+            .transform(w)
+            .select(
+                F.col(id_col),
+                F.array_distinct(
+                    F.transform("_raw", lambda s: F.xxhash64(s))
+                ).alias("ngrams"),
+            )
+            .where(F.size("ngrams") > 0)
+            .localCheckpoint()
+        )
     r = num_perm // bands
     sig = g.select(
         F.col(id_col),

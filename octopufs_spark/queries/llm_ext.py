@@ -258,15 +258,25 @@ def q_ext_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm.py) as API parity, per the round-6 retirement
     plan."""
     docs = load(spark, sf_dir, "documents")
+    # ONE shared shingle pass (r10, guide §7.2): the LSH side and the
+    # exact ground-truth side previously each ran their own
+    # tokenize→5-gram→hash pipeline with its own checkpoint — the
+    # most expensive stage of the operator, paid twice. Both operators
+    # now read the same materialized hashed-shingle sets; the exact
+    # side's semantics are unchanged (hashed_ngram_sets == its old
+    # in-house sets), the LSH side bands the very sets it is scored
+    # against (recall can only be cleaner), and the signature/banding
+    # parameters are untouched.
+    g = dedup.hashed_ngram_sets(docs, n=5).localCheckpoint()
     lsh = (
         dedup.minhash_near_dup_pairs_df(
-            docs, threshold=0.2, num_perm=24, bands=24
+            docs, threshold=0.2, num_perm=24, bands=24, sets=g
         )
         .select("doc_a", "doc_b")
         .withColumn("_m", F.lit(1))
     )
     exact = dedup.ngram_jaccard_pairs(
-        docs, n=5, threshold=0.2, max_doc_freq=1 << 30, materialize=True
+        docs, n=5, threshold=0.2, max_doc_freq=1 << 30, sets=g
     ).select("doc_a", "doc_b")
     stats = exact.join(lsh, ["doc_a", "doc_b"], "left").agg(
         F.count("*").alias("n_exact_pairs"),

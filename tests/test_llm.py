@@ -465,3 +465,41 @@ def test_cross_source_dedup_null_text_rows_each_survive(spark):
     # per-row digests stay distinct across NULL-text rows
     null_digests = {r.h for r in out if r.doc_id in (1, 2, 3)}
     assert len(null_digests) == 3
+
+
+def test_shared_shingle_sets_preserve_pair_outputs(spark):
+    """r10: hashed_ngram_sets is the shared shingle pass for operators
+    that need both the exact-Jaccard and DF-MinHash views of a corpus.
+    Feeding it via ``sets=`` must reproduce (a) the exact pair set the
+    in-house shingling produces BYTE-IDENTICALLY (same hashes, same
+    jaccard values — the recall contract's n_exact_pairs depends on
+    it), and (b) a MinHash pair set that still satisfies the >=90%
+    recall / precision-1.0 contract (the LSH side's shingles change
+    from token-filtered to raw-split, which may only move boundary
+    candidates)."""
+    docs = load(spark, SF_DIR, "documents")
+    g = dedup.hashed_ngram_sets(docs, n=5).localCheckpoint()
+
+    own = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.2, max_doc_freq=1 << 30
+        ).collect()
+    }
+    shared = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.2, max_doc_freq=1 << 30, sets=g
+        ).collect()
+    }
+    assert shared == own
+
+    exact_pairs = {(a, b) for a, b, _ in own}
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_dup_pairs_df(
+            docs, threshold=0.2, num_perm=24, bands=24, sets=g
+        ).select("doc_a", "doc_b").collect()
+    }
+    assert lsh <= exact_pairs
+    assert len(lsh) >= 0.9 * len(exact_pairs)
