@@ -53,17 +53,25 @@ def hashed_ngram_sets(
     caller that needs both (the recall contract) tokenizes the corpus
     ONCE instead of once per operator.
 
-    Semantics match :func:`ngram_sets` + xxhash64 exactly — tokens are
-    a raw ``split`` (empty tokens preserved; the compiled ``NGram``
+    Semantics match :func:`ngram_sets` + xxhash64 — tokens are a raw
+    ``split`` (empty tokens preserved; the compiled ``NGram``
     transformer joins n consecutive tokens with a single space just
     like ``concat_ws`` over a slice, and yields an empty list below n
     tokens like the ``when`` gate), hashed then distinct'd (== distinct
     then hashed up to 2^-64 collisions, the documented trade both
-    consumers already make).
+    consumers already make). NULL text coalesces to ``''`` before the
+    split: NGram's Scala UDF throws on a NULL token array, while
+    ``ngram_sets`` returns an empty set for NULL text — the coalesce
+    makes both yield the empty set (split('') is one sub-n token), so
+    NULL-text corpora (supported elsewhere, cf. cross_source_dedup)
+    don't abort the job.
     """
     from pyspark.ml.feature import NGram
 
-    w = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    w = df.select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
+    )
     return (
         NGram(n=n, inputCol="_w", outputCol="_raw")
         .transform(w)
@@ -103,9 +111,12 @@ def ngram_jaccard_pairs(
     """
     if sets is not None:
         # pre-hashed shingle sets from hashed_ngram_sets (the caller
-        # owns materialization — pass a localCheckpoint'd frame when
-        # several operators share it)
-        g = sets
+        # usually owns materialization — pass a localCheckpoint'd frame
+        # when several operators share it). materialize=True is honored
+        # here too: the three plan legs below would otherwise silently
+        # re-execute an un-checkpointed provided frame, which is
+        # exactly the recomputation the flag exists to prevent.
+        g = sets.localCheckpoint() if materialize else sets
     else:
         g = ngram_sets(df, n=n, id_col=id_col, text_col=text_col)
         # Collapse shingle strings to 64-bit xxhash64 digests the moment

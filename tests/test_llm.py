@@ -503,3 +503,18 @@ def test_shared_shingle_sets_preserve_pair_outputs(spark):
     }
     assert lsh <= exact_pairs
     assert len(lsh) >= 0.9 * len(exact_pairs)
+
+
+def test_hashed_ngram_sets_null_text_yields_empty_set(spark):
+    """r10-ADVICE: NGram's Scala UDF aborts on a NULL token array, so
+    hashed_ngram_sets must coalesce NULL text to '' — matching
+    ngram_sets' empty-set semantics for NULL — before the transform.
+    NULL-text rows are supported corpus input (cf. cross_source_dedup)."""
+    rows = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f"), (3, "")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.ngrams for r in dedup.hashed_ngram_sets(rows, n=5).collect()}
+    ref = {r.doc_id: r.ngrams for r in dedup.ngram_sets(rows, n=5).collect()}
+    assert got[1] == [] and got[3] == []
+    assert len(got[2]) == len(ref[2]) == 2

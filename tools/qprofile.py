@@ -3,13 +3,15 @@
 For each named query, measures separately:
   - build_s: time to call fn(spark, sf_dir) — Python plan construction
     plus any eager work the query does at build time (fit collects,
-    localCheckpoints, count jobs);
-  - exec1_s / exec2_s / exec3_s: three noop-sink executions of the
-    returned DataFrame (exec1 pays codegen JIT; exec2/3 are steady
-    state);
+    localCheckpoints, count jobs); the median of three builds (each
+    exec run gets its own fresh build, timed separately, so exec
+    timings never include plan construction — r10-ADVICE fix);
+  - exec1_s / exec2_s / exec3_s: three noop-sink executions, each of a
+    freshly built DataFrame (exec1 pays codegen JIT; exec2/3 are
+    steady state);
   - jobs / stages: JVM job+stage counts attributable to the query
     (build + first exec), from the AppStatusStore;
-  - optionally writes .explain("formatted") to plans/r10/<q>_<tag>.txt.
+  - optionally writes .explain("formatted") to plans/r11/<q>_<tag>.txt.
 
 Usage:
   python tools/qprofile.py [--plans TAG] [--sf SF_DIR] q_name [q_name ...]
@@ -67,7 +69,7 @@ def main() -> None:
     for warm in ("q_scan_parquet", "q_agg_sum_group", "q_join_multi"):
         queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
 
@@ -78,16 +80,25 @@ def main() -> None:
             continue
         spark.sparkContext.setJobDescription(f"qprofile:{name}")
         j0, s0 = job_stage_counts(spark)
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        build = time.perf_counter() - t0
-        execs = []
+        builds: list[float] = []
+        execs: list[float] = []
+        df = None
         for _ in range(3):
+            # build and exec timed SEPARATELY each iteration: a shared
+            # df would let a build-time localCheckpoint hide work from
+            # exec2/3, and rebuilding inside the exec timer (the old
+            # code) contaminated "steady state" with plan construction.
             t0 = time.perf_counter()
-            df2 = queries[name](spark, sf_dir) if execs else df
-            df2.write.format("noop").mode("overwrite").save()
+            df = queries[name](spark, sf_dir)
+            builds.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
             execs.append(time.perf_counter() - t0)
-        j1, s1 = job_stage_counts(spark)
+            if len(execs) == 1:
+                # jobs/stages attributed to build+exec1 only, matching
+                # the r10 numbers (one build per profile back then)
+                j1, s1 = job_stage_counts(spark)
+        build = sorted(builds)[1]
         print(
             f"{name:42s} {build:7.2f} {execs[0]:7.2f} {execs[1]:7.2f} {execs[2]:7.2f}"
             f" {(j1 - j0):5d} {(s1 - s0):6d}",
