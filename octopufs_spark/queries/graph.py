@@ -138,14 +138,28 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     node — broadcast) followed by groupBy(dst): the classic
     iterate-on-aggregates loop. The rank table never leaves the
     bounded node domain, and the unbounded tables are touched once,
-    in :func:`_edges`."""
+    in :func:`_edges`.
+
+    r11 (guide §7.2, §2.4): ``nodes`` and ``deg`` are static across
+    iterations but were lazy, so the unrolled 3-iteration plan
+    recomputed nodes 4x and deg 3x — each copy with its own distinct/
+    groupBy Exchange — and re-attached dangling nodes with a per-
+    iteration SortMergeJoin LeftOuter. Both are node-bounded, so they
+    are checkpointed once, and the left join is replaced by a zero-
+    contribution union row per node folded into the SAME groupBy that
+    sums edge contributions: one small exchange per iteration instead
+    of three, no join beyond the fundamental edges⋈ranks propagation.
+    Per-edge integer arithmetic is unchanged (same div-then-sum), so
+    ranks stay bit-identical."""
     edges = _edges(spark, sf_dir).localCheckpoint()  # reused 3x: pin it
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
+        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    zero = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
     ranks = nodes.withColumn("r", F.lit(_SCALE).cast("bigint"))
     for _ in range(3):
         contrib = (
@@ -155,17 +169,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").alias("node"),
                 F.expr("(85 * r) div (100 * outdeg)").alias("c"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(_BASE) + F.coalesce(F.col("in_sum"), F.lit(0)))
-                .cast("bigint")
-                .alias("r"),
-            )
+            contrib.unionAll(zero)
+            .groupBy("node")
+            .agg((F.lit(_BASE) + F.sum("c")).cast("bigint").alias("r"))
         )
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return ranks.join(
@@ -199,11 +207,23 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing edge (a,c). On a bounded derived graph this is a broadcast
     join chain; on a billion-edge graph the same query shuffles on the
     wedge key — the standard distributed triangle algorithm (node-
-    iterator with degree ordering)."""
+    iterator with degree ordering).
+
+    r11 (guide §1.5/§7.2): the three report scalars used to be three
+    separate count() ACTIONS plus a driver-side createDataFrame — three
+    job launches, each re-deriving ``und`` from the checkpointed edges.
+    Now ``und`` is checkpointed once (it is edge-bounded and feeds five
+    plan legs) and the scalars are three 1-row aggregates glued with
+    crossJoins into ONE plan/action, so the engine computes the whole
+    report in a single pass."""
     edges = _edges(spark, sf_dir).localCheckpoint()
-    und = edges.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     e1 = und.alias("e1")
     e2 = und.alias("e2")
     e3 = und.alias("e3")
@@ -213,10 +233,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             e3,
             (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
         )
-        .count()
+        .agg(F.count("*").alias("n_triangles"))
     )
-    n_edges = und.count()
-    n_nodes = und.select(F.col("a").alias("x")).unionAll(und.select("b")).distinct().count()
-    return spark.createDataFrame(
-        [(n_edges, n_nodes, tri)], "n_edges bigint, n_nodes bigint, n_triangles bigint"
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_nodes = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select("b"))
+        .agg(F.count_distinct("x").alias("n_nodes"))
     )
+    return n_edges.crossJoin(n_nodes).crossJoin(tri)
