@@ -698,10 +698,32 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregate whose size scales with |part|). The filtered
     part dim joins in *before* the window — p_partkey is unique, so
     the per-partkey EU row group survives intact and the window min is
-    unchanged while the window input shrinks by the part selectivity."""
-    ps = _partsupp(spark, sf_dir)
+    unchanged while the window input shrinks by the part selectivity.
+
+    r11 (guide §2.3/§3.2): the p_size/p_type filter keeps ~1/250 of
+    part, but the derived-partsupp groupBy used to aggregate ALL of
+    lineitem and only then join the filtered dim — the big shuffle
+    carried 250x more groups than survive. A broadcast LEFT SEMI join
+    on the filtered part keys now drops non-matching lineitem rows
+    BEFORE the (l_partkey, l_suppkey) exchange (the manual form of the
+    runtime Bloom-filter pre-filter; the filtered key side is the
+    classic broadcastable selective dim). Filtering by a group-key
+    column commutes with the per-group MIN/SUM, so surviving rows are
+    bit-identical."""
     part = load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    unit = F.col("l_extendedprice").cast(DEC) / F.col("l_quantity").cast(DEC)
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(unit).cast("double").alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("ps_availqty"),
     )
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
