@@ -139,7 +139,14 @@ def ngram_jaccard_pairs(
             # featurization checkpoint). Opt-in because bounded callers
             # prefer the transparent single plan.
             g = g.localCheckpoint()
-    e = g.select(F.col(id_col), F.explode("ngrams").alias("ng"))
+    # explode_OUTER + isnotnull: InferFiltersFromGenerate would copy the
+    # whole shingle expression into a size()>0 filter under a plain
+    # explode, doubling the tokenize work when `g` is an unmaterialized
+    # projection (materialize=False, sets=None). Outer generates skip
+    # the rule; the NULL row an empty set emits is dropped right after.
+    e = g.select(F.col(id_col), F.explode_outer("ngrams").alias("ng")).where(
+        F.col("ng").isNotNull()
+    )
     rare = (
         e.groupBy("ng")
         .agg(F.count("*").alias("df"))
@@ -242,32 +249,51 @@ def connected_components(
     """
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if partitions:
-        # near-dup edge lists are usually tiny relative to the corpus:
-        # shrinking shuffle parallelism for the iteration loop avoids
-        # paying full-width shuffle overhead per round on a few
-        # thousand rows. (On a real cluster size this to the edge
-        # count; AQE coalescing helps but the per-round floor remains.)
-        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    # Mirror each pair in ONE pass (r11): the old shape checkpointed the
+    # raw pair list, then unioned it with its own flip — a second full
+    # read plus a second materialization job before the loop even
+    # starts. Exploding a 2-struct array emits both directions from the
+    # single pass over the (usually expensive) candidate plan, so the
+    # scorer feeds exactly one materialization. The edge count rides
+    # that same materialization as an Observation, so sizing the loop
+    # below costs zero extra jobs.
+    obs = Observation()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n_edges"))
+        .localCheckpoint()
+    )
+    if partitions is None:
+        # Scale-adaptive loop width (r11, replaces the callers'
+        # hard-coded 4): ~2M mirrored edges (two longs, ~32-64 MB with
+        # row overhead) per shuffle partition, clamped to the session
+        # width so a small graph's per-round shuffles don't pay
+        # full-width task-launch overhead and a 100 TB edge list still
+        # fans out to the whole cluster (it simply keeps the ambient
+        # spark.sql.shuffle.partitions).
+        n_edges = int(obs.get["n_edges"])
+        partitions = max(2, min(int(prev_parts), (n_edges + 1_999_999) // 2_000_000))
     try:
-        return _connected_components_loop(pairs, a_col, b_col, max_iter, round_counter)
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        return _connected_components_loop(edges, max_iter, round_counter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _connected_components_loop(
-    pairs: DataFrame,
-    a_col: str,
-    b_col: str,
+    edges: DataFrame,
     max_iter: int,
     round_counter: list | None = None,
 ) -> DataFrame:
-    # Materialize the incoming pair list ONCE before mirroring it:
-    # the union below reads it twice, and candidate generation
-    # (exact BNLJ, LSH bucket join) is usually the most expensive
-    # plan feeding this operator — without the checkpoint it runs
-    # twice.
-    #
     # The loop keeps AQE and auto-broadcast ENABLED deliberately: the
     # label table is bounded by the pair-graph node count (near-dup
     # candidates, not the corpus), so the runtime planner broadcasts
@@ -280,12 +306,6 @@ def _connected_components_loop(
     # edge table cost more than the adaptive broadcasts they replaced,
     # and the saved driver round-trips did not pay for them. Scale
     # adaptivity is the point — let the planner re-decide per round.
-    base = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).localCheckpoint()
-    edges = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -168,8 +168,18 @@ def q_ext_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element order, which size() and explode() don't observe.
     g = dedup.ngram_sets(docs, n=5, id_col="source")
     ngd = F.conv(F.substring(F.md5(F.col("ng")), 1, 15), 16, 10).cast("long")
-    e = g.select("source", F.explode("ngrams").alias("ng")).select(
-        "source", ngd.alias("ngd")
+    # explode_OUTER + isnotnull instead of explode (r11, guide §7.2):
+    # on a plain explode, InferFiltersFromGenerate copies the full
+    # tokenize→shingle expression into a `size(ngrams) > 0` filter
+    # below the Generate, so the most expensive expression in the
+    # query ran TWICE per row (seen in plans/r11/..._before.txt op 2-3).
+    # The rule skips outer generates; empty-set docs now emit one NULL
+    # shingle row that the cheap post-Generate filter drops — identical
+    # rows out, one shingle pass instead of two.
+    e = (
+        g.select("source", F.explode_outer("ngrams").alias("ng"))
+        .where(F.col("ng").isNotNull())
+        .select("source", ngd.alias("ngd"))
     )
     per_ng = e.groupBy("ngd").agg(F.collect_set("source").alias("srcs"))
     per = (
@@ -413,7 +423,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded derived graph."""
     edges = _edges(spark, sf_dir)
     pairs = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
-    cc = dedup.connected_components(pairs, partitions=8)
+    cc = dedup.connected_components(pairs)
     return cc.groupBy(F.col("cluster_id").cast("long").alias("component")).agg(
         F.count("*").cast("long").alias("n_nodes")
     )

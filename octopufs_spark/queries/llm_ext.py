@@ -361,7 +361,7 @@ def q_ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return dedup.connected_components(pairs, partitions=4)
+    return dedup.connected_components(pairs)
 
 
 @register(
@@ -817,7 +817,7 @@ def q_ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_near_dup_pairs_broadcast(vecs, threshold=0.3).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    labels = dedup.connected_components(pairs, partitions=4)
+    labels = dedup.connected_components(pairs)
     return labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_id")
     )
@@ -851,7 +851,7 @@ def q_ext_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_near_dup_pairs_ann(
         vecs_u, dim=64, threshold=0.35, n_planes=4, n_tables=24, seed=42
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-    labels = dedup.connected_components(pairs, partitions=4)
+    labels = dedup.connected_components(pairs)
     src = labels.where(F.col("doc_id") < 20).select(
         "doc_id", F.col("cluster_id").alias("c_src")
     )
@@ -1136,7 +1136,7 @@ def q_ext_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = a.join(
         b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    labels = dedup.connected_components(pairs, partitions=4)
+    labels = dedup.connected_components(pairs)
     ranked = labels.join(d.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (

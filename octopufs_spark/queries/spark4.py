@@ -852,7 +852,7 @@ def q_ext_dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_near_dup_pairs_det_adaptive(
         load(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
     )
-    return dedup.connected_components(pairs, partitions=4)
+    return dedup.connected_components(pairs)
 
 
 def _minhash_det_oracle(

@@ -48,6 +48,13 @@ REVERIFY_FROM_ROUND: dict[str, int] = {
     # r10 sf10-probe rewrites (SCALE.md round-10):
     "q_ext_dedup_minhash_recall": 10,  # pyspark.ml LSH side -> pure-DF r=1 banding
     "q_ext_simhash_pairs": 10,  # fixed 4x12 banding -> complete C(6,3) radius-3
+    # r11 optimization rewrites: pull each back into the driver's fresh
+    # prefix so the rewritten plan earns its own hash-green sample
+    # (r10 advice: rewritten queries must be force-included in the
+    # round's oracle sample).
+    "q_graph_pagerank": 11,  # checkpointed statics + folded dangling mass
+    "q_graph_triangles": 11,  # checkpointed oriented edges, fused report
+    "q_tpch_q2": 11,  # broadcast semi-join pre-filter on lineitem
 }
 
 

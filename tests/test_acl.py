@@ -148,6 +148,7 @@ def test_retry_tolerates_missing_paths(tmp_path):
     assert calls["n"] == 3
 
 
+@pytest.mark.slow  # >50 s; excluded from the default driver-window run
 def test_modify_table_acl(spark, tmp_path):
     """Table folder gets ACCESS+DEFAULT; every data file gets ACCESS
     (file list from the metastore cache, not a storage listing)."""

@@ -31,6 +31,7 @@ def _ids(df):
     return {r.id for r in df.collect()}
 
 
+@pytest.mark.slow  # >50 s; excluded from the default driver-window run
 def test_branch_commits_invisible_to_main(spark, table):
     write_and_commit(_df(spark, 0, 10), table)
     assert table.create_branch("dev") == 1

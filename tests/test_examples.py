@@ -15,6 +15,11 @@ import sys
 
 import pytest
 
+# Multi-minute end-to-end demos: excluded from the default
+# (driver-window) run; run with `pytest -m slow` before recording.
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

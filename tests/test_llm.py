@@ -233,6 +233,7 @@ def test_semantic_ann_recall(spark):
     assert len(ann & exact) / len(exact) >= 0.9
 
 
+@pytest.mark.slow  # >50 s; excluded from the default driver-window run
 def test_semantic_ann_clusters_match_exact(spark):
     """On planted data the full ANN composition (candidates → connected
     components) yields the same canonical survivors as exact pairing."""

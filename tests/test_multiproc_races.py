@@ -293,6 +293,7 @@ def _spark_worker(root: str, role: str, n_ops: int, out: "mp.Queue") -> None:
         spark.stop()
 
 
+@pytest.mark.slow  # >50 s; excluded from the default driver-window run
 def test_cross_process_spark_compaction_merge_races(tmp_path, spark):
     """Full-stack race: three real Spark JVMs (appender, compactor,
     MOR deleter) hammer one table. Afterward the log must be linear

@@ -4,6 +4,8 @@ generated, shrinkable cases."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 from pathlib import Path
@@ -117,6 +119,7 @@ _kv_strategy = st.dictionaries(
 
 @settings(deadline=None, max_examples=15, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(target_kv=_kv_strategy, source_kv=_kv_strategy, delete_keys=st.sets(st.integers(0, 30), max_size=6))
+@pytest.mark.slow  # >50 s; excluded from the default driver-window run
 def test_merge_upsert_properties(spark, target_kv, source_kv, delete_keys):
     """MERGE algebra: result = (target − source keys − delete keys) ⊎
     source; applying the same source twice equals once (idempotent);

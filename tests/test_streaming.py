@@ -305,6 +305,7 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert got["n"] == got["d"] == ev.count()
 
 
+@pytest.mark.slow  # >50 s; excluded from the default driver-window run
 def test_stream_join_watermark_bounds_state(spark, tmp_path):
     """Verdict r4 #6: drive clicks_purchases_join through LIVE
     time-ordered micro-batches and assert the watermark actually
