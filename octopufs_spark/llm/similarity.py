@@ -301,24 +301,61 @@ def cosine_near_dup_pairs_ann(
     Returns [vec_a, vec_b, cos_sim] with vec_a < vec_b.
     """
     b = hyperplane_lsh_multi(vecs, dim, n_planes, n_tables, seed, id_col, vec_col)
-    bn = b.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
-    lhs, rhs = bn.alias("a"), bn.alias("b")
-    # Score in the join projection, dedup after: a pair colliding in
-    # several tables costs a few extra (cheap, JVM-side) dot products,
-    # but the dedup exchange then carries 3 scalar columns instead of
-    # two dim-wide arrays. The threshold filter also lands before the
-    # shuffle, shrinking it further.
-    scored = lhs.join(
-        rhs,
-        (F.col("a.tb") == F.col("b.tb")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("vec_a"),
-        F.col(f"b.{id_col}").alias("vec_b"),
-        F.round(
-            dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")), 6
-        ).alias("cos_sim"),
+    # Decide on thin proxies, attach payloads once (r11, guide §8/§2.3):
+    # the old shape self-joined the exploded (id, emb, tb) stream, so
+    # (a) the bucket-UDF matmul ran TWICE over the corpus (one per join
+    # side), and (b) every vector's dim-wide embedding crossed the
+    # bucket-key exchange n_tables times per side. Now the bucket index
+    # is materialized ONCE as bare (id, tb) rows — the UDF runs once,
+    # the self-join shuffles two scalar columns — candidate ids dedup
+    # BEFORE scoring (a pair colliding in several tables is scored
+    # once, same as the old post-score dropDuplicates), and embeddings
+    # attach to the surviving pairs by id. Same candidate set, same
+    # rounded scores, same output rows.
+    bk = b.select(F.col(id_col), "tb").localCheckpoint()
+    cand = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.tb") == F.col("b.tb"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    return scored.where(F.col("cos_sim") >= threshold).dropDuplicates(["vec_a", "vec_b"])
+    ve = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("emb")
+    ).withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    scored = (
+        cand.join(
+            ve.select(
+                F.col(id_col).alias("vec_a"),
+                F.col("emb").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            ve.select(
+                F.col(id_col).alias("vec_b"),
+                F.col("emb").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.where(F.col("cos_sim") >= threshold)
 
 
 def cosine_topk_ivf(
