@@ -415,7 +415,15 @@ class MaterializedView:
             except _ParentPruned:
                 incremental = False  # a subtract scan lost its parent
             else:
-                negatives = [n for n in negatives if n is not None]
+                # Each negative partial is read TWICE — the extremum
+                # check aggregates it, then the publish merge folds its
+                # NULLed form — and is ≤1 row per touched group, so
+                # materialize it once instead of re-running the
+                # deleted-rows scan (source files + vector + anti-join)
+                # per consumer (r11, guide §7.2).
+                negatives = [
+                    n.localCheckpoint() for n in negatives if n is not None
+                ]
                 # ONE view read serves both the extremum check and the
                 # merge (each explicit-version read pays per-file
                 # vacuum pre-checks)

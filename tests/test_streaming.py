@@ -11,10 +11,15 @@ from octopufs_spark.tables import load
 from tests.conftest import SF_DIR
 
 
-@pytest.fixture()
-def event_files(spark, tmp_path):
-    """events split into 3 parquet files → 3 micro-batches."""
-    src = str(tmp_path / "stream_src")
+@pytest.fixture(scope="session")
+def event_files(spark, tmp_path_factory):
+    """events split into 3 parquet files → 3 micro-batches.
+
+    Session-scoped (r11): five tests consume this source read-only
+    (each streams it into its OWN memory sink / checkpoint), so
+    re-writing the identical 3-file parquet per test paid ~5 write
+    jobs for nothing."""
+    src = str(tmp_path_factory.mktemp("stream_src_shared") / "stream_src")
     load(spark, SF_DIR, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     ).repartition(3).write.mode("overwrite").parquet(src)
