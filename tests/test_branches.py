@@ -169,6 +169,7 @@ def test_vacuum_protects_branch_head_only(spark, table):
     assert _ids(table.read(spark)) == set(range(10)) | set(range(100, 110))
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_stream_skips_branch_emits_fast_forward_once(spark, table, tmp_path):
     from octopufs_spark.sources import register_manifest_stream
 

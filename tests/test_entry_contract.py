@@ -5,6 +5,8 @@ than in the external gate."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -32,6 +34,7 @@ def test_oracles_subset_of_queries():
     assert weak == set()
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_every_query_builds(spark):
     """Every registered callable produces a DataFrame against sf0.001
     (plan construction catches missing columns/typos; execution is the

@@ -212,6 +212,7 @@ def _planted_near_dup_vectors(spark, n_base: int = 60, dim: int = 64, seed: int 
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_semantic_ann_recall(spark):
     """The LSH-candidate near-dup path recovers ≥0.9 of the exact
     composition's planted near-dup pairs at threshold 0.9 — the check

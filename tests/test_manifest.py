@@ -1760,6 +1760,7 @@ def test_partitioned_table_read_recovers_partition_columns(spark, table):
     assert got.count() == 500
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_manifest_stream_surfaces_partition_columns(spark, tmp_path):
     """The streaming source re-attaches hive k=v segments as string
     columns (they live in dir names, not file bytes), consistent
@@ -1788,6 +1789,7 @@ def test_manifest_stream_surfaces_partition_columns(spark, tmp_path):
     assert rows.where((F.col("id") % 2).cast("int").cast("string") != F.col("bucket")).count() == 0
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_partition_pruning_from_path_segments(spark, table):
     """Equality and range predicates on a hive partition column prune
     whole partitions straight from the k=v dir names — no stats
@@ -3081,6 +3083,7 @@ def test_add_column_metadata_only_with_default(spark, table):
     assert "source" not in table.read(spark, version=v - 1).columns
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_add_column_null_default_and_stream(spark, tmp_path):
     """A None default reads as typed NULL; the stream replays adds the
     same way the batch read does (schema and batches agree)."""

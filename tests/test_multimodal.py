@@ -61,6 +61,7 @@ def test_frame_sampling_cardinality(spark, media):
         assert b"".join(p for _, p in sorted(parts)) == orig[doc_id]
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_decode_audio_real_wav(spark):
     """REAL codec path: stdlib wave-encoded PCM payloads decode to
     correct channel/rate/frame/duration/peak metadata through the same

@@ -61,6 +61,7 @@ def _build(root: Path, tree: dict[str, int]) -> None:
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(src_tree=_tree_strategy, trg_tree=_tree_strategy)
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_synchronize_reaches_fixpoint(spark, src_tree, trg_tree):
     """For ANY pair of trees: after synchronize, delta is empty both ways."""
     base = Path(tempfile.mkdtemp(prefix="prop_sync_"))

@@ -377,6 +377,7 @@ def test_stream_join_watermark_bounds_state(spark, tmp_path):
     assert final_state < 2 * fed
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_manifest_to_manifest_pipeline_restart_exactly_once(spark, tmp_path):
     """End-to-end lakehouse pipeline: manifest table -> manifest_stream
     source -> transformation -> manifest_stream_writer sink, driven

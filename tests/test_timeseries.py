@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from octopufs_spark.timeseries import asof_join
 
 
@@ -27,6 +29,7 @@ def test_asof_join_semantics(spark):
     assert out.count() == 5
 
 
+@pytest.mark.slow  # >15 s; excluded from the default driver-window run
 def test_interval_join_matches_naive(spark):
     """Bucketed interval join ≡ naive cross join + range filter,
     including intervals spanning multiple buckets."""
